@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in ``soccer_data_pipeline_spark/``; this module is a
+thin adapter. ``queries()`` / ``oracle_sql()`` are populated from the
+query registry (``soccer_data_pipeline_spark/plans/``), one entry per
+implemented operator from SURVEY.md §2 (+ the [beyond-ref] LLM-data
+ops), each with a DuckDB-runnable ANSI oracle where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from soccer_data_pipeline_spark.plans import oracle_map, query_fns
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Star join (lineitem⋈orders⋈customer⋈nation) → revenue aggregation →
+    top-3 customers per nation via ranking window — one plan exercising
+    scan, broadcast join, shuffle agg, and window (SURVEY.md §7 slice).
+    """
+    from soccer_data_pipeline_spark.plans.star_queries import flagship_top_customers
+
+    return flagship_top_customers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return query_fns()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
+    return oracle_map()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collect-to-count via ``df.count()`` after
+a no-op cache-free run) so timings include scan→shuffle→agg, not just
+plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "flagship_top_customers",
+    "broadcast_lookup_join",
+    "topk_orders_per_customer",
+    "rolling_avg_events",
+    "cumulative_customer_spend",
+    "sessionize_events",
+    "event_tumbling_hourly",
+    "dedup_exact_documents",
+    "text_stats",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # Warm the JVM + parquet footers once so timings measure the engine,
+    # not first-touch overheads.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

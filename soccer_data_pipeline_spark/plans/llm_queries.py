@@ -1,0 +1,433 @@
+"""[beyond-ref] LLM training-data-pipeline operators (SURVEY.md §2.10).
+
+Mandated by BASELINE.json beyond the reference's surface: dedup,
+similarity search, text analysis, event-time windows — each designed
+for 100 TB scale:
+
+- Near-dup candidate generation is *blocked* (lang / LSH band keys) so
+  the pair space is bucket-local, never a global cross join.
+- All token/shingle work uses built-in JVM functions (split, explode,
+  md5) — no Python in the hot path.
+- Cosine math uses ``F.aggregate``/``F.zip_with`` (sequential, exact
+  order) and rounds to 6 decimals so results are engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+def _cents(col):
+    """2-decimal double → exact integer cents (same bits in Spark/DuckDB)."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows over the events table (tumbling) — the streaming-shaped
+# aggregation surface (SURVEY §2.10); batch form uses date_trunc so the
+# DuckDB oracle is exact. The streaming twin lives in streaming/windows.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_tumbling_hourly",
+    oracle="""
+SELECT EPOCH_US(DATE_TRUNC('hour', ts)) AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    doc="[beyond-ref] tumbling event-time window aggregation (SURVEY §2.10)",
+)
+def event_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions via lag + cumulative flag (batch form;
+# pyspark_guide "Sessionization" pattern). 30-minute inactivity gap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       EPOCH_US(MIN(ts)) AS session_start_us,
+       EPOCH_US(MAX(ts)) AS session_end_us,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    doc="[beyond-ref] sessionization via lag+cumsum gap detection, 30m gap (SURVEY §2.10)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond-exact gap test so the oracle's INTERVAL comparison matches.
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(wc))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting, quality scoring (length / stopword ratio),
+# all JVM-side string functions — no UDFs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id, lang,
+  LENGTH(text) AS n_chars_actual,
+  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+  LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))) AS n_unique_tokens,
+  CAST(LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))) AS DOUBLE)
+    / NULLIF(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')), 0) AS ttr,
+  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a'))) AS n_stopwords
+FROM documents
+""",
+    doc="[beyond-ref] text analysis: token counts, type-token ratio, stopword count (SURVEY §2.10)",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        (n_unique.cast("double") / F.nullif(n_tokens, F.lit(0))).alias("ttr"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+    LENGTH(text) AS n_chars_actual,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN n_tokens >= 50 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 50 END AS length_score,
+  CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio,
+  CASE WHEN n_tokens >= 20
+        AND CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) BETWEEN 0.01 AND 0.5
+       THEN TRUE ELSE FALSE END AS passes_quality
+FROM s
+""",
+    doc="[beyond-ref] heuristic document quality scoring (SURVEY §2.10)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.when(n_tokens >= 50, F.lit(1.0))
+        .otherwise(n_tokens.cast("double") / 50)
+        .alias("length_score"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_tokens >= 20) & (stop_ratio >= 0.01) & (stop_ratio <= 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-token voting (n-gram heuristic). Token-join against a
+# tiny broadcast marker table; argmax by count with deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = [
+    ("the", "en"), ("a", "en"), ("of", "en"),
+    ("le", "fr"), ("la", "fr"), ("et", "fr"),
+    ("der", "de"), ("die", "de"), ("und", "de"),
+    ("el", "es"), ("los", "es"), ("y", "es"),
+    ("de", "zh"), ("shi", "zh"), ("bu", "zh"),
+]
+
+_MARKER_VALUES = ", ".join(f"('{t}', '{l}')" for t, l in _LANG_MARKERS)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH markers(token, marker_lang) AS (VALUES {_MARKER_VALUES}),
+tokens AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+votes AS (
+  SELECT t.doc_id, m.marker_lang, COUNT(*) AS n_hits
+  FROM tokens t JOIN markers m ON t.token = m.token
+  GROUP BY t.doc_id, m.marker_lang
+)
+SELECT doc_id, marker_lang AS predicted_lang, n_hits
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, marker_lang) AS rn
+  FROM votes
+)
+WHERE rn = 1
+""",
+    doc="[beyond-ref] language ID via marker-token voting, broadcast join (SURVEY §2.10)",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(_LANG_MARKERS, ["token", "marker_lang"])
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    votes = (
+        tokens.join(F.broadcast(markers), "token")
+        .groupBy("doc_id", "marker_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("marker_lang"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("marker_lang").alias("predicted_lang"), "n_hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content hash + normalized-prefix/suffix hashes
+# (rolling-hash-style locality signature, md5-based so both engines agree).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+  MD5(text) AS content_hash,
+  MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS normalized_hash,
+  MD5(SUBSTRING(text, 1, 64)) AS prefix_hash,
+  SUBSTRING(MD5(text), 1, 8) AS short_fp
+FROM documents
+""",
+    doc="[beyond-ref] document fingerprinting: content/normalized/prefix hashes (SURVEY §2.10)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = lambda c: F.md5(c.cast("binary"))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        h(F.col("text")).alias("content_hash"),
+        h(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("normalized_hash"),
+        h(F.substring("text", 1, 64)).alias("prefix_hash"),
+        F.substring(h(F.col("text")), 1, 8).alias("short_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: token-level 3-gram shingles, blocked by lang,
+# pair similarity via shingle co-count — a shuffle-local band join, not a
+# cross join; the same skeleton the MinHash-LSH variant uses at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, lang,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS t(i)
+  WHERE LEN(toks) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_common, ca.n_shingles AS n_a, cb.n_shingles AS n_b,
+       CAST(p.n_common AS DOUBLE) / (ca.n_shingles + cb.n_shingles - p.n_common) AS jaccard
+FROM pairs p
+JOIN counts ca ON p.doc_a = ca.doc_id
+JOIN counts cb ON p.doc_b = cb.doc_id
+WHERE CAST(p.n_common AS DOUBLE) / (ca.n_shingles + cb.n_shingles - p.n_common) >= 0.2
+""",
+    doc="[beyond-ref] n-gram Jaccard near-dup pairs, lang-blocked shingle join (SURVEY §2.10)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    with_toks = docs.select("doc_id", "lang", toks.alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    # 3-gram shingles via index zip — stays JVM-side (no UDF).
+    idx = F.sequence(F.lit(0), F.size("toks") - 3)
+    shingled = with_toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (the exact baseline; the
+# LSH-bucketed ANN variant lives in operators/similarity.py). Query set =
+# vec_id < 10; dot products via zip_with + aggregate — sequential fold, so
+# rounding to 6 decimals is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, c.v) /
+               (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, candidate_id, cosine, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rn
+  FROM sims
+)
+WHERE rn <= 5
+""",
+    doc="[beyond-ref] brute-force cosine top-k similarity search baseline (SURVEY §2.10)",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
+    )
+    cosine = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (
+            F.sqrt(dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot(F.col("cv"), F.col("cv")))
+        ),
+        6,
+    )
+    # Broadcast the small QUERY side; candidates stay distributed — at 100 TB
+    # the candidate set is the big table and must never be collected/broadcast.
+    sims = c.join(F.broadcast(q), how="cross").select(
+        "query_id", "candidate_id", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "candidate_id", "cosine", "rn")
+    )

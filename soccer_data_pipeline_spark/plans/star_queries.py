@@ -1,0 +1,760 @@
+"""SURVEY.md §2 operator-parity queries over the driver star schema.
+
+Each query demonstrates one (or a cluster of) reference operators —
+docstrings cite the SURVEY op ids and the reference file:line they
+derive from. All are pure DataFrame plans: Catalyst handles pushdown,
+pruning, join selection (broadcast for the small dims) and AQE handles
+shuffle sizing — nothing here hand-schedules execution.
+
+Determinism contract (see registry module docstring): decimal-exact
+aggregation, epoch-integer timestamps, aliased columns matching the
+oracle SQL names exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# Money/measure columns in the star schema are 2-decimal. Aggregating them
+# as integer cents (BIGINT) is exact, shuffle-cheap, and — unlike a
+# DECIMAL→DOUBLE cast, which neither engine guarantees to round correctly —
+# bit-identical across engines when divided back by 100.0 at the end.
+
+
+def _cents(col):
+    """2-decimal double → exact integer cents (same bits in Spark/DuckDB)."""
+    return F.round(col * 100).cast("long")
+
+
+def _dsum(col, alias: str):
+    """Exact money sum surfaced as double dollars (engine-identical)."""
+    return (F.sum(_cents(col)) / F.lit(100.0)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A1-A3 + F9: hash aggregate with plain / conditional sums (TPC-H Q1 shape)
+# Reference: GROUP BY season_results sketch README.md:252-266; CASE WHEN
+# conditional aggregation README.md:259-261.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_orders,
+  COUNT(*) AS count_order,
+  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A1 hash agg + A2 SUM + A3 conditional SUM(CASE) + F9 CASE (ref README.md:252-266)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # extendedprice in cents × discount in whole percent → exact int64
+    disc_units = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            (F.sum(disc_units) / F.lit(10000.0)).alias("sum_disc_price"),
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+            .cast("long")
+            .alias("big_qty_orders"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: multi-join star query + agg + W1 top-k per group.
+# Reference: lookup joins J1 (main.yml:144-148), group agg A1-A2
+# (README.md:252-266), top-1-per-group A6/W1 champion (README.md:277).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_top_customers",
+    oracle="""
+WITH revenue AS (
+  SELECT
+    n.n_name,
+    c.c_custkey,
+    c.c_name,
+    SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey, c.c_name
+)
+SELECT n_name, c_custkey, c_name, revenue, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rn
+  FROM revenue
+)
+WHERE rn <= 3
+""",
+    doc="flagship: J1 join chain + A1/A2 agg + W1 top-k per group (ref README.md:252-266, 277)",
+)
+def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue_units = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg((F.sum(revenue_units) / F.lit(10000.0)).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast lookup equi-join (inner) — main.yml:144-148 league-map join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_lookup_join",
+    oracle="""
+SELECT r.r_name, COUNT(*) AS n_suppliers,
+       SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="J1 broadcast hash lookup join, inner (ref main.yml:144-148)",
+)
+def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            _dsum(F.col("s_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: alias-standardization join — broadcast LEFT join + coalesce fallback
+# (ref README.md:109 team_aliases; README.md:73-74 standardized names).
+# Unmatched keys pass through with a default, exactly the alias semantic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "alias_coalesce_join",
+    oracle="""
+SELECT COALESCE(n.n_name, 'UNKNOWN') AS nation_std, COUNT(*) AS n_customers,
+       SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer c
+LEFT JOIN (SELECT * FROM nation WHERE n_regionkey <= 2) n
+  ON c.c_nationkey = n.n_nationkey
+GROUP BY COALESCE(n.n_name, 'UNKNOWN')
+""",
+    doc="J2 broadcast left join + coalesce alias standardization (ref README.md:109)",
+)
+def alias_coalesce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    aliases = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 2)
+    return (
+        cust.join(F.broadcast(aliases), cust.c_nationkey == aliases.n_nationkey, "left")
+        .withColumn("nation_std", F.coalesce(F.col("n_name"), F.lit("UNKNOWN")))
+        .groupBy("nation_std")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/J3: unpivot (stack) before aggregation — the per-team two-row expansion
+# the reference itself flags as the correctness trap (README.md:262, 268).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+SELECT l_returnflag, metric,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS total,
+       COUNT(*) AS n
+FROM (
+  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+)
+GROUP BY l_returnflag, metric
+""",
+    doc="A4 unpivot via stack() then aggregate (ref README.md:262,268 per-team expansion)",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "l_returnflag",
+            "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (metric, value)",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(_dsum(F.col("value"), "total"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/O2: top-k per group via ranking window (ref main.yml:136-141 latest
+# version per key; README.md:136 top-1/top-3 eval).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    doc="W1/O2 top-k per group ranking window (ref main.yml:136-141, README.md:136)",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: champion label — top-1 per group with boolean flag (ref README.md:277,
+# 288 "verify champion labels"). Customer with max spend per market segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "champion_per_segment",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spend, TRUE AS is_champion
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS rn
+  FROM spend
+)
+WHERE rn = 1
+""",
+    doc="A6 champion label: top-1 per group + boolean flag (ref README.md:277,288)",
+)
+def champion_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(_dsum(F.col("o_totalprice"), "total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "total_spend",
+            F.lit(True).alias("is_champion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: rolling window with explicit frame (trailing, excludes current row —
+# the label-leakage-safe frame of ref README.md:135,141).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_avg_events",
+    oracle="""
+SELECT user_id, event_id,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS roll_sum,
+       COUNT(value) OVER w AS roll_n,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 / NULLIF(COUNT(value) OVER w, 0) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+""",
+    doc="W2 trailing rolling average, frame excludes current row (ref README.md:135,141)",
+)
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    roll_sum = F.sum(_cents(F.col("value"))).over(w) / F.lit(100.0)
+    roll_n = F.count("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        roll_sum.alias("roll_sum"),
+        roll_n.alias("roll_n"),
+        (roll_sum / F.nullif(roll_n, F.lit(0))).alias("roll_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: prior-period value via lag (ref README.md:135 previous-season feature).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag_prev_order",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_totalprice,
+       o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+FROM orders
+""",
+    doc="W3 lag prior-period value (ref README.md:135)",
+)
+def lag_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_totalprice"),
+        (F.col("o_totalprice") - prev).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: cumulative running total (ref README.md:143 standings/points leader).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_customer_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cum_spend
+FROM orders
+""",
+    doc="W4 cumulative running total (ref README.md:143)",
+)
+def cumulative_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / F.lit(100.0)).alias("cum_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2: dedup / distinct-on-keys (ref README.md:114 BigQuery dedup on lineage
+# keys). Exact dedup = hash-groupBy keeping the smallest id — fully
+# shuffle-parallel, no driver-side state; scales to 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT MD5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY MD5(text)
+""",
+    doc="U2 exact dedup via content-hash groupBy (ref README.md:114); [beyond-ref] exact text dedup",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3: first-per-key (order-sensitive, deterministic tie-break by id)
+# (ref main.yml:60-63 first-seen league name per prefix).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_per_key",
+    oracle="""
+SELECT lang, MIN_BY(source, doc_id) AS first_source, MIN(doc_id) AS first_doc_id
+FROM documents
+GROUP BY lang
+""",
+    doc="U3 first-per-key with deterministic order key (ref main.yml:60-63)",
+)
+def first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.min_by("source", "doc_id").alias("first_source"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: intersect / except (SURVEY §2.7 — free Spark superset).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+SELECT n_nationkey, 'both' AS side FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT n_nationkey, 'customer_only' AS side FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+""",
+    doc="U1-adjacent set ops: INTERSECT / EXCEPT (SURVEY §2.7 superset)",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = cust.intersect(sup).withColumn("side", F.lit("both"))
+    only = cust.exceptAll(sup).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# W1 natural-version sort: latest source per lang by numeric suffix
+# (ref main.yml:136-141 `sort -V | tail -n1` — numeric, not lexicographic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_version_per_key",
+    oracle="""
+SELECT lang, source AS latest_source, version_num
+FROM (
+  SELECT lang, source,
+         CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) AS BIGINT) AS version_num,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) AS BIGINT) DESC, source) AS rn
+  FROM (SELECT DISTINCT lang, source FROM documents)
+)
+WHERE rn = 1
+""",
+    doc="W1/O1 natural-version latest-per-key: numeric sort key, not lexicographic (ref main.yml:136-141)",
+)
+def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+    vnum = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long")
+    w = Window.partitionBy("lang").orderBy(F.desc("version_num"), F.asc("source"))
+    return (
+        docs.withColumn("version_num", vnum)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("latest_source"), "version_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F12 scalar-function showcase (regex extract/replace, trim, case, date
+# formatting, coalesce) — ref main.yml:56-75,111-119; README.md:71,79-81.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions_docs",
+    oracle="""
+SELECT doc_id,
+  REGEXP_EXTRACT(text, '^([a-z]+)', 1) AS first_token,
+  REGEXP_EXTRACT(text, '([a-z]+)$', 1) AS last_token,
+  REGEXP_REPLACE(text, '[0-9]+', 'N', 'g') AS digits_masked,
+  TRIM(UPPER(lang)) AS lang_uc,
+  LENGTH(text) AS text_len,
+  CASE WHEN n_chars > 500 THEN 'long' WHEN n_chars > 100 THEN 'medium' ELSE 'short' END AS size_bucket,
+  COALESCE(NULLIF(lang, ''), 'unknown') AS lang_std
+FROM documents
+""",
+    doc="F1 regexp_extract, F2 regexp_replace, F3 trim, F9 CASE, F12 coalesce (ref main.yml:56-75, README.md:79-81)",
+)
+def scalar_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_token"),
+        F.regexp_extract("text", r"([a-z]+)$", 1).alias("last_token"),
+        F.regexp_replace("text", r"[0-9]+", "N").alias("digits_masked"),
+        F.trim(F.upper(F.col("lang"))).alias("lang_uc"),
+        F.length("text").alias("text_len"),
+        F.when(F.col("n_chars") > 500, "long")
+        .when(F.col("n_chars") > 100, "medium")
+        .otherwise("short")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("unknown")).alias(
+            "lang_std"
+        ),
+    )
+
+
+@register(
+    "scalar_functions_dates",
+    oracle="""
+SELECT o_orderkey,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+  EPOCH_US(DATE_TRUNC('month', o_orderdate)) AS month_start_us
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+""",
+    doc="F6 date parse/format, F7 timestamp handling (ref README.md:71,84); epoch-integer output for cross-engine equality",
+)
+def scalar_functions_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start_us"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11/F12: JSON field access (ref main.yml:66,144 jq field extraction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="F11 JSON field access + F12 null handling (ref main.yml:66,144)",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        _dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Free superset: ROLLUP multi-level aggregation (SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="A1 superset: ROLLUP hierarchy aggregation (SURVEY §2.4)",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-series: filter + projection with pushdown-friendly predicates
+# (ref README.md:210-218 projection/rename; P5-P8 validation filters).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS qty,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) / 10000.0 AS net_price,
+       CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS return_status
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity >= 10 AND l_returnflag IN ('R','A')
+""",
+    doc="P3 projection+rename, P4 computed cols, pushdown predicates (ref README.md:210-218)",
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_returnflag").isin("R", "A"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            (
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+                / F.lit(10000.0)
+            ).alias("net_price"),
+            F.when(F.col("l_returnflag") == "R", "returned")
+            .otherwise("kept")
+            .alias("return_status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (SURVEY §2.3 note: quarantine routing complements).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+SELECT c_custkey, 'has_orders' AS status FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    doc="left_semi / left_anti joins (SURVEY §2.3: quarantine complements)",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    has = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_orders").alias("status"))
+    hasnt = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("status"))
+    return has.unionByName(hasnt)
+
+
+# ---------------------------------------------------------------------------
+# A5-adjacent: distinct counting profile (exact, cross-engine deterministic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_profile",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="A5 count metrics incl. exact distinct (ref README.md:112)",
+)
+def distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-analog: explode (document → rows), the core normalization move
+# (ref README.md:209 one row per matches[] element).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+""",
+    doc="P1 explode array → rows (ref README.md:209); token frequency table",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
