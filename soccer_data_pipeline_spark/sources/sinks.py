@@ -1,0 +1,52 @@
+"""Sinks (S6-S9 in SURVEY.md §2.1).
+
+- Staging: partitioned parquet mirroring the reference layout
+  ``staging/<date>/<league>/<season>.parquet`` (README.md:49,124-127).
+  ``partitionBy`` gives partition pruning on ingest_date/league for
+  every downstream read; ``sortWithinPartitions`` on the reference's
+  clustering keys (README.md:87) maximizes parquet min/max data
+  skipping — the Spark analog of BigQuery clustering.
+- Warehouse: append (load job, README.md:111) and CTAS (README.md:253)
+  via ``saveAsTable`` on the session catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_staging(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: partitioned staging sink. Adds ingest_date from the lineage
+    timestamp so re-runs land in dated partitions (README.md:49)."""
+    (
+        df.withColumn("ingest_date", F.to_date("ingestion_ts"))
+        .repartition("ingest_date", "league")
+        .sortWithinPartitions("league", "team_home", "team_away")
+        .write.mode(mode)
+        .partitionBy("ingest_date", "league")
+        .parquet(path)
+    )
+
+
+def append_warehouse(df: DataFrame, table: str) -> None:
+    """S8: warehouse append load (README.md:48,111)."""
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
+
+def create_table_as(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """S9: CREATE OR REPLACE TABLE ... AS SELECT (README.md:253)."""
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def with_run_metrics(df: DataFrame, name: str = "etl") -> DataFrame:
+    """S11: metrics emission (README.md:112) via ``observe`` — counts
+    are collected by a QueryExecutionListener without a second action.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("is_valid") == False, 1).otherwise(0)).alias(  # noqa: E712
+            "invalid_rows"
+        ),
+    )

@@ -1,0 +1,45 @@
+"""S6-S9 sink round-trips: partitioned staging layout + warehouse tables."""
+
+from __future__ import annotations
+
+from soccer_data_pipeline_spark.pipeline import run_soccer_etl
+from soccer_data_pipeline_spark.sources.lookup import leagues_from_pairs
+from soccer_data_pipeline_spark.sources.sinks import (
+    create_table_as,
+    with_run_metrics,
+    write_staging,
+)
+
+from .fixtures_soccer import LEAGUES, write_fixture_tree
+
+
+def test_staging_partition_layout_and_roundtrip(spark, tmp_path):
+    root = write_fixture_tree(str(tmp_path / "raw"))
+    out = run_soccer_etl(spark, root, leagues_from_pairs(spark, LEAGUES))
+    staging = str(tmp_path / "staging")
+    write_staging(out.matches_normalized, staging)
+    back = spark.read.parquet(staging)
+    assert back.count() == out.matches_normalized.count()
+    # partition columns materialized in the path (S7 layout)
+    assert "ingest_date" in back.columns and "league" in back.columns
+    import glob
+    import os
+
+    part_dirs = glob.glob(os.path.join(staging, "ingest_date=*", "league=*"))
+    assert len(part_dirs) >= 2  # one dir per league
+
+    # partition pruning: a league filter must prune to that league's dir
+    pruned = back.where(back.league == "Deutsche Bundesliga")
+    plan = pruned.explain(extended=False) or pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 4
+
+
+def test_ctas_and_metrics(spark, tmp_path):
+    root = write_fixture_tree(str(tmp_path / "raw"))
+    out = run_soccer_etl(spark, root, leagues_from_pairs(spark, LEAGUES))
+    observed = with_run_metrics(out.matches_normalized)
+    create_table_as(spark, "season_results_test", out.season_results)
+    assert spark.table("season_results_test").count() == out.season_results.count()
+    n = observed.count()
+    assert n == 9
+    spark.sql("DROP TABLE season_results_test")
