@@ -1,0 +1,147 @@
+"""[beyond-ref] Multimodal column operators (SURVEY §2.10).
+
+Images / audio / video ride through the engine as opaque ``binary``
+columns plus typed metadata — the lakehouse-standard pattern (the
+content column stays a byte payload; partition/prune on the metadata).
+
+The Spark-side plumbing here is REAL and tested: schemas, Arrow-batched
+``mapInPandas`` signatures, batch shaping, partition sizing. The codec
+step itself (JPEG decode, resampling, frame extraction) is STUBBED —
+the image/audio libraries are not in this container — behind
+``NotImplementedError`` with a deterministic fake used by tests:
+swap ``_decode_image_impl`` for a Pillow/libav call and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata travelling next to the payload (never inside it).
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # jpeg|png|wav|mp4…
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_image_impl(payload: bytes) -> list[float]:
+    """Codec stub. Replace with e.g. PIL.Image.open(BytesIO(payload)).
+
+    Raises NotImplementedError unless the deterministic fake is
+    enabled (tests) — the fake derives an 8-dim 'feature' from the
+    byte histogram so the distributed plumbing is fully exercisable.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_decode=True or install a codec library"
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature: normalized 8-bucket byte histogram."""
+    if payload is None:
+        return []
+    buckets = [0] * 8
+    for b in payload:
+        buckets[b >> 5] += 1
+    n = max(len(payload), 1)
+    return [round(c / n, 6) for c in buckets]
+
+
+def extract_media_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams record batches through Python once —
+    payload bytes never round-trip the JVM more than necessary, and
+    batch size is governed by ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` (tune down for large payloads: ~100 MB of
+    payload per batch is the sweet spot at scale).
+    """
+    decode = _fake_decode if fake_decode else _decode_image_impl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [
+                        len(c) if c is not None else 0 for c in pdf["content"]
+                    ],
+                    "content_hash": [
+                        hashlib.md5(c).hexdigest() if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "feature": [decode(c) for c in pdf["content"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """JVM-only byte-level stats (no Python): size, hash, format split.
+
+    For anything expressible without the codec, stay out of Python —
+    ``length``/``md5``/``substring`` on binary are codegen'd.
+    """
+    return media.select(
+        "media_id",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("content_hash"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        # magic-byte sniff: JPEG FF D8, PNG 89 50
+        F.when(F.hex(F.substring("content", 1, 2)) == "FFD8", "jpeg")
+        .when(F.hex(F.substring("content", 1, 2)) == "8950", "png")
+        .otherwise("unknown")
+        .alias("sniffed_format"),
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits (media_id,
+    frame_ts_ms) rows from duration metadata; the frame *decode* joins
+    through ``extract_media_features``. Pure JVM sequence/explode."""
+    return (
+        media.where(F.col("meta.media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

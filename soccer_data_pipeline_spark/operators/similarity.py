@@ -1,0 +1,133 @@
+"""[beyond-ref] Similarity search over embedding columns (SURVEY §2.10).
+
+Two tiers:
+
+- ``brute_force_topk``: exact cosine top-k. The query side is small and
+  broadcast; candidates stream through one narrow projection + a
+  per-query-group top-k window. Exact baseline, O(|Q|·|C|) work but
+  fully distributed and shuffle-light (the only shuffle is the final
+  per-query top-k, bounded by |Q|·k rows after the window's
+  WindowGroupLimit pushdown).
+- ``ann_lsh_cosine``: random-hyperplane LSH (sign-bit sketch). Each
+  vector maps to a small bucket code; candidates are only pairs whose
+  codes collide (optionally within Hamming distance 1 via multiprobe).
+  At 100 TB this turns the cross product into a bucket-local join
+  whose cost tracks corpus size, not its square. Hyperplanes are
+  seeded-deterministic, so results are reproducible run-to-run.
+
+Dot products use ``zip_with`` + ``aggregate`` — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the recall=1.0 baseline)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = c.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy
+    needed at runtime — the constants are part of the plan)."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket code for one vector column: bit i = sign(v·p_i)."""
+    code = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(vec_col, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        code = code + bit
+    return code.cast("long")
+
+
+def ann_lsh_cosine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: sign-bucket equi-join, cosine within bucket.
+
+    ``multiprobe`` also probes the n_planes buckets at Hamming
+    distance 1 from the query's code, trading n_planes× more (still
+    bucket-local) work for recall — the standard LSH multiprobe trick.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+
+    sims = q.join(c, "bucket").select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        sims.dropDuplicates(["query_id", "candidate_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )

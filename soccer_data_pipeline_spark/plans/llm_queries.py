@@ -431,3 +431,254 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "candidate_id", "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup dedup (operators/dedup.py). The oracles are
+# GENERATED SQL reproducing the same seeded-md5 48-bit hash scheme, so even
+# the LSH pipeline is differentially checked against DuckDB.
+# ---------------------------------------------------------------------------
+
+_K = 16
+_BANDS = 4
+_RPB = _K // _BANDS
+
+
+def _duck_h48(expr: str) -> str:
+    return f"CAST('0x' || SUBSTRING(md5({expr}), 1, 12) AS BIGINT)"
+
+
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS t(i)
+  WHERE LEN(toks) >= 3
+)"""
+
+_SIG_SELECT = ",\n  ".join(
+    "MIN({h}) AS h{i}".format(h=_duck_h48(f"'s{i}:' || shingle"), i=i)
+    for i in range(_K)
+)
+
+_MINHASH_SIG_ORACLE = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+  {_SIG_SELECT}
+FROM shingles GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_MINHASH_SIG_ORACLE,
+    doc="[beyond-ref] MinHash signatures (k=16, seeded-md5 48-bit) per document (SURVEY §2.10)",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures, shingles as mk_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(mk_shingles(docs, n=3), k=_K)
+
+
+_BAND_SELECTS = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {b} AS band_id, md5(CONCAT_WS(',', {cols})) AS band_key FROM sig".format(
+        b=b, cols=", ".join(f"h{b * _RPB + j}" for j in range(_RPB))
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, {_SIG_SELECT}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, co.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       co.n_common / (ca.n_sh + cb.n_sh - co.n_common) AS jaccard
+FROM cand c
+JOIN co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+JOIN counts ca ON ca.doc_id = c.doc_a
+JOIN counts cb ON cb.doc_id = c.doc_b
+WHERE co.n_common / (ca.n_sh + cb.n_sh - co.n_common) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    doc="[beyond-ref] MinHash-LSH near-dup: band bucket join -> exact Jaccard verify (SURVEY §2.10)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, n=3, k=_K, bands=_BANDS, threshold=0.5)
+
+
+_SIMHASH_BITS = 16
+
+_VOTE_SELECT = ",\n  ".join(
+    f"SUM(((hv >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(_SIMHASH_BITS)
+)
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+hv AS (
+  SELECT doc_id, {_duck_h48('token')} AS hv FROM tok WHERE token <> ''
+),
+sums AS (
+  SELECT doc_id,
+  {_VOTE_SELECT}
+  FROM hv GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM sums)
+SELECT simhash, COUNT(*) AS group_size, MIN(doc_id) AS keeper_doc_id
+FROM fp GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "dedup_simhash_groups",
+    oracle=_SIMHASH_ORACLE,
+    doc="[beyond-ref] SimHash fingerprint dup groups (16-bit, token-vote) (SURVEY §2.10)",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dup_groups(docs, bits=_SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: label-blocked cosine pairs (blocking key bounds the
+# pair space; at scale the blocking key is an LSH bucket — see
+# operators/similarity.ann_lsh_cosine).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.8
+""",
+    doc="[beyond-ref] embedding near-dup pairs, label-blocked cosine >= 0.8 (SURVEY §2.10)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity (LSH-bucketed) — approximate by construction, so no SQL
+# oracle (driver records rows-only); exactness is covered by
+# embedding_topk_cosine and tests/test_similarity_multimodal.py's
+# planted-neighbor recall check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,
+    doc="[beyond-ref] ANN top-k via random-hyperplane LSH + multiprobe (SURVEY §2.10); approximate → rows-only check",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_lsh_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_cosine(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        k=5,
+        n_planes=8,
+        dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary-column stats (the JVM-side tier of operators/
+# multimodal.py) — byte length + content hash over an opaque payload.
+# documents.text stands in as the payload so the op is driver-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+SELECT doc_id,
+       OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+       MD5(text) AS content_hash,
+       CASE WHEN OCTET_LENGTH(CAST(text AS BLOB)) > 500 THEN 'large' ELSE 'small' END AS size_class
+FROM documents
+""",
+    doc="[beyond-ref] multimodal binary-column stats: byte length, content hash (SURVEY §2.10)",
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+        F.when(F.length(payload) > 500, "large").otherwise("small").alias(
+            "size_class"
+        ),
+    )

@@ -1,0 +1,125 @@
+"""ANN recall vs brute force; multimodal binary plumbing end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from soccer_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    media_stats,
+    sample_frames,
+)
+from soccer_data_pipeline_spark.operators.similarity import (
+    ann_lsh_cosine,
+    brute_force_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_ann_recall_on_planted_neighbors(spark):
+    """Sign-LSH recall is only meaningful when near neighbors exist —
+    on uniform random vectors every bucket is equally (un)likely, which
+    is the regime ANN is *not* for. Plant clusters: 20 base vectors,
+    3 noisy copies each; queries = bases; true neighbors = the copies.
+    """
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    qrows = []
+    vid = 1000
+    for b in range(20):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in base))
+        base = [x / norm for x in base]
+        qrows.append((b, [float(x) for x in base]))
+        for _ in range(3):
+            noisy = [x + rng.gauss(0, 0.02) for x in base]
+            rows.append((vid, [float(x) for x in noisy]))
+            vid += 1
+        # distractors: fresh random vectors
+        for _ in range(10):
+            d = [rng.gauss(0, 1) for _ in range(dim)]
+            rows.append((vid, [float(x) for x in d]))
+            vid += 1
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    c = spark.createDataFrame(rows, schema)
+    q = spark.createDataFrame(qrows, schema)
+    exact = brute_force_topk(q, c, k=3)
+    approx = ann_lsh_cosine(q, c, k=3, n_planes=8, dim=dim)
+    exact_pairs = {(r.query_id, r.candidate_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.candidate_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"ANN recall on planted near-dups too low: {recall}"
+
+
+def test_brute_force_topk_shape(spark, emb):
+    q = emb.where("vec_id < 10")
+    c = emb.where("vec_id >= 10")
+    exact = brute_force_topk(q, c, k=5)
+    rows = exact.collect()
+    assert len(rows) == 50  # 10 queries × k=5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for cosines in by_q.values():
+        assert cosines == sorted(cosines, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    jpeg = bytes([0xFF, 0xD8]) + b"fakejpegpayload" * 10
+    png = bytes([0x89, 0x50]) + b"fakepngpayload" * 8
+    rows = [
+        (1, jpeg, ("image", "jpeg", 640, 480, None)),
+        (2, png, ("image", "png", 100, 100, None)),
+        (3, None, ("image", "jpeg", None, None, None)),
+        (4, b"\x00\x01videoish", ("video", "mp4", 1920, 1080, 3500)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).cache()
+
+
+def test_media_stats_jvm_side(media):
+    rows = {r.media_id: r for r in media_stats(media).collect()}
+    assert rows[1].sniffed_format == "jpeg"
+    assert rows[2].sniffed_format == "png"
+    assert rows[4].sniffed_format == "unknown"
+    assert rows[1].n_bytes == 2 + 15 * 10
+    assert rows[3].n_bytes is None  # null payload stays null JVM-side
+
+
+def test_feature_extraction_arrow_batched(media):
+    feats = {r.media_id: r for r in extract_media_features(media, fake_decode=True).collect()}
+    assert len(feats) == 4
+    assert len(feats[1].feature) == 8
+    assert abs(sum(feats[1].feature) - 1.0) < 1e-3  # normalized histogram
+    assert feats[3].feature == []  # null payload → empty feature
+    assert feats[1].content_hash is not None and feats[3].content_hash is None
+
+
+def test_codec_stub_raises_cleanly(media):
+    with pytest.raises(Exception) as ei:
+        extract_media_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    # 3500ms video at 1Hz → ts 0,1000,2000,3000
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
