@@ -1,0 +1,4 @@
+from .incremental import run_incremental_etl
+from .windows import streaming_tumbling_agg, streaming_session_agg
+
+__all__ = ["run_incremental_etl", "streaming_tumbling_agg", "streaming_session_agg"]
