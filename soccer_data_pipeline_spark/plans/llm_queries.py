@@ -682,3 +682,166 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_class"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) — checked against DuckDB's native ASOF
+# JOIN. Right side pre-deduped per (key, time) so ties are deterministic
+# in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+WITH uo AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, EPOCH_US(e.ts) AS ts_us,
+       o.o_orderkey AS last_orderkey,
+       EPOCH_US(o.o_orderdate) AS last_orderdate_us,
+       o.o_totalprice AS last_totalprice
+FROM events e ASOF LEFT JOIN uo o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="[beyond-ref] as-of join: latest order at event time, sort-based distributed construction (pyspark_guide as-of pattern)",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    uo = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    joined = asof_join(
+        ev,
+        uo,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("last_orderdate_us"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — bucketized equi-join, exact filter. Pairs of
+# events by the same user within 2 hours of each other.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_close_events",
+    oracle="""
+SELECT a.event_id, b.event_id AS r_event_id, a.user_id,
+       EPOCH_US(b.ts) - EPOCH_US(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND ABS(EPOCH_US(a.ts) - EPOCH_US(b.ts)) <= 7200000000
+""",
+    doc="[beyond-ref] range/interval join via bucketized equi-join (pyspark_guide range-join pattern)",
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    right = ev.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = range_join_bucketed(
+        ev, right, "user_id", "r_user_id", "ts", "r_ts", max_gap_seconds=7200
+    )
+    return joined.where(F.col("event_id") < F.col("r_event_id")).select(
+        "event_id",
+        "r_event_id",
+        "user_id",
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF per (doc, token): tf × ln(N/df). Pure integer counts + ln of an
+# exact ratio — engine-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_tokens",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE tf.tf >= 3
+""",
+    doc="[beyond-ref] TF-IDF weighting over the token explode (SURVEY §2.10 text analysis)",
+)
+def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: one job over parquet row-group stats
+    return (
+        tf.join(df, "token")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .where(F.col("tf") >= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: event_type counts per user — wide-table materialization
+# (pyspark_guide pivot pattern; oracle via portable conditional agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+    doc="pivot to wide table (SURVEY §2.4 superset; explicit value list so the plan is one pass)",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # explicit values list → single-pass pivot (no distinct-values pre-job)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
