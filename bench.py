@@ -28,9 +28,13 @@ HEADLINE = [
     "sessionize_events",
     "event_tumbling_hourly",
     "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
     "text_stats",
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
+    "similarity_ann_lsh",
+    "asof_join_latest_order",
+    "sql_tpch_q3_shape",
 ]
 
 

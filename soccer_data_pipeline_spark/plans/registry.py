@@ -61,3 +61,4 @@ def oracle_map() -> dict[str, str]:
 # Importing the query modules populates the registry.
 from . import star_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
+from . import sql_surface  # noqa: E402,F401
