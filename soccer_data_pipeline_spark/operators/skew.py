@@ -1,0 +1,61 @@
+"""Skew-mitigation utilities (SURVEY.md §4: hot keys at 100 TB).
+
+AQE's skew-join splitting handles moderate skew automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py). These
+helpers cover the two cases AQE can't:
+
+- ``salted_aggregate``: a groupBy whose hot key overwhelms one task.
+  Two-phase: salt the key (N subkeys) → partial agg → final agg over
+  the unsalted key. Classic map-side-combine generalization; correct
+  for any algebraic aggregate (sum/count/min/max).
+- ``broadcast_salted_join``: a fact⋈dim join where a handful of dim
+  keys are hot but the dim is too big to broadcast whole: broadcast
+  only the hot-key slice, shuffle-join the rest, union. (Provided for
+  completeness; prefer plain broadcast when the dim fits.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps column → one of sum/count/min/max (algebraic, so
+    partial results re-aggregate exactly).
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {
+        "sum": F.sum,
+        "count": lambda c: F.count(c),
+        "min": F.min,
+        "max": F.max,
+    }
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[first[how](c).alias(f"_p_{c}") for c, how in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge[how](f"_p_{c}").alias(f"{c}_{how}") for c, how in aggs.items()]
+    )
+
+
+def broadcast_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+) -> DataFrame:
+    """Join with hot dim keys broadcast, the long tail shuffle-joined."""
+    hot_dim = dim.where(F.col(key).isin(hot_keys))
+    cold_dim = dim.where(~F.col(key).isin(hot_keys))
+    hot = fact.where(F.col(key).isin(hot_keys)).join(F.broadcast(hot_dim), key)
+    cold = fact.where(~F.col(key).isin(hot_keys)).join(cold_dim, key)
+    return hot.unionByName(cold)
