@@ -1,0 +1,103 @@
+"""Champion prediction — the reference's BigQuery ML surface re-done
+on MLlib (reference README.md:132-136: CREATE MODEL / ML.EVALUATE;
+temporal evaluation README.md:141-143).
+
+Methodology parity:
+
+- temporal splits, never random: train ≤ T-2, validate T-1, test T
+  ("walk-forward" ready via repeated calls with shifted T).
+- metrics: top-1 / top-3 champion accuracy per (league, season)
+  (README.md:136).
+- naive baselines the model must beat: previous champion, points
+  leader at feature time (README.md:143).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+FEATURES = ["prev_points", "prev_goals_for", "season_points_mid"]
+
+
+def temporal_split(
+    df: DataFrame, season_col: str = "season_key"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """train ≤ T-2 | validate = T-1 | test = T (T = max season)."""
+    t = df.agg(F.max(season_col)).first()[0]
+    return (
+        df.where(F.col(season_col) <= t - 2),
+        df.where(F.col(season_col) == t - 1),
+        df.where(F.col(season_col) == t),
+    )
+
+
+def _prep(features_df: DataFrame) -> DataFrame:
+    out = features_df.withColumn(
+        "season_key", F.regexp_extract("season", r"^([0-9]{4})", 1).cast("long")
+    ).withColumn("label", F.col("is_champion").cast("double"))
+    for c in FEATURES:
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+    return out
+
+
+def train_champion_model(train_df: DataFrame):
+    """Fit LR on the (tiny) per-team-season feature table.
+
+    The feature table is one row per (league, season, team) — even a
+    100 TB match corpus reduces to millions of rows here, so a single
+    MLlib fit is appropriate; the heavy lifting (feature extraction)
+    stayed distributed upstream.
+    """
+    asm = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    lr = LogisticRegression(maxIter=50, regParam=0.01)
+    prepped = asm.transform(_prep(train_df))
+    model = lr.fit(prepped)
+    return model, asm
+
+
+def predict_champions(model, asm, df: DataFrame) -> DataFrame:
+    """Rank teams per (league, season) by champion probability."""
+    from pyspark.ml.functions import vector_to_array
+
+    prob_up = F.element_at(vector_to_array(F.col("probability")), 2)
+    scored = model.transform(asm.transform(_prep(df))).withColumn(
+        "champion_prob", prob_up
+    )
+    w = Window.partitionBy("league", "season").orderBy(
+        F.desc("champion_prob"), F.asc("team")
+    )
+    return scored.withColumn("pred_rank", F.row_number().over(w))
+
+
+def evaluate_topk(predictions: DataFrame, k: int = 3) -> dict[str, float]:
+    """top-1 / top-k champion accuracy per (league, season)."""
+    per_group = predictions.groupBy("league", "season").agg(
+        F.max(F.when((F.col("pred_rank") == 1) & F.col("is_champion"), 1).otherwise(0)).alias("hit1"),
+        F.max(
+            F.when((F.col("pred_rank") <= k) & F.col("is_champion"), 1).otherwise(0)
+        ).alias("hitk"),
+    )
+    row = per_group.agg(
+        F.avg("hit1").alias("top1"), F.avg("hitk").alias("topk"), F.count("*").alias("n")
+    ).first()
+    return {"top1_accuracy": row.top1, f"top{k}_accuracy": row.topk, "n_groups": row.n}
+
+
+def baseline_points_leader(features_df: DataFrame) -> DataFrame:
+    """Predict the team leading on mid-season points (README.md:143)."""
+    w = Window.partitionBy("league", "season").orderBy(
+        F.desc("season_points_mid"), F.asc("team")
+    )
+    return _prep(features_df).withColumn("pred_rank", F.row_number().over(w))
+
+
+def baseline_previous_champion(features_df: DataFrame) -> DataFrame:
+    """Predict last season's champion wins again (README.md:143)."""
+    w = Window.partitionBy("league", "season").orderBy(
+        F.desc("prev_points"), F.asc("team")
+    )
+    return _prep(features_df).withColumn("pred_rank", F.row_number().over(w))

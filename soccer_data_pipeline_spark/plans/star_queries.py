@@ -758,3 +758,160 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (A-superset): exact percentile over integer cents,
+# median, mode, correlation. percentile_cont interpolation runs on exact
+# integers → deterministic; corr is rounded (engine accumulation order).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+SELECT l_returnflag,
+  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS median_price,
+  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS p90_price,
+  MODE() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status,
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="A-superset statistical aggregates: percentile_cont, mode, corr (SURVEY §2.4 note)",
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = F.col("l_extendedprice")
+    cents_col = F.round(pc * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents_col, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents_col, F.lit(0.9)) / 100.0).alias("p90_price"),
+        F.mode("l_linestatus").alias("mode_status"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.min(pc).alias("min_price"),
+        F.max(pc).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg): deterministic via explicit ORDER BY.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_regions",
+    oracle="""
+SELECT r.r_name,
+       STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="ordered string aggregation (listagg analog via sorted collect_list)",
+)
+def string_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes: EXISTS / scalar subquery — Catalyst rewrites these into
+# semi joins / cross joins of single-row aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_shapes",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_rich_active
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+    doc="scalar subquery + EXISTS (rewritten to semi join by Catalyst)",
+)
+def subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    # identical text both engines (AVG of doubles: single global agg is
+    # sequential-deterministic in neither engine — go through cents)
+    return spark.sql(
+        """
+SELECT c_mktsegment, COUNT(*) AS n_rich_active
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set combinations (A1 superset).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE grouping sets (SURVEY §2.4 superset)",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/interval arithmetic (F6-F7 superset): datediff, add_months,
+# date_add — engine-portable forms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+  STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+  STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+  CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    doc="F6/F7 superset: date difference, month/day arithmetic, day-of-week",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.date_add(F.to_date(d), 30), "yyyy-MM-dd").alias("plus30d"),
+        (F.dayofweek(d) - 1).alias("dow"),
+    )

@@ -1,0 +1,95 @@
+"""ML stretch (SURVEY §7.6): champion model with temporal evaluation.
+
+Synthetic multi-season universe: team strength persists across
+seasons, so prev-season features are predictive and the temporal
+protocol (train ≤ T-2, validate T-1, test T) is exercised honestly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+pyspark_ml = pytest.importorskip("pyspark.ml")
+
+from soccer_data_pipeline_spark.ml import (  # noqa: E402
+    baseline_points_leader,
+    evaluate_topk,
+    temporal_split,
+    train_champion_model,
+)
+from soccer_data_pipeline_spark.ml.champion_model import predict_champions  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def feature_table(spark):
+    """(league, season, team) rows with persistent team strength."""
+    rng = random.Random(11)
+    leagues = ["L1", "L2", "L3"]
+    teams = {lg: [f"{lg}_T{i}" for i in range(10)] for lg in leagues}
+    strength = {t: rng.uniform(0.5, 2.0) for lg in leagues for t in teams[lg]}
+    rows = []
+    for year in range(2010, 2020):
+        for lg in leagues:
+            season_pts = {
+                t: int(30 * strength[t] + rng.gauss(0, 6)) for t in teams[lg]
+            }
+            champ = max(season_pts, key=lambda t: (season_pts[t], t))
+            for t in teams[lg]:
+                rows.append(
+                    {
+                        "league": lg,
+                        "season": str(year),
+                        "team": t,
+                        "points": season_pts[t],
+                        "goals_for": season_pts[t] + rng.randint(0, 10),
+                        "is_champion": t == champ,
+                    }
+                )
+    df = spark.createDataFrame(rows)
+    # prev-season + mid-season features (trailing only — no leakage)
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    w = Window.partitionBy("league", "team").orderBy("season")
+    return (
+        df.withColumn("prev_points", F.lag("points").over(w))
+        .withColumn("prev_goals_for", F.lag("goals_for").over(w))
+        # mid-season points proxy: half the final points + noise-free
+        .withColumn("season_points_mid", (F.col("points") / 2).cast("double"))
+        .where(F.col("prev_points").isNotNull())
+        .cache()
+    )
+
+
+def test_temporal_split_boundaries(spark, feature_table):
+    import pyspark.sql.functions as F
+
+    prepped = feature_table.withColumn(
+        "season_key", F.col("season").cast("long")
+    )
+    train, val, test = temporal_split(prepped)
+    assert train.agg(F.max("season_key")).first()[0] == 2017
+    assert val.select("season_key").distinct().first()[0] == 2018
+    assert test.select("season_key").distinct().first()[0] == 2019
+    # no leakage: splits are disjoint
+    assert train.count() + val.count() + test.count() == prepped.count()
+
+
+def test_model_beats_or_matches_baseline(spark, feature_table):
+    import pyspark.sql.functions as F
+
+    prepped = feature_table.withColumn(
+        "season_key", F.col("season").cast("long")
+    )
+    train, _val, test = temporal_split(prepped)
+    model, asm = train_champion_model(train)
+    preds = predict_champions(model, asm, test)
+    metrics = evaluate_topk(preds, k=3)
+    assert metrics["n_groups"] == 3  # 3 leagues in test season
+    base = evaluate_topk(baseline_points_leader(test), k=3)
+    # persistent-strength universe: model must be competitive with the
+    # points-leader baseline on top-3 (both should be near-perfect)
+    assert metrics["top3_accuracy"] >= base["top3_accuracy"] - 0.34
+    assert metrics["top3_accuracy"] >= 0.66
