@@ -9,11 +9,18 @@ ops), each with a DuckDB-runnable ANSI oracle where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from soccer_data_pipeline_spark.plans import oracle_map, query_fns
+# Import-safe regardless of the caller's cwd/sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from soccer_data_pipeline_spark.plans import oracle_map, query_fns  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

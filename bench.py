@@ -57,7 +57,12 @@ def main() -> None:
         if spec is None:
             continue
         t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as exc:  # a failing query must not kill the suite
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -845,3 +845,43 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows (batch twin): each event lands in
+# window_len/slide overlapping windows, generated by a JVM-side sequence
+# explode — the exact semantics of F.window(ts, '1 hour', '30 minutes').
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_sliding_windows",
+    oracle="""
+WITH buckets AS (
+  SELECT event_type, value,
+         DATE_TRUNC('hour', ts) + (CASE WHEN MOD(EPOCH_US(ts), 3600000000) >= 1800000000
+                                        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)
+           - offs * (INTERVAL 30 MINUTE) AS window_start
+  FROM events, UNNEST([0, 1]) AS t(offs)
+)
+SELECT EPOCH_US(window_start) AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM buckets
+GROUP BY 1, 2
+""",
+    doc="[beyond-ref] sliding windows (1h every 30m), batch twin of F.window(ts, len, slide)",
+)
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.select(win.alias("w"), "event_type", "value")
+        .groupBy(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+        )
+    )

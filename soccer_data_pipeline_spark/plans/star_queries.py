@@ -915,3 +915,92 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(F.to_date(d), 30), "yyyy-MM-dd").alias("plus30d"),
         (F.dayofweek(d) - 1).alias("dow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function zoo (W-superset): ranking family + value family +
+# distribution family in one query. cume_dist/percent_rank are exact
+# rational numbers of ints → deterministic doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_function_zoo",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok,
+  LEAD(o_orderkey) OVER w AS next_ok,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="W-superset: rank/dense_rank/ntile/first/last/nth/lead/percent_rank/cume_dist",
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.where(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling / conditional zoo (F12-superset): coalesce, nullif,
+# greatest/least, try-semantics, CASE chains.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_handling_zoo",
+    oracle="""
+SELECT s_suppkey,
+  COALESCE(NULLIF(s_name, ''), 'unnamed') AS name_std,
+  GREATEST(s_acctbal, 0.0) AS bal_floor,
+  LEAST(s_acctbal, 1000.0) AS bal_cap,
+  CASE WHEN s_acctbal < 0 THEN 'debt'
+       WHEN s_acctbal = 0 THEN 'zero'
+       ELSE 'credit' END AS bal_class,
+  CAST(s_acctbal IS NULL AS BOOLEAN) AS bal_missing,
+  IFNULL(NULLIF(s_nationkey, 0), -1) AS nation_or_default
+FROM supplier
+""",
+    doc="F12-superset: coalesce/nullif/greatest/least/ifnull/CASE chains",
+)
+def null_handling_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return sup.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unnamed")).alias(
+            "name_std"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap"),
+        F.when(bal < 0, "debt").when(bal == 0, "zero").otherwise("credit").alias(
+            "bal_class"
+        ),
+        bal.isNull().alias("bal_missing"),
+        F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_default"
+        ),
+    )
