@@ -50,3 +50,53 @@ def with_run_metrics(df: DataFrame, name: str = "etl") -> DataFrame:
             "invalid_rows"
         ),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into ~target_bytes
+    files (the raw/staging zones accumulate small files from
+    incremental runs; scans pay per-file overhead at 100 TB).
+
+    Returns the post-compaction file count. Uses a size-based
+    repartition — never ``coalesce(1)``, which would serialize the
+    write through one task.
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, int(total / target_bytes) + 1)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16
+) -> None:
+    """Bucketed warehouse table: later equi-joins/aggs on bucket_col
+    skip their shuffle entirely (SURVEY §4; pyspark_guide bucketing).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

@@ -1,0 +1,44 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on (pushdown, pruning, broadcast, no stray shuffles) must not
+silently regress."""
+
+from __future__ import annotations
+
+from soccer_data_pipeline_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_project_lineitem")
+    assert "PushedFilters: [" in plan
+    # the discount/quantity predicates must appear pushed, not post-scan only
+    assert "GreaterThan(l_discount" in plan or "l_discount" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scalar_functions_dates")
+    scan = plan[plan.index("FileScan") :]
+    # only the two needed columns are read
+    assert "o_orderkey" in scan[:200] and "o_orderdate" in scan[:200]
+    assert "o_totalprice" not in scan[:300]
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "flagship_top_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_shuffle_in_pure_projection(spark):
+    plan = _plan(spark, "null_handling_zoo")
+    assert "Exchange" not in plan
+
+
+def test_semi_anti_join_physical(spark):
+    plan = _plan(spark, "semi_anti_join")
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -43,3 +43,35 @@ def test_ctas_and_metrics(spark, tmp_path):
     n = observed.count()
     assert n == 9
     spark.sql("DROP TABLE season_results_test")
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    import glob
+    import os
+
+    from soccer_data_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(40).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before >= 40
+    n_rows = li.count()
+    after = compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+    assert after < before
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_bucketed_table_join_has_no_shuffle_on_bucket_key(spark, tmp_path):
+    from soccer_data_pipeline_spark.sources.sinks import write_bucketed_table
+
+    # warehouse dir is a static conf; the unique table name isolates us
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_bucketed_table(orders, "orders_bucketed_t", "o_custkey", n_buckets=8)
+    t = spark.table("orders_bucketed_t")
+    agg = t.groupBy("o_custkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # bucketed layout satisfies the groupBy distribution → no Exchange
+    assert "Exchange" not in plan
+    assert agg.count() == orders.select("o_custkey").distinct().count()
+    spark.sql("DROP TABLE orders_bucketed_t")

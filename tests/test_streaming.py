@@ -120,3 +120,57 @@ def test_streaming_sessions_emit(spark, tmp_path):
     for r in rows:
         assert r.session_end > r.session_start
         assert r.n_events >= 1
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState custom operator: state accumulates across
+    micro-batches and agrees with the batch ground truth."""
+    from soccer_data_pipeline_spark.sources import load_table
+    from soccer_data_pipeline_spark.streaming.stateful import user_running_stats
+
+    sf = "/root/testdata/sf0.001"
+    ev_all = load_table(spark, sf, "events").where("user_id < 10")
+    events = ev_all.select("user_id", "ts", "value")
+    stream_dir = str(tmp_path / "events_state")
+    # two files → at least one micro-batch boundary crossed
+    ev_all.where("event_id % 2 = 0").select("user_id", "ts", "value").write.parquet(stream_dir)
+    ev_all.where("event_id % 2 = 1").select("user_id", "ts", "value").write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        user_running_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per user = final running stats
+    final = {
+        r.user_id: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM state_out) WHERE rn = 1"""
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    truth = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tot"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for uid, t in truth.items():
+        assert final[uid].n_events == t.n
+        assert abs(final[uid].total_value - t.tot) < 1e-9
