@@ -62,18 +62,24 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
-    """doc_id, h0..h{k-1}: MinHash signature via k seeded md5 hashes.
+    """doc_id, h0..h{k-1}: MinHash signature via double hashing.
 
-    Seeding by prefix (``s<i>:<shingle>``) gives k independent hash
-    families without modular arithmetic (which overflows int64 and is
-    engine-divergent under ANSI). k md5 calls per shingle stay inside
-    whole-stage codegen; the only shuffle is the groupBy(doc_id).
+    ONE md5 per shingle provides two independent 48-bit halves
+    (hex chars 1-12 and 13-24); family i is ``h1 + i·h2``
+    (Kirsch-Mitzenmacher) — k families for one hash evaluation, no
+    modular arithmetic (i·h2 < 2^52, sums stay well under int64 and
+    are engine-portable). Only shuffle: the groupBy(doc_id).
     """
+    md5h = F.md5(F.col("shingle").cast("binary"))
+    h1 = F.conv(F.substring(md5h, 1, HEX_LEN), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5h, HEX_LEN + 1, HEX_LEN), 16, 10).cast("long")
+    with_h = shingled.select(
+        "doc_id", h1.alias("_h1"), h2.alias("_h2")
+    )
     aggs = [
-        F.min(_hash48(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
+        F.min(F.col("_h1") + i * F.col("_h2")).alias(f"h{i}") for i in range(k)
     ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return with_h.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

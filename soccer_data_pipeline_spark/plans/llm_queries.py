@@ -459,8 +459,11 @@ shingles AS (
   WHERE LEN(toks) >= 3
 )"""
 
+# Double hashing: one md5 per shingle, two 48-bit halves, family i =
+# h1 + i*h2 (must mirror operators/dedup.minhash_signatures exactly).
 _SIG_SELECT = ",\n  ".join(
-    "MIN({h}) AS h{i}".format(h=_duck_h48(f"'s{i}:' || shingle"), i=i)
+    f"MIN(CAST('0x' || SUBSTRING(md5(shingle), 1, 12) AS BIGINT)"
+    f" + {i} * CAST('0x' || SUBSTRING(md5(shingle), 13, 12) AS BIGINT)) AS h{i}"
     for i in range(_K)
 )
 
