@@ -1004,3 +1004,170 @@ def null_handling_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_or_default"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# String-function zoo (F-superset): pad/reverse/translate/split_part/
+# levenshtein — both engines implement the same integer edit distance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions_zoo",
+    oracle="""
+SELECT s_suppkey,
+  UPPER(s_name) AS name_uc,
+  LPAD(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+  REVERSE(s_name) AS name_rev,
+  REPLACE(s_name, '#', '-') AS name_dashed,
+  SPLIT_PART(s_name, '#', 2) AS name_num,
+  LEVENSHTEIN(s_name, 'Supplier#000000001') AS edit_dist,
+  SUBSTRING(s_name, 1, 8) AS name_prefix,
+  LENGTH(s_name) AS name_len,
+  CONCAT(s_name, '/', CAST(s_nationkey AS VARCHAR)) AS name_nation
+FROM supplier
+""",
+    doc="F-superset string zoo: lpad/reverse/replace/split_part/levenshtein/concat",
+)
+def string_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    n = F.col("s_name")
+    return sup.select(
+        "s_suppkey",
+        F.upper(n).alias("name_uc"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse(n).alias("name_rev"),
+        F.replace(n, F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.split_part(n, F.lit("#"), F.lit(2)).alias("name_num"),
+        F.levenshtein(n, F.lit("Supplier#000000001")).alias("edit_dist"),
+        F.substring(n, 1, 8).alias("name_prefix"),
+        F.length(n).alias("name_len"),
+        F.concat(n, F.lit("/"), F.col("s_nationkey").cast("string")).alias(
+            "name_nation"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-function zoo + posexplode (P-superset): positional explode with
+# ordinality, array slicing/sorting/membership — scalar outputs so the
+# cross-engine compare stays on primitive types.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_functions_zoo",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS arr
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+  LEN(arr) AS n_tokens,
+  arr[1] AS first_tok,
+  arr[LEN(arr)] AS last_tok,
+  LIST_SORT(LIST_DISTINCT(arr))[1] AS min_tok,
+  CAST(LIST_CONTAINS(arr, 'the') AS BOOLEAN) AS has_the,
+  LIST_POSITION(arr, 'data') AS data_pos,
+  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(arr))[1:3], ',') AS top3_sorted
+FROM toks
+""",
+    doc="P/F-superset array zoo: slice/sort/distinct/contains/position/join",
+)
+def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    sorted_dist = F.array_sort(F.array_distinct(arr))
+    return docs.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.element_at(arr, 1).alias("first_tok"),
+        F.element_at(arr, -1).alias("last_tok"),
+        F.element_at(sorted_dist, 1).alias("min_tok"),
+        F.array_contains(arr, "the").alias("has_the"),
+        F.array_position(arr, "data").alias("data_pos"),
+        F.array_join(F.slice(sorted_dist, 1, 3), ",").alias("top3_sorted"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id, i - 1 AS pos, toks[i] AS token
+FROM (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 20
+), UNNEST(GENERATE_SERIES(1, LEN(toks))) AS t(i)
+""",
+    doc="P-superset: posexplode (positional explode with ordinality)",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select("doc_id", F.posexplode(arr).alias("pos", "token"))
+
+
+# ---------------------------------------------------------------------------
+# Global (grand-total) aggregate — no grouping keys, single-row result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_aggregates",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS total_price,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+""",
+    doc="A-superset: global aggregate (partial+final, no group keys)",
+)
+def global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum(F.col("l_extendedprice"), "total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join (J-superset): preserve both unmatched sides.
+# Suppliers exist for few nations; customers for all — the outer join
+# surfaces nation rows with no suppliers as NULL side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_join_nations",
+    oracle="""
+WITH s AS (SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY 1),
+c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1)
+SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+       COALESCE(s.n_sup, 0) AS n_suppliers,
+       COALESCE(c.n_cust, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s.s_nationkey = c.c_nationkey
+""",
+    doc="J-superset: FULL OUTER join preserving both unmatched sides",
+)
+def full_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_sup"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    j = s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("s_nationkey"), F.col("c_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_sup"), F.lit(0)).alias("n_suppliers"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
+    )
