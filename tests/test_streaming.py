@@ -174,3 +174,56 @@ def test_stateful_running_stats(spark, tmp_path):
     for uid, t in truth.items():
         assert final[uid].n_events == t.n
         assert abs(final[uid].total_value - t.tot) < 1e-9
+
+
+def test_staging_latest_resolves_cross_run_supersedence(spark, tmp_path):
+    """Re-ingesting a corrected file on a later date supersedes the
+    earlier ingest for downstream readers."""
+    import json
+
+    from soccer_data_pipeline_spark.sources.lookup import leagues_from_pairs
+    from soccer_data_pipeline_spark.sources.staging_reader import read_staging_latest
+    from soccer_data_pipeline_spark.streaming import run_incremental_etl
+    from .fixtures_soccer import FLAT_DOC, LEAGUES
+
+    raw = tmp_path / "raw" / "2015-16"
+    raw.mkdir(parents=True)
+    staging = str(tmp_path / "staging")
+    leagues = leagues_from_pairs(spark, LEAGUES)
+
+    with open(raw / "en.1.json", "w") as fh:
+        json.dump(FLAT_DOC, fh)
+    run_incremental_etl(spark, str(tmp_path / "raw"), leagues, staging, str(tmp_path / "c1"))
+
+    # corrected re-ingest: same identity keys, different score
+    fixed = json.loads(json.dumps(FLAT_DOC))
+    fixed["matches"][0]["score"]["ft"] = [5, 5]
+    with open(raw / "en.1.json", "w") as fh:
+        json.dump(fixed, fh)
+    # fresh checkpoint = "new upload event" (file content changed in place)
+    run_incremental_etl(spark, str(tmp_path / "raw"), leagues, staging, str(tmp_path / "c2"))
+
+    raw_read = spark.read.parquet(staging)
+    assert raw_read.count() == 10  # both ingests present in the zone
+    latest = read_staging_latest(spark, staging)
+    assert latest.count() == 5  # one row per match after resolution
+    m1 = latest.where("round = 'Matchday 1' AND team_home = 'Arsenal'").first()
+    assert (m1.ft_home, m1.ft_away) == (5, 5)  # corrected ingest won
+
+
+def test_observation_metrics(spark):
+    """Batch metrics via Observation: counts captured without a second
+    pass (S11, reference README.md:112)."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    obs = Observation("etl")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("big_qty"),
+    )
+    n = observed.count()
+    assert obs.get["rows"] == n
+    assert 0 < obs.get["big_qty"] < n
