@@ -144,11 +144,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique_tokens"),
         (n_unique.cast("double") / F.nullif(n_tokens, F.lit(0))).alias("ttr"),
-        n_stop.alias("n_stopwords"),
+        n_stop.cast("long").alias("n_stopwords"),
     )
 
 
@@ -427,7 +427,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     return (
-        sims.withColumn("rn", F.row_number().over(w))
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 5)
         .select("query_id", "candidate_id", "cosine", "rn")
     )
@@ -679,7 +679,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
+        F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("content_hash"),
         F.when(F.length(payload) > 500, "large").otherwise("small").alias(
             "size_class"

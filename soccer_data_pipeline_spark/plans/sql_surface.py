@@ -40,10 +40,10 @@ WITH cust_orders AS (
 ),
 ranked AS (
   SELECT c_mktsegment, c_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (
+         CAST(ROW_NUMBER() OVER (
            PARTITION BY c_mktsegment
            ORDER BY o_totalprice DESC, o_orderkey
-         ) AS rn
+         ) AS BIGINT) AS rn
   FROM cust_orders
 )
 SELECT c_mktsegment, c_custkey, o_orderkey, o_totalprice, rn

@@ -130,7 +130,9 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(revenue_units) / F.lit(10000.0)).alias("revenue"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return rev.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= 3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +259,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
     )
 
@@ -548,7 +550,7 @@ def scalar_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([a-z]+)$", 1).alias("last_token"),
         F.regexp_replace("text", r"[0-9]+", "N").alias("digits_masked"),
         F.trim(F.upper(F.col("lang"))).alias("lang_uc"),
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.when(F.col("n_chars") > 500, "long")
         .when(F.col("n_chars") > 100, "medium")
         .otherwise("short")
@@ -908,9 +910,9 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return orders.where(F.col("o_orderkey") % 100 == 0).select(
         "o_orderkey",
-        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
         F.date_format(F.date_add(F.to_date(d), 30), "yyyy-MM-dd").alias("plus30d"),
         (F.dayofweek(d) - 1).alias("dow"),
@@ -952,9 +954,9 @@ def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.where(F.col("o_custkey") < 100).select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(wfull).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
@@ -1039,9 +1041,9 @@ def string_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(n).alias("name_rev"),
         F.replace(n, F.lit("#"), F.lit("-")).alias("name_dashed"),
         F.split_part(n, F.lit("#"), F.lit(2)).alias("name_num"),
-        F.levenshtein(n, F.lit("Supplier#000000001")).alias("edit_dist"),
+        F.levenshtein(n, F.lit("Supplier#000000001")).cast("long").alias("edit_dist"),
         F.substring(n, 1, 8).alias("name_prefix"),
-        F.length(n).alias("name_len"),
+        F.length(n).cast("long").alias("name_len"),
         F.concat(n, F.lit("/"), F.col("s_nationkey").cast("string")).alias(
             "name_nation"
         ),
@@ -1068,7 +1070,7 @@ SELECT doc_id,
   arr[LEN(arr)] AS last_tok,
   LIST_SORT(LIST_DISTINCT(arr))[1] AS min_tok,
   CAST(LIST_CONTAINS(arr, 'the') AS BOOLEAN) AS has_the,
-  LIST_POSITION(arr, 'data') AS data_pos,
+  CAST(LIST_POSITION(arr, 'data') AS BIGINT) AS data_pos,
   ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(arr))[1:3], ',') AS top3_sorted
 FROM toks
 """,
@@ -1080,7 +1082,7 @@ def array_functions_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_dist = F.array_sort(F.array_distinct(arr))
     return docs.select(
         "doc_id",
-        F.size(arr).alias("n_tokens"),
+        F.size(arr).cast("long").alias("n_tokens"),
         F.element_at(arr, 1).alias("first_tok"),
         F.element_at(arr, -1).alias("last_tok"),
         F.element_at(sorted_dist, 1).alias("min_tok"),
@@ -1104,7 +1106,8 @@ FROM (
 def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
     arr = F.filter(F.split("text", " "), lambda x: x != "")
-    return docs.select("doc_id", F.posexplode(arr).alias("pos", "token"))
+    out = docs.select("doc_id", F.posexplode(arr).alias("pos", "token"))
+    return out.withColumn("pos", F.col("pos").cast("long"))
 
 
 # ---------------------------------------------------------------------------
