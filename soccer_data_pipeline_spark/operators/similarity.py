@@ -131,3 +131,88 @@ def ann_lsh_cosine(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) ANN: k-means coarse quantizer → candidates
+    are searched only in the query's ``n_probe`` nearest cells.
+
+    The scale path the FAISS-style IVF index uses, expressed on Spark:
+
+    1. fit KMeans on (a sample of) the candidate vectors — the only
+       iterative step, run once per corpus build, not per query;
+    2. assign every candidate to its nearest centroid (one narrow
+       pass, broadcast centroids);
+    3. per query, rank centroids and probe the top ``n_probe`` cells
+       via an equi-join on cell id — work scales with corpus/n_centroids
+       × n_probe, never |Q|·|C|.
+
+    Returns (results_df, model) so the quantizer can be reused.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("features", array_to_vector("cv"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20)
+    model = km.fit(cand.select("features"))
+    assigned = model.transform(cand).select(
+        "candidate_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # rank cells per query by distance to centroid, keep top n_probe
+    cell_arrays = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                _dot(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.array_repeat(F.lit(1.0), len(centroids[0])),
+                ).alias("dist2"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = (
+        q.withColumn(
+            "probe",
+            F.slice(
+                F.array_sort(
+                    cell_arrays, lambda a, b: F.when(a.dist2 < b.dist2, -1).when(a.dist2 > b.dist2, 1).otherwise(0)
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .withColumn("probe_cell", F.explode(F.col("probe.cell")))
+        .select("query_id", "qv", F.col("probe_cell").alias("cell"))
+    )
+    sims = probed.join(assigned, "cell").select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    out = (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+    return out, model

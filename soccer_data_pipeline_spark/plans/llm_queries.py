@@ -888,3 +888,22 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
         )
     )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,
+    doc="[beyond-ref] IVF ANN: k-means coarse quantizer + n_probe cell search (SURVEY §2.10); approximate → rows-only check",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, _model = ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )
+    return out

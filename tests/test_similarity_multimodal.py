@@ -123,3 +123,43 @@ def test_frame_sampling(media):
     frames = sample_frames(media, every_ms=1000).collect()
     # 3500ms video at 1Hz → ts 0,1000,2000,3000
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_recall_on_planted_neighbors(spark):
+    """IVF with a coarse quantizer must recover planted near-dups:
+    noisy copies land in the same k-means cell as their base vector."""
+    import math
+    import random
+
+    from soccer_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(13)
+    dim = 32
+    rows, qrows, vid = [], [], 1000
+    for b in range(12):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        base = [x / nrm for x in base]
+        qrows.append((b, [float(x) for x in base]))
+        for _ in range(3):
+            rows.append((vid, [float(x + rng.gauss(0, 0.02)) for x in base]))
+            vid += 1
+        for _ in range(8):
+            rows.append((vid, [float(rng.gauss(0, 1)) for _ in range(dim)]))
+            vid += 1
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    q = spark.createDataFrame(qrows, schema)
+    c = spark.createDataFrame(rows, schema)
+    exact = brute_force_topk(q, c, k=3)
+    approx, model = ivf_topk(q, c, k=3, n_centroids=6, n_probe=2)
+    e = {(r.query_id, r.candidate_id) for r in exact.collect()}
+    a = {(r.query_id, r.candidate_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"IVF recall too low: {recall}"
