@@ -145,3 +145,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = False
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out with updated metadata.
+
+    The resample itself is the stubbed codec step (swap the fake for
+    PIL's ``Image.resize`` + re-encode); the engine-side contract —
+    Arrow batching, output schema with refreshed width/height metadata,
+    null passthrough — is real and tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake_decode:
+                # deterministic fake: payload truncated/padded to w*h/64
+                # bytes, standing in for the re-encoded image
+                target = max(1, width * height // 64)
+                out_payload = [
+                    None if c is None else (bytes(c)[:target]).ljust(target, b"\0")
+                    for c in pdf["content"]
+                ]
+            else:
+                raise NotImplementedError(
+                    "image codec not available; use fake_decode=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_payload,
+                    "width": [None if c is None else width for c in pdf["content"]],
+                    "height": [None if c is None else height for c in pdf["content"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return media.mapInPandas(run, schema)

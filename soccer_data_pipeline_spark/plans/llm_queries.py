@@ -907,3 +907,34 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting: word pieces + punctuation as separate
+# tokens (simplified GPT-2 pre-tokenizer shape), all JVM/regex-engine
+# side. Both engines use RE2-compatible syntax here.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+SELECT doc_id,
+  LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish_tokens,
+  LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+')) AS n_word_tokens,
+  LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS n_number_tokens,
+  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_chars_div4
+FROM documents
+""",
+    doc="[beyond-ref] token counting: whitespace-free BPE-ish regex pre-tokenizer + chars/4 estimator (SURVEY §2.10)",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rx = lambda p: F.size(F.regexp_extract_all("text", F.lit(p), 0)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        rx(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]").alias("n_bpeish_tokens"),
+        rx(r"[a-zA-Z]+").alias("n_word_tokens"),
+        rx(r"[0-9]+").alias("n_number_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_chars_div4"),
+    )

@@ -163,3 +163,12 @@ def test_ivf_recall_on_planted_neighbors(spark):
     a = {(r.query_id, r.candidate_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.85, f"IVF recall too low: {recall}"
+
+
+def test_resize_plumbing(media):
+    from soccer_data_pipeline_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, 64, 64, fake_decode=True).collect()}
+    assert len(out[1].content) == 64 * 64 // 64
+    assert (out[1].width, out[1].height) == (64, 64)
+    assert out[3].content is None and out[3].width is None
