@@ -938,3 +938,54 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         rx(r"[0-9]+").alias("n_number_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_chars_div4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (Rabin-Karp / winnowing-lite): polynomial hash
+# of every 8-char window, document sketch = the k smallest window hashes.
+# Pure integer arithmetic on code points — exact in both engines
+# (max value ≈ 255 * sum(31^i, i<8) < 2^43, no overflow, no float).
+# ---------------------------------------------------------------------------
+
+_RH_WIN = 8
+# ascii() is INT; widen before multiplying (255 * 31^5 overflows int32
+# under ANSI in both engines)
+_RH_POLY_SPARK = " + ".join(
+    f"CAST(ascii(substring(text, i + {j}, 1)) AS BIGINT) * {31**j}"
+    for j in range(_RH_WIN)
+)
+_RH_POLY_DUCK = " + ".join(
+    f"CAST(ASCII(SUBSTRING(text, i + {j}, 1)) AS BIGINT) * {31**j}"
+    for j in range(_RH_WIN)
+)
+
+
+@register(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+WITH wins AS (
+  SELECT doc_id, CAST({_RH_POLY_DUCK} AS BIGINT) AS wh
+  FROM documents, UNNEST(GENERATE_SERIES(1, LENGTH(text) - {_RH_WIN - 1})) AS t(i)
+  WHERE LENGTH(text) >= {_RH_WIN}
+)
+SELECT doc_id,
+       MIN(wh) AS min_hash,
+       COUNT(DISTINCT wh) AS n_distinct_windows,
+       CAST(SUM(CASE WHEN wh % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM wins GROUP BY doc_id
+""",
+    doc="[beyond-ref] rolling-hash (Rabin-Karp) fingerprint: polynomial char-window hashes, winnowing-style selection (SURVEY §2.10)",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _RH_WIN
+    )
+    win_hash = F.expr(f"transform(sequence(1, length(text) - {_RH_WIN - 1}), i -> CAST({_RH_POLY_SPARK} AS BIGINT))")
+    wins = docs.select("doc_id", F.explode(win_hash).alias("wh"))
+    return wins.groupBy("doc_id").agg(
+        F.min("wh").alias("min_hash"),
+        F.countDistinct("wh").alias("n_distinct_windows"),
+        F.sum(F.when(F.col("wh") % 64 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+    )
