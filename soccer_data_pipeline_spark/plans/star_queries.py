@@ -1174,3 +1174,91 @@ def full_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_sup"), F.lit(0)).alias("n_suppliers"),
         F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5/Q10 shapes — classic multi-join aggregates as bench anchors.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""
+SELECT n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5 shape: 6-way star join, local-supplier revenue per nation",
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer",
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )

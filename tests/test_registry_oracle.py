@@ -29,3 +29,17 @@ def test_query_matches_oracle(spark, name):
         return
     ok, msg = compare(df, spec.oracle, SF_DIR)
     assert ok, f"{name}: {msg}"
+
+
+def test_queries_not_trivially_empty(spark):
+    """Guard against silently-empty differentials: every query must
+    produce rows at sf0.001/0.01 (an empty-vs-empty oracle match
+    verifies nothing)."""
+    import os
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    empties = [
+        name for name, spec in sorted(QUERIES.items())
+        if spec.fn(spark, sf).limit(1).count() == 0
+    ]
+    assert not empties, f"queries with empty results: {empties}"
