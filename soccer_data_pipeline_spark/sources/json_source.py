@@ -57,17 +57,38 @@ def read_matches_raw(spark: SparkSession, path: str) -> DataFrame:
 
 
 def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """P5/P7 routing: (valid docs, quarantined docs).
+    """P5/P7 routing: (valid docs, quarantined docs with reasons).
 
     Quarantine = malformed JSON (corrupt-record populated) or missing
     the required fields — no ``name``, or neither ``matches`` nor
     ``rounds`` (reference main.yml:132-134 required-field check).
+    The quarantine side carries a ``quarantine_reason`` column — the
+    engine form of the workflow's warn messages (main.yml:127-134).
     Implemented as complementary filters on one scan; Catalyst reuses
     the cached plan, no second read.
     """
-    bad = (
-        F.col("_corrupt_record").isNotNull()
-        | F.col("name").isNull()
-        | (F.col("matches").isNull() & F.col("rounds").isNull())
+    malformed = F.col("_corrupt_record").isNotNull()
+    no_name = F.col("name").isNull()
+    no_matches = F.col("matches").isNull() & F.col("rounds").isNull()
+    bad = malformed | no_name | no_matches
+    reason = (
+        F.when(malformed, "malformed_json")
+        .when(no_name, "missing_name")
+        .when(no_matches, "missing_matches_and_rounds")
     )
-    return raw.where(~bad), raw.where(bad)
+    return raw.where(~bad), raw.where(bad).withColumn("quarantine_reason", reason)
+
+
+def write_quarantine(quarantine: DataFrame, path: str, mode: str = "append") -> None:
+    """Dead-letter sink: quarantined documents land as parquet with
+    their reason + path metadata so reprocessing is a filter away."""
+    (
+        quarantine.select(
+            "file_path",
+            "file_name",
+            "quarantine_reason",
+            F.col("_corrupt_record").alias("corrupt_record"),
+        )
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -102,3 +102,23 @@ def test_idempotence_rerun(spark, tmp_path_factory):
 
     twice = dedup_matches(once.unionByName(once))
     assert twice.count() == once.count()
+
+
+def test_quarantine_reasons_and_deadletter(spark, etl, tmp_path):
+    out, _, _ = etl
+    reasons = {r.file_name: r.quarantine_reason for r in out.quarantine.collect()}
+    assert reasons["fr.1.json"] == "malformed_json"
+    assert reasons["es.1.json"] == "missing_name"
+
+    from soccer_data_pipeline_spark.sources.json_source import write_quarantine
+
+    dl = str(tmp_path / "deadletter")
+    write_quarantine(out.quarantine, dl)
+    back = spark.read.parquet(dl)
+    assert back.count() == 2
+    assert set(back.columns) == {
+        "file_path",
+        "file_name",
+        "quarantine_reason",
+        "corrupt_record",
+    }
