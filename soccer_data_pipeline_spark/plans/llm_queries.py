@@ -82,7 +82,7 @@ sessions AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
        EPOCH_US(MIN(ts)) AS session_start_us,
        EPOCH_US(MAX(ts)) AS session_end_us,
        SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS session_value

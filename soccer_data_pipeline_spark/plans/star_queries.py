@@ -599,7 +599,7 @@ def scalar_functions_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY event_type
