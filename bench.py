@@ -32,7 +32,7 @@ HEADLINE = [
     "text_stats",
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
-    "similarity_ann_lsh",
+    "similarity_ann_recall",
     "asof_join_latest_order",
     "sql_tpch_q3_shape",
 ]

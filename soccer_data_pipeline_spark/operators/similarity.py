@@ -92,14 +92,19 @@ def ann_lsh_cosine(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: bool = True,
+    multiprobe: bool | int = True,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket equi-join, cosine within bucket.
 
-    ``multiprobe`` also probes the n_planes buckets at Hamming
-    distance 1 from the query's code, trading n_planes× more (still
-    bucket-local) work for recall — the standard LSH multiprobe trick.
+    ``multiprobe`` is a Hamming radius: also probe every bucket whose
+    code differs from the query's in at most that many bits (the
+    standard LSH multiprobe trick — more, still bucket-local, work for
+    recall). ``True`` means radius 1, ``False``/0 exact-bucket only.
+    Probe count is sum of C(n_planes, r) for r <= radius, so keep the
+    radius small; recall on near-uniform corpora tracks the probed
+    fraction of bucket space (measured in tests/test_ann_recall.py).
     """
+    radius = 1 if multiprobe is True else int(multiprobe)
     planes = _hyperplanes(dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -110,13 +115,17 @@ def ann_lsh_cosine(
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
 
-    if multiprobe:
+    if radius > 0:
+        from itertools import combinations
+
+        masks = [
+            sum(1 << b for b in bits)
+            for r in range(1, radius + 1)
+            for bits in combinations(range(n_planes), r)
+        ]
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(2**i)).cast("long")
-                for i in range(n_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks],
         )
         q = q.withColumn("bucket", F.explode(probes))
 

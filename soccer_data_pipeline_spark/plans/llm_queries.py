@@ -631,28 +631,101 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN similarity (LSH-bucketed) — approximate by construction, so no SQL
-# oracle (driver records rows-only); exactness is covered by
-# embedding_topk_cosine and tests/test_similarity_multimodal.py's
-# planted-neighbor recall check.
+# ANN similarity, driver-verifiable (VERDICT r1 #2): instead of a rows-only
+# ANN query, run ANN *and* the exact brute-force baseline in one plan, join
+# them, and emit recall aggregates. The oracle recomputes the exact side
+# (SQL-expressible) and asserts recall_ok literally TRUE — if the seeded ANN
+# ever drops below the floor, Spark emits FALSE and the driver's hash check
+# fails. Thresholds are set from measured recall on this corpus (near-
+# uniform random 64-d vectors — the ANN worst case, where recall tracks the
+# probed fraction of bucket space): LSH p=6/radius=3 gives macro recall
+# 0.80 @sf0.001 and 0.92 @sf0.01, so the macro floor is 0.75.
 # ---------------------------------------------------------------------------
+
+_EXACT_TOPK_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, c.v) /
+               (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) AS cosine
+  FROM q CROSS JOIN c
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+)
+"""
+
+
+def _ann_recall_frame(spark, sf_dir, approx_fn):
+    """exact top-k LEFT JOIN approx top-k on (query_id, candidate_id);
+    per-(query,candidate) hit flags feed the recall aggregates."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    exact = brute_force_topk(q, c, k=5).select("query_id", "candidate_id")
+    approx = (
+        approx_fn(q, c)
+        .select("query_id", "candidate_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(approx, ["query_id", "candidate_id"], "left").withColumn(
+        "hit", F.coalesce(F.col("hit"), F.lit(0))
+    )
 
 
 @register(
-    "similarity_ann_lsh",
-    oracle=None,
-    doc="[beyond-ref] ANN top-k via random-hyperplane LSH + multiprobe (SURVEY §2.10); approximate → rows-only check",
+    "similarity_ann_recall",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM topk
+""",
+    doc="[beyond-ref] LSH-ANN recall gate vs exact top-k: macro recall >= 0.75 asserted in-plan (SURVEY §2.10)",
 )
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_lsh_cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_cosine(
-        emb.where(F.col("vec_id") < 10),
-        emb.where(F.col("vec_id") >= 10),
-        k=5,
-        n_planes=8,
-        dim=64,
+    j = _ann_recall_frame(
+        spark,
+        sf_dir,
+        lambda q, c: ann_lsh_cosine(q, c, k=5, n_planes=6, dim=64, multiprobe=3),
+    )
+    return j.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.75 * F.count("*")).alias("recall_ok"),
+    )
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+FROM topk
+GROUP BY query_id
+""",
+    doc="[beyond-ref] IVF-ANN recall gate vs exact top-k: per-query recall >= 0.8 asserted in-plan (SURVEY §2.10)",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    j = _ann_recall_frame(
+        spark,
+        sf_dir,
+        lambda q, c: ivf_topk(q, c, k=5, n_centroids=16, n_probe=10)[0],
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
     )
 
 
@@ -888,25 +961,6 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
         )
     )
-
-
-@register(
-    "similarity_ivf_topk",
-    oracle=None,
-    doc="[beyond-ref] IVF ANN: k-means coarse quantizer + n_probe cell search (SURVEY §2.10); approximate → rows-only check",
-)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out, _model = ivf_topk(
-        emb.where(F.col("vec_id") < 10),
-        emb.where(F.col("vec_id") >= 10),
-        k=5,
-        n_centroids=16,
-        n_probe=4,
-    )
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,44 @@
+"""ANN recall gates: the registry queries assert recall in-plan
+(recall_ok column); here we check the flags are actually TRUE at
+sf0.001 so a tuning regression fails with a readable message instead
+of an oracle hash diff, and that LSH multiprobe radius is monotone
+(probing more buckets never loses candidates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from soccer_data_pipeline_spark.plans import QUERIES
+from soccer_data_pipeline_spark.sources.parquet_source import load_table
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_lsh_macro_recall_gate(spark):
+    row = QUERIES["similarity_ann_recall"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_queries == 10
+    assert row.n_exact == 50
+    assert row.recall_ok, "LSH macro recall fell below 0.75 — retune n_planes/multiprobe"
+
+
+def test_ivf_per_query_recall_gate(spark):
+    rows = QUERIES["similarity_ivf_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not r.recall_ok]
+    assert not bad, f"IVF per-query recall < 0.8 for queries {bad} — retune n_probe"
+
+
+def test_multiprobe_radius_monotone(spark):
+    from soccer_data_pipeline_spark.operators.similarity import ann_lsh_cosine
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    c = emb.where(F.col("vec_id") >= 10)
+    ids = {}
+    for radius in (0, 1, 2):
+        df = ann_lsh_cosine(q, c, k=1000, n_planes=6, dim=64, multiprobe=radius)
+        ids[radius] = {(r.query_id, r.candidate_id) for r in df.collect()}
+    assert ids[0] <= ids[1] <= ids[2]
