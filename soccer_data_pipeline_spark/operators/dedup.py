@@ -83,14 +83,25 @@ def minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band.
 
     Bands are unpivoted map-side (stack), hashed, and self-joined on
     (band_id, band_key): the join key space is the bucket, so skew is
-    bounded by bucket size — at 100 TB add a bucket-size cap / salt on
-    pathological buckets (boilerplate text), cf. AQE skew split.
+    bounded by bucket size.
+
+    ``max_bucket_size`` is the 100 TB guard: a bucket of size s emits
+    s² pairs, so one boilerplate bucket with 10⁶ docs would emit 10¹²
+    pairs in a single join key. Buckets larger than the cap are dropped
+    entirely BEFORE the self-join (an over-capacity bucket carries no
+    near-dup *signal* — it is boilerplate by construction — and its
+    members keep their chance to pair through their other bands). The
+    hot-bucket list is aggregated first and applied as a broadcast
+    anti-join, so the cap itself adds no extra shuffle of the big side.
     """
     k = bands * rows_per_band
     stack_args = []
@@ -101,6 +112,14 @@ def lsh_candidate_pairs(
         "doc_id",
         f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_key)",
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -158,13 +177,79 @@ def minhash_near_dup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidates → exact verify."""
+    candidates → exact verify. ``max_bucket_size`` caps LSH bucket
+    fan-out (see lsh_candidate_pairs)."""
     sh = shingles(docs, n=n)
     sigs = minhash_signatures(sh, k=k)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=k // bands, max_bucket_size=max_bucket_size
+    )
     return verify_jaccard(cands, sh, threshold=threshold)
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    n: int = 3,
+    block_col: str = "lang",
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard near-dup, blocked by ``block_col``.
+
+    ``max_df`` drops shingles whose document frequency (within a block)
+    exceeds the cap BEFORE the pair join — a boilerplate trigram in 10⁶
+    docs would emit ~10¹² pairs on one join key while carrying no
+    near-dup signal. Jaccard is then over the DF-filtered shingle space
+    (numerator and denominator), the standard web-scale formulation.
+    The hot-shingle list is tiny by construction → broadcast anti-join.
+    """
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    with_toks = docs.select("doc_id", block_col, toks.alias("toks")).where(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("toks") - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
+    )
+    shingled = with_toks.select(
+        "doc_id", block_col, F.explode(F.transform(idx, gram)).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            shingled.groupBy(block_col, "shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select(block_col, "shingle")
+        )
+        shingled = shingled.join(F.broadcast(hot), [block_col, "shingle"], "left_anti")
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

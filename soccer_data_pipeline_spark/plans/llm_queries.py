@@ -280,21 +280,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup: token-level 3-gram shingles, blocked by lang,
 # pair similarity via shingle co-count — a shuffle-local band join, not a
 # cross join; the same skeleton the MinHash-LSH variant uses at scale.
+# Shingles with document frequency > _MAX_SHINGLE_DF are dropped BEFORE the
+# pair join (both engines): a boilerplate trigram in 10⁶ docs would emit
+# ~10¹² pairs on one join key while carrying no near-dup signal. Jaccard is
+# then computed over the DF-filtered shingle space (numerator AND
+# denominator), the standard web-scale formulation.
 # ---------------------------------------------------------------------------
+
+_MAX_SHINGLE_DF = 100
 
 
 @register(
     "ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
   FROM documents
 ),
-shingles AS (
+all_shingles AS (
   SELECT DISTINCT doc_id, lang,
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
   FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS t(i)
   WHERE LEN(toks) >= 3
+),
+shingles AS (
+  SELECT s.* FROM all_shingles s
+  JOIN (SELECT lang, shingle FROM all_shingles
+        GROUP BY lang, shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}) d
+    ON s.lang = d.lang AND s.shingle = d.shingle
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
 pairs AS (
@@ -313,58 +326,11 @@ WHERE CAST(p.n_common AS DOUBLE) / (ca.n_shingles + cb.n_shingles - p.n_common) 
     doc="[beyond-ref] n-gram Jaccard near-dup pairs, lang-blocked shingle join (SURVEY §2.10)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    with_toks = docs.select("doc_id", "lang", toks.alias("toks")).where(
-        F.size("toks") >= 3
-    )
-    # 3-gram shingles via index zip — stays JVM-side (no UDF).
-    idx = F.sequence(F.lit(0), F.size("toks") - 3)
-    shingled = with_toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                    F.element_at(F.col("toks"), i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
-    return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    return ngram_jaccard(
+        docs, n=3, block_col="lang", threshold=0.2, max_df=_MAX_SHINGLE_DF
     )
 
 
@@ -494,6 +460,10 @@ _BAND_SELECTS = "\n  UNION ALL\n  ".join(
     for b in range(_BANDS)
 )
 
+# Hot-bucket cap (mirrors lsh_candidate_pairs max_bucket_size): buckets
+# with more than _MAX_BUCKET docs are dropped before the pair join.
+_MAX_BUCKET = 50
+
 _MINHASH_PAIRS_ORACLE = f"""
 WITH {_SHINGLE_CTE},
 sig AS (
@@ -503,9 +473,15 @@ sig AS (
 banded AS (
   {_BAND_SELECTS}
 ),
+kept AS (
+  SELECT b.* FROM banded b
+  JOIN (SELECT band_id, band_key FROM banded
+        GROUP BY band_id, band_key HAVING COUNT(*) <= {_MAX_BUCKET}) s
+    ON b.band_id = s.band_id AND b.band_key = s.band_key
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -527,13 +503,15 @@ WHERE co.n_common / (ca.n_sh + cb.n_sh - co.n_common) >= 0.5
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=_MINHASH_PAIRS_ORACLE,
-    doc="[beyond-ref] MinHash-LSH near-dup: band bucket join -> exact Jaccard verify (SURVEY §2.10)",
+    doc="[beyond-ref] MinHash-LSH near-dup: band bucket join (hot-bucket capped) -> exact Jaccard verify (SURVEY §2.10)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, n=3, k=_K, bands=_BANDS, threshold=0.5)
+    return minhash_near_dup_pairs(
+        docs, n=3, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
+    )
 
 
 _SIMHASH_BITS = 16
