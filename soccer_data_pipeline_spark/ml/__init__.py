@@ -5,6 +5,7 @@ try:  # MLlib is optional — engine core never depends on it
         evaluate_topk,
         baseline_points_leader,
         baseline_previous_champion,
+        walk_forward_evaluate,
     )
 
     __all__ = [
@@ -13,6 +14,7 @@ try:  # MLlib is optional — engine core never depends on it
         "evaluate_topk",
         "baseline_points_leader",
         "baseline_previous_champion",
+        "walk_forward_evaluate",
     ]
 except ImportError:  # pragma: no cover
     __all__ = []

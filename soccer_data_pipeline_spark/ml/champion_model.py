@@ -96,8 +96,45 @@ def baseline_points_leader(features_df: DataFrame) -> DataFrame:
 
 
 def baseline_previous_champion(features_df: DataFrame) -> DataFrame:
-    """Predict last season's champion wins again (README.md:143)."""
+    """Predict last season's champion wins again (README.md:143).
+
+    Ranks by the LAGGED is_champion flag over the team's season-ordered
+    history (the actual previous champion — not the previous points
+    leader, which can differ under goal-difference tie-breaks), with
+    prev_points as the fallback ordering for teams that have no
+    prior-season label (e.g. promoted teams / first recorded season).
+    """
+    prepped = _prep(features_df)
+    w_hist = Window.partitionBy("league", "team").orderBy("season_key")
+    prev_champ = F.lag(F.col("is_champion").cast("int")).over(w_hist)
+    scored = prepped.withColumn("prev_is_champion", F.coalesce(prev_champ, F.lit(0)))
     w = Window.partitionBy("league", "season").orderBy(
-        F.desc("prev_points"), F.asc("team")
+        F.desc("prev_is_champion"), F.desc("prev_points"), F.asc("team")
     )
-    return _prep(features_df).withColumn("pred_rank", F.row_number().over(w))
+    return scored.withColumn("pred_rank", F.row_number().over(w))
+
+
+def walk_forward_evaluate(
+    features_df: DataFrame, min_train_seasons: int = 2, k: int = 3
+) -> list[dict[str, float]]:
+    """Rolling-origin (walk-forward) CV (reference README.md:141-142):
+    for each season T with ≥ min_train_seasons earlier seasons, fit on
+    every season < T and evaluate on T. Returns one metrics dict per
+    fold (test_season, top1/topk accuracy, n_groups).
+
+    The driver-side loop is over SEASONS (a handful), not data — each
+    fold's fit/score runs distributed; only the per-fold scalar metrics
+    come back to the driver.
+    """
+    prepped = _prep(features_df)
+    seasons = sorted(
+        r[0] for r in prepped.select("season_key").distinct().collect()
+    )
+    folds: list[dict[str, float]] = []
+    for t in seasons[min_train_seasons:]:
+        model, asm = train_champion_model(prepped.where(F.col("season_key") < t))
+        preds = predict_champions(model, asm, prepped.where(F.col("season_key") == t))
+        metrics = evaluate_topk(preds, k=k)
+        metrics["test_season"] = t
+        folds.append(metrics)
+    return folds

@@ -105,12 +105,18 @@ def range_join_bucketed(
     ).withColumn("_lk", F.col(left_key))
     r = right.withColumn("_bucket", rb).withColumn("_rk", F.col(right_key))
     joined = l.join(
-        r, (F.col("_lk") == F.col("_rk")) & (l._bucket == r._bucket)
+        r, (F.col("_lk") == F.col("_rk")) & (l["_bucket"] == r["_bucket"])
     )
+    # Resolve the time columns through the side references — with bare
+    # F.col the filter is ambiguous whenever both sides name their time
+    # column the same (the common event-to-event case).
     gap_ok = (
-        F.abs(
-            F.unix_micros(F.col(left_time)) - F.unix_micros(F.col(right_time))
-        )
+        F.abs(F.unix_micros(l[left_time]) - F.unix_micros(r[right_time]))
         <= max_gap_seconds * 1_000_000
     )
-    return joined.where(gap_ok).drop("_bucket", "_lk", "_rk")
+    return (
+        joined.where(gap_ok)
+        .drop(l["_bucket"])
+        .drop(r["_bucket"])
+        .drop("_lk", "_rk")
+    )

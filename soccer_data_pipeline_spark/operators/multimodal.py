@@ -6,11 +6,16 @@ content column stays a byte payload; partition/prune on the metadata).
 
 The Spark-side plumbing here is REAL and tested: schemas, Arrow-batched
 ``mapInPandas`` signatures, batch shaping, partition sizing. The codec
-step itself (JPEG decode, resampling, frame extraction) is STUBBED —
-the image/audio libraries are not in this container — behind
-``NotImplementedError`` with a deterministic fake used by tests:
-swap ``_decode_image_impl`` for a Pillow/libav call and nothing else
-changes.
+tier is split by format:
+
+- **PNG: real.** Decode / resample / re-encode run on actual PNG bytes
+  via the pure-stdlib codec in ``functions/png_codec.py`` (zlib inflate
+  + spec filters) — no external library needed.
+- **JPEG / audio / video: stubbed.** Their codecs genuinely require
+  external libraries absent from this container; those payloads raise
+  ``NotImplementedError`` (or use the deterministic fake in tests).
+  Swap ``_decode_image_impl``'s fallback for a Pillow/libav call and
+  nothing else changes.
 """
 
 from __future__ import annotations
@@ -52,15 +57,19 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_impl(payload: bytes) -> list[float]:
-    """Codec stub. Replace with e.g. PIL.Image.open(BytesIO(payload)).
+    """Real decode for PNG (stdlib codec); other formats raise.
 
-    Raises NotImplementedError unless the deterministic fake is
-    enabled (tests) — the fake derives an 8-dim 'feature' from the
-    byte histogram so the distributed plumbing is fully exercisable.
+    Feature = 8-bucket normalized luminance histogram of the DECODED
+    pixels (same shape as the byte-level fake, so downstream schema
+    and tests are format-agnostic).
     """
+    from ..functions.png_codec import decode_png, is_png, luminance_histogram
+
+    if payload is not None and is_png(payload):
+        return luminance_histogram(*decode_png(payload))
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_decode=True or install a codec library"
+        "only PNG decodes without an external codec library; "
+        "use fake_decode=True or install Pillow for JPEG/other formats"
     )
 
 
@@ -152,11 +161,28 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out with updated metadata.
 
-    The resample itself is the stubbed codec step (swap the fake for
-    PIL's ``Image.resize`` + re-encode); the engine-side contract —
-    Arrow batching, output schema with refreshed width/height metadata,
-    null passthrough — is real and tested.
+    PNG payloads are REALLY resized (decode → nearest-neighbor resample
+    → re-encode, stdlib codec); other formats raise unless
+    ``fake_decode`` — the engine-side contract (Arrow batching, output
+    schema with refreshed width/height metadata, null passthrough) is
+    identical either way.
     """
+
+    def _resize_png(payload: bytes) -> bytes:
+        from ..functions.png_codec import (
+            decode_png,
+            encode_png,
+            is_png,
+            resize_nearest,
+        )
+
+        if not is_png(payload):
+            raise NotImplementedError(
+                "only PNG resizes without an external codec library; "
+                "use fake_decode=True or install Pillow"
+            )
+        w0, h0, ch, px = decode_png(payload)
+        return encode_png(width, height, ch, resize_nearest(w0, h0, ch, px, width, height))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,9 +195,10 @@ def resize_images(
                     for c in pdf["content"]
                 ]
             else:
-                raise NotImplementedError(
-                    "image codec not available; use fake_decode=True"
-                )
+                out_payload = [
+                    None if c is None else _resize_png(bytes(c))
+                    for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

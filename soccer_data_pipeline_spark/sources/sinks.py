@@ -65,9 +65,17 @@ def compact_parquet(
     Returns the post-compaction file count. Uses a size-based
     repartition — never ``coalesce(1)``, which would serialize the
     write through one task.
+
+    LOCAL-FS, OFFLINE-ONLY utility (glob/os.rename): run it on a
+    quiesced dataset. The swap renames the old dir ASIDE first, then
+    the new one into place — so the canonical path is never the only
+    copy mid-swap, and a failed swap leaves the original recoverable
+    at ``<path>__old``. (On object stores, compaction belongs to a
+    table format — Delta/Iceberg rewrite — not this utility.)
     """
     import glob
     import os
+    import shutil
 
     df = spark.read.parquet(path)
     total = sum(
@@ -80,10 +88,15 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    import shutil
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original dataset
+        raise
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 

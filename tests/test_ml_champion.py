@@ -93,3 +93,45 @@ def test_model_beats_or_matches_baseline(spark, feature_table):
     # points-leader baseline on top-3 (both should be near-perfect)
     assert metrics["top3_accuracy"] >= base["top3_accuracy"] - 0.34
     assert metrics["top3_accuracy"] >= 0.66
+
+
+def test_previous_champion_baseline_uses_lagged_label(spark):
+    """The baseline must rank the actual prior champion first, even when
+    the prior points leader is a different team (goal-diff tie-break
+    scenario the mislabeled version got wrong — ADVICE r1)."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.ml import baseline_previous_champion
+
+    rows = [
+        # 2018: B led on points but A was champion (tie-break).
+        {"league": "L", "season": "2018", "team": "A", "prev_points": 50,
+         "prev_goals_for": 60, "season_points_mid": 25.0, "is_champion": True},
+        {"league": "L", "season": "2018", "team": "B", "prev_points": 55,
+         "prev_goals_for": 58, "season_points_mid": 27.0, "is_champion": False},
+        # 2019: the baseline should predict A (the 2018 champion), not B.
+        {"league": "L", "season": "2019", "team": "A", "prev_points": 48,
+         "prev_goals_for": 61, "season_points_mid": 24.0, "is_champion": False},
+        {"league": "L", "season": "2019", "team": "B", "prev_points": 57,
+         "prev_goals_for": 59, "season_points_mid": 28.0, "is_champion": True},
+    ]
+    ranked = baseline_previous_champion(spark.createDataFrame(rows))
+    top_2019 = (
+        ranked.where((F.col("season") == "2019") & (F.col("pred_rank") == 1))
+        .select("team")
+        .first()[0]
+    )
+    assert top_2019 == "A"
+
+
+def test_walk_forward_cv_emits_per_fold_metrics(spark, feature_table):
+    from soccer_data_pipeline_spark.ml import walk_forward_evaluate
+
+    folds = walk_forward_evaluate(feature_table, min_train_seasons=6, k=3)
+    # seasons 2011..2019 in the fixture (2010 dropped by prev_points
+    # filter) -> folds for 2017, 2018, 2019
+    assert [f["test_season"] for f in folds] == [2017, 2018, 2019]
+    for f in folds:
+        assert f["n_groups"] == 3
+        assert 0.0 <= f["top1_accuracy"] <= 1.0
+        assert f["top3_accuracy"] >= f["top1_accuracy"]
