@@ -19,22 +19,43 @@ import sys
 import time
 
 HEADLINE = [
+    # star-schema / TPC-H shapes
     "pricing_summary",
     "flagship_top_customers",
     "broadcast_lookup_join",
     "topk_orders_per_customer",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "sql_tpch_q3_shape",
+    "sql_agg_orders",
+    "sql_cte_topn",
+    # window / temporal
     "rolling_avg_events",
     "cumulative_customer_spend",
+    "window_function_zoo",
     "sessionize_events",
     "event_tumbling_hourly",
+    "event_sliding_windows",
+    "pivot_event_counts",
+    "asof_join_latest_order",
+    "range_join_close_events",
+    # dedup / text / similarity (LLM-pipeline tier)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
-    "text_stats",
+    "dedup_simhash_groups",
     "ngram_jaccard_pairs",
+    "embedding_near_dup",
     "embedding_topk_cosine",
     "similarity_ann_recall",
-    "asof_join_latest_order",
-    "sql_tpch_q3_shape",
+    "similarity_ivf_recall",
+    "text_stats",
+    "quality_score",
+    "lang_id_heuristic",
+    "tfidf_tokens",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "doc_fingerprint",
+    "multimodal_binary_stats",
 ]
 
 

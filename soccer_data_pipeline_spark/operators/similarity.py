@@ -37,6 +37,18 @@ def cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(col):
+    """sqrt(v·v) — precomputed per ROW before pair joins so each pair
+    costs one dot product, not three. Bit-identical to evaluating the
+    norm inside the pair expression (same operands, same fold order),
+    so oracle-checked cosines are unchanged."""
+    return F.sqrt(_dot(col, col))
+
+
+def _pair_cosine(qv, cv, qn, cn):
+    return F.round(_dot(qv, cv) / (qn * cn), 6)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -47,14 +59,14 @@ def brute_force_topk(
     """Exact cosine top-k per query vector (the recall=1.0 baseline)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = candidates.select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     sims = c.join(F.broadcast(q), how="cross").select(
         "query_id",
         "candidate_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     return sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
@@ -106,14 +118,22 @@ def ann_lsh_cosine(
     """
     radius = 1 if multiprobe is True else int(multiprobe)
     planes = _hyperplanes(dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = candidates.select(
-        F.col(id_col).alias("candidate_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    )
+    c = (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    )
 
     if radius > 0:
         from itertools import combinations
@@ -132,7 +152,7 @@ def ann_lsh_cosine(
     sims = q.join(c, "bucket").select(
         "query_id",
         "candidate_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     return (
@@ -170,19 +190,23 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    cand = candidates.select(
-        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("features", array_to_vector("cv"))
+    cand = (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .withColumn("features", array_to_vector("cv"))
+    )
     km = KMeans(k=n_centroids, seed=seed, maxIter=20)
     model = km.fit(cand.select("features"))
     assigned = model.transform(cand).select(
-        "candidate_id", "cv", F.col("prediction").alias("cell")
+        "candidate_id", "cv", "cn", F.col("prediction").alias("cell")
     )
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     # rank cells per query by distance to centroid, keep top n_probe
     cell_arrays = F.array(
         *[
@@ -212,12 +236,12 @@ def ivf_topk(
             ),
         )
         .withColumn("probe_cell", F.explode(F.col("probe.cell")))
-        .select("query_id", "qv", F.col("probe_cell").alias("cell"))
+        .select("query_id", "qv", "qn", F.col("probe_cell").alias("cell"))
     )
     sims = probed.join(assigned, "cell").select(
         "query_id",
         "candidate_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
     out = (
