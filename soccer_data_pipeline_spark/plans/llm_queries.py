@@ -697,10 +697,13 @@ GROUP BY query_id
 def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
+    # n_probe=12: per-query recall 0.8+ at sf0.001/0.01 and 1.0 at sf0.1
+    # (sf0.1 soak caught n_probe=10 dipping to 0.6 on one query; probing
+    # more cells is monotone, so 12 dominates 10 at every sf).
     j = _ann_recall_frame(
         spark,
         sf_dir,
-        lambda q, c: ivf_topk(q, c, k=5, n_centroids=16, n_probe=10)[0],
+        lambda q, c: ivf_topk(q, c, k=5, n_centroids=16, n_probe=12)[0],
     )
     return j.groupBy("query_id").agg(
         F.count("*").alias("n_exact"),

@@ -52,6 +52,52 @@ def with_run_metrics(df: DataFrame, name: str = "etl") -> DataFrame:
     )
 
 
+class ScanBudgetExceeded(RuntimeError):
+    """Raised by enforce_scan_budget when a plan would scan more input
+    bytes than the configured budget allows."""
+
+
+def preflight_scan_bytes(df: DataFrame) -> int:
+    """Plan-time estimate of the bytes this query will READ: for every
+    file-scan leaf of the physical plan, the total size of its
+    post-partition-pruning file listing — the same pre-execution
+    accounting BigQuery's dry-run uses. A query filtering on a
+    partition column is charged only the partitions it keeps. No job
+    runs; only the driver-side file listing is materialized. Non-file
+    leaves (in-memory relations, ranges) fall back to Catalyst's
+    logical size estimate.
+    """
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        try:  # FileSourceScanLike: exact pruned listing
+            total += int(node.selectedPartitions().totalFileSize())
+        except Exception:
+            try:  # anything else: the linked logical node's estimate
+                total += int(node.logicalLink().get().stats().sizeInBytes())
+            except Exception:
+                pass
+    return total
+
+
+def enforce_scan_budget(df: DataFrame, max_bytes: int) -> DataFrame:
+    """Cost guard (reference README.md:167 ``--maximum_bytes_billed``):
+    refuse to run plans whose estimated input exceeds ``max_bytes``.
+
+    Purely plan-time — no job is started; pair with ``with_run_metrics``
+    (the ``observe`` half) for post-hoc actuals. Returns ``df`` unchanged
+    when within budget so it composes as a pass-through.
+    """
+    est = preflight_scan_bytes(df)
+    if est > max_bytes:
+        raise ScanBudgetExceeded(
+            f"plan would scan ~{est:,} bytes, over the {max_bytes:,}-byte budget; "
+            "narrow the scan (partition filter / column prune) or raise the budget"
+        )
+    return df
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -75,3 +75,34 @@ def test_bucketed_table_join_has_no_shuffle_on_bucket_key(spark, tmp_path):
     assert "Exchange" not in plan
     assert agg.count() == orders.select("o_custkey").distinct().count()
     spark.sql("DROP TABLE orders_bucketed_t")
+
+
+def test_scan_budget_preflight(spark, tmp_path):
+    """Cost-guard analog of the reference's --maximum_bytes_billed
+    (README.md:167): plan-time refusal, partition-pruning-aware."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.sources.sinks import (
+        ScanBudgetExceeded,
+        enforce_scan_budget,
+        preflight_scan_bytes,
+    )
+
+    path = str(tmp_path / "part_events")
+    rows = spark.range(2000).select(
+        "id", (F.col("id") % 4).alias("bucket"), F.sha1(F.col("id").cast("string")).alias("payload")
+    )
+    rows.write.partitionBy("bucket").parquet(path)
+
+    full = spark.read.parquet(path)
+    pruned = full.where(F.col("bucket") == 1)
+    est_full, est_pruned = preflight_scan_bytes(full), preflight_scan_bytes(pruned)
+    assert est_full > 0
+    # static partition pruning must be reflected in the preflight estimate
+    assert est_pruned < est_full
+
+    # within budget: pass-through; over budget: refuse BEFORE running
+    assert enforce_scan_budget(pruned, est_full) is pruned
+    with pytest.raises(ScanBudgetExceeded):
+        enforce_scan_budget(full, est_pruned)
