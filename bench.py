@@ -56,6 +56,13 @@ HEADLINE = [
     "rolling_hash_fingerprint",
     "doc_fingerprint",
     "multimodal_binary_stats",
+    # training-data assembly tier
+    "dedup_connected_clusters",
+    "train_val_test_split",
+    "stratified_sample_docs",
+    "benchmark_contamination",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 

@@ -464,8 +464,9 @@ _BAND_SELECTS = "\n  UNION ALL\n  ".join(
 # with more than _MAX_BUCKET docs are dropped before the pair join.
 _MAX_BUCKET = 50
 
-_MINHASH_PAIRS_ORACLE = f"""
-WITH {_SHINGLE_CTE},
+# CTE chain + final select split out so the connected-components oracle
+# can reuse the whole pair pipeline as its edge list.
+_MINHASH_PAIRS_CTES = f"""{_SHINGLE_CTE},
 sig AS (
   SELECT doc_id, {_SIG_SELECT}
   FROM shingles GROUP BY doc_id
@@ -489,7 +490,9 @@ co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+_MINHASH_PAIRS_SELECT = """
 SELECT c.doc_a, c.doc_b, co.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
        co.n_common / (ca.n_sh + cb.n_sh - co.n_common) AS jaccard
 FROM cand c
@@ -498,6 +501,8 @@ JOIN counts ca ON ca.doc_id = c.doc_a
 JOIN counts cb ON cb.doc_id = c.doc_b
 WHERE co.n_common / (ca.n_sh + cb.n_sh - co.n_common) >= 0.5
 """
+
+_MINHASH_PAIRS_ORACLE = f"WITH {_MINHASH_PAIRS_CTES}\n{_MINHASH_PAIRS_SELECT}"
 
 
 @register(
@@ -512,6 +517,54 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         docs, n=3, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the near-dup pair graph
+# (operators/graph.py — iterative min-label propagation on Spark). The
+# oracle computes TRUE components via a recursive transitive-closure CTE
+# over the same generated pair pipeline, so the iterative distributed
+# algorithm is differentially checked against an exact reference.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+),
+labels AS (
+  SELECT n.u AS doc_id, LEAST(n.u, MIN(r.v)) AS cluster_id
+  FROM (SELECT DISTINCT u FROM und) n JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+)
+SELECT l.doc_id, l.cluster_id, CAST(s.cs AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_keeper
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cs FROM labels GROUP BY cluster_id) s
+  ON s.cluster_id = l.cluster_id
+""",
+    doc="[beyond-ref] dedup cluster consolidation: connected components (min-label propagation) over MinHash-LSH near-dup pairs (SURVEY §2.10)",
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+    from ..operators.graph import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, n=3, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
+    )
+    return dup_clusters(pairs)
 
 
 _SIMHASH_BITS = 16
@@ -1037,4 +1090,176 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("wh") % 64 == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly tier [beyond-ref]: the operations between "clean
+# corpus" and "training run". All splits/samples are HASH-deterministic
+# (md5 of the stable doc key), never seeded-random: reproducible across
+# engines, reruns, and backfills — the production pattern (a doc's split
+# assignment must never change when the pipeline re-executes).
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH_SPARK = "conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 100"
+_SPLIT_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_HASH_DUCK} < 80 THEN 'train'
+            WHEN {_SPLIT_HASH_DUCK} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="[beyond-ref] deterministic 80/10/10 train/val/test split via md5 bucket of the doc key (SURVEY §2.10 training-data tier)",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_SPARK)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SPLIT_HASH_DUCK} < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+""",
+    doc="[beyond-ref] hash-deterministic stratified sampling: per-stratum keep rates (en 50%, rest 20%) via md5 bucket — the reproducible analog of sampleBy (SURVEY §2.10 training-data tier)",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_SPARK)
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return docs.where(bucket < rate).select("doc_id", "lang")
+
+
+# Benchmark contamination: which corpus docs share word 5-grams with the
+# held-out benchmark set (here: doc_id < 20 stands in for the benchmark).
+# The shingle equi-join is benchmark-sized on one side, so at 100 TB the
+# benchmark shingle set broadcasts and the corpus streams through.
+@register(
+    "benchmark_contamination",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS t(i)
+  WHERE LEN(toks) >= 5
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id >= 20
+GROUP BY s.doc_id
+""",
+    doc="[beyond-ref] benchmark contamination check: corpus docs sharing word 5-grams with the held-out benchmark set (SURVEY §2.10 training-data tier)",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard  # noqa: F401  (same shingle scheme)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    with_toks = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 5)
+    idx = F.sequence(F.lit(0), F.size("toks") - 5)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(5)]
+    )
+    sh = with_toks.select(
+        "doc_id", F.explode(F.transform(idx, gram)).alias("shingle")
+    ).distinct()
+    bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    return (
+        sh.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
+# Sequence packing (concat-then-chunk, GPT-pretraining style): docs are
+# concatenated in a stable order per lang and chunked into 512-token
+# context windows; pack_id = the window each doc STARTS in. One window
+# cumsum — no shuffle beyond the lang partition.
+_PACK_WINDOW = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {_PACK_WINDOW} AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % {_PACK_WINDOW} AS BIGINT) AS pack_offset
+FROM c
+""",
+    doc="[beyond-ref] sequence packing for LLM pretraining: concat-then-chunk into 512-token windows via one cumsum window (SURVEY §2.10 training-data tier)",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = docs.select("doc_id", "lang", n_tokens.cast("long").alias("n_tokens"))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / _PACK_WINDOW).cast("long").alias("pack_id"),
+        (start % _PACK_WINDOW).cast("long").alias("pack_offset"),
+    )
+
+
+# PII scrubbing: conservative patterns shared verbatim by both regex
+# engines (Java regex and RE2 agree on these constructs).
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_long_numbers,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_hash
+FROM documents
+""",
+    doc="[beyond-ref] PII scrubbing: email/long-number detection + redaction, verified via scrubbed-text hash (SURVEY §2.10 training-data tier)",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE))).cast("long").alias("n_long_numbers"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_hash"),
     )

@@ -1,0 +1,31 @@
+"""Connected components / dedup cluster consolidation (operators/graph.py)."""
+
+from __future__ import annotations
+
+from soccer_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_long_path_converges(spark):
+    """A 12-node path (diameter 11) — exercises multi-round propagation
+    well past a fixed-small-round assumption."""
+    cc = connected_components(_edges(spark, [(i, i + 1) for i in range(11)]))
+    rows = {r.node: r.cluster_id for r in cc.collect()}
+    assert set(rows) == set(range(12))
+    assert set(rows.values()) == {0}
+
+
+def test_disjoint_cliques_and_keeper(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    out = {r.doc_id: r for r in dup_clusters(_edges(spark, pairs)).collect()}
+    assert {d: r.cluster_id for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20
+    }
+    assert out[1].cluster_size == 3 and out[10].cluster_size == 2 and out[23].cluster_size == 4
+    assert [d for d, r in sorted(out.items()) if r.is_keeper] == [1, 10, 20]
