@@ -63,6 +63,7 @@ HEADLINE = [
     "benchmark_contamination",
     "pack_sequences",
     "pii_scrub",
+    "approx_distinct_gate",
 ]
 
 

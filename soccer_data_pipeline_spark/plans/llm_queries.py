@@ -1263,3 +1263,34 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE))).cast("long").alias("n_long_numbers"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch gate [beyond-ref]: approx_count_distinct (HyperLogLog++) with its
+# error bound ASSERTED IN-PLAN against the exact count — the recall-gate
+# pattern applied to sketches. The oracle recomputes the exact side and
+# expects within_bound TRUE; a sketch drifting past 5% relative error
+# fails the driver's hash check. At 100 TB the HLL path is the one you
+# run (no distinct shuffle of the raw column); this query keeps it honest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_gate",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+    doc="[beyond-ref] HyperLogLog approx-distinct vs exact, 5% relative-error bound asserted in-plan (SURVEY §2.10 sketch tier)",
+)
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_approx"),
+    )
+    err = F.abs(F.col("_n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return agg.select("event_type", "n_exact", (err <= 0.05).alias("within_bound"))
