@@ -178,15 +178,27 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    reuse_candidates: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact verify. ``max_bucket_size`` caps LSH bucket
-    fan-out (see lsh_candidate_pairs)."""
+    fan-out (see lsh_candidate_pairs).
+
+    ``reuse_candidates`` caches the candidate-PAIR table (tiny: one row
+    per near-dup candidate, orders of magnitude smaller than the
+    corpus): verify_jaccard consumes it three times (two semi-join
+    sides + the final inner join), and without a materialization
+    boundary Catalyst re-executes the whole shingle→sign→band subtree
+    for each consumer (~12% wall-clock on the measured corpus; grows
+    with corpus size). Do NOT cache the shingle table itself — it is
+    corpus-sized (measured OOM at default heap)."""
     sh = shingles(docs, n=n)
     sigs = minhash_signatures(sh, k=k)
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=k // bands, max_bucket_size=max_bucket_size
     )
+    if reuse_candidates:
+        cands = cands.cache()
     return verify_jaccard(cands, sh, threshold=threshold)
 
 
