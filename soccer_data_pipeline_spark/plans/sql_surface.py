@@ -92,3 +92,57 @@ register(
     oracle=_SQL_TPCH_Q3_SHAPE,
     doc="E3 SQL surface: TPC-H Q3-shaped 3-way join + agg, same text both engines",
 )(_sql_query(_SQL_TPCH_Q3_SHAPE))
+
+_SQL_LATERAL_TOPN = """
+SELECT r.r_name, n.n_name, n.n_nationkey
+FROM region r
+JOIN LATERAL (
+  SELECT n_name, n_nationkey
+  FROM nation
+  WHERE n_regionkey = r.r_regionkey
+  ORDER BY n_name
+  LIMIT 2
+) AS n ON TRUE
+"""
+
+_SQL_NAMED_WINDOW = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w / CAST(100.0 AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+_SQL_GROUPING_SETS = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+  COUNT(*) AS n_orders,
+  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+register(
+    "sql_lateral_topn",
+    oracle=_SQL_LATERAL_TOPN,
+    doc="E3 SQL surface: correlated LATERAL top-n per row, same text both engines",
+)(_sql_query(_SQL_LATERAL_TOPN))
+
+register(
+    "sql_named_window",
+    oracle=_SQL_NAMED_WINDOW,
+    doc="E3 SQL surface: named WINDOW clause shared by two functions, same text both engines",
+)(_sql_query(_SQL_NAMED_WINDOW))
+
+register(
+    "sql_grouping_sets",
+    oracle=_SQL_GROUPING_SETS,
+    doc="E3 SQL surface: GROUPING SETS + GROUPING() markers, same text both engines",
+)(_sql_query(_SQL_GROUPING_SETS))
