@@ -1,4 +1,9 @@
 from .incremental import run_incremental_etl
-from .windows import streaming_tumbling_agg, streaming_session_agg
+from .windows import streaming_dedup, streaming_session_agg, streaming_tumbling_agg
 
-__all__ = ["run_incremental_etl", "streaming_tumbling_agg", "streaming_session_agg"]
+__all__ = [
+    "run_incremental_etl",
+    "streaming_tumbling_agg",
+    "streaming_session_agg",
+    "streaming_dedup",
+]

@@ -67,3 +67,26 @@ def streaming_session_agg(
             "session_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state size tracks the watermark
+    horizon, not stream history — the only viable form at 100 TB/day
+    ingest (plain ``dropDuplicates`` on a stream retains every key seen
+    forever). Duplicates arriving within the watermark window are
+    dropped; a re-send after the horizon re-emits (at-least-once
+    contract — pair with the batch exact-dedup for final storage).
+    """
+    keys = keys or ["event_id"]
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)

@@ -227,3 +227,37 @@ def test_observation_metrics(spark):
     n = observed.count()
     assert obs.get["rows"] == n
     assert 0 < obs.get["big_qty"] < n
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving across
+    micro-batches inside the watermark horizon are dropped; state is
+    bounded by the watermark, not stream history."""
+    from soccer_data_pipeline_spark.sources import load_table
+    from soccer_data_pipeline_spark.streaming import streaming_dedup
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").where("user_id < 10").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    stream_dir = str(tmp_path / "events_dup")
+    # write the SAME slice twice -> every event_id duplicated across files
+    events.write.parquet(stream_dir)
+    events.write.mode("append").parquet(stream_dir)
+    assert spark.read.parquet(stream_dir).count() == 2 * events.count()
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(stream_dir).schema
+    ).parquet(stream_dir)
+    q = (
+        streaming_dedup(stream, keys=["event_id"], watermark="10 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    assert got.count() == events.count()
+    assert got.distinct().count() == events.count()
