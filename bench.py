@@ -64,6 +64,7 @@ HEADLINE = [
     "pack_sequences",
     "pii_scrub",
     "approx_distinct_gate",
+    "corpus_clean_decisions",
 ]
 
 

@@ -1294,3 +1294,98 @@ def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.abs(F.col("_n_approx") - F.col("n_exact")) / F.col("n_exact")
     return agg.select("event_type", "n_exact", (err <= 0.05).alias("within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning [beyond-ref]: the decision table a training-
+# data pipeline actually emits — one row per document with keep/drop and
+# the reason, composing quality scoring, exact dedup, and near-dup
+# cluster consolidation with fixed precedence (quality → exact → near).
+# The oracle recomputes the whole policy, including true connected
+# components via the recursive CTE, so the composition is hash-checked,
+# not just its parts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_clean_decisions",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+),
+clusters AS (
+  SELECT n.u AS doc_id, LEAST(n.u, MIN(r.v)) AS cluster_id
+  FROM (SELECT DISTINCT u FROM und) n JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+),
+quality AS (
+  SELECT doc_id,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a'))) AS n_stop,
+    MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+)
+SELECT q.doc_id,
+  CASE
+    WHEN NOT (q.n_tokens >= 20
+              AND CAST(q.n_stop AS DOUBLE) / NULLIF(q.n_tokens, 0) BETWEEN 0.01 AND 0.5)
+      THEN 'drop_quality'
+    WHEN q.doc_id <> q.exact_keeper THEN 'drop_exact_dup'
+    WHEN c.doc_id IS NOT NULL AND q.doc_id <> c.cluster_id THEN 'drop_near_dup'
+    ELSE 'keep'
+  END AS decision
+FROM quality q LEFT JOIN clusters c ON c.doc_id = q.doc_id
+""",
+    doc="[beyond-ref] end-to-end corpus cleaning decision table: quality -> exact dedup -> near-dup clusters, keep/drop + reason per doc (SURVEY §2.10 training-data tier)",
+)
+def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    passes_quality = (n_tokens >= 20) & (stop_ratio >= 0.01) & (stop_ratio <= 0.5)
+
+    w_exact = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    exact_keeper = F.min("doc_id").over(w_exact)
+
+    pairs = minhash_near_dup_pairs(
+        docs, n=3, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+    q = docs.select(
+        "doc_id",
+        passes_quality.alias("_q_ok"),
+        (F.col("doc_id") == exact_keeper).alias("_exact_keep"),
+    )
+    return (
+        q.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("_q_ok"), "drop_quality")
+            .when(~F.col("_exact_keep"), "drop_exact_dup")
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                "drop_near_dup",
+            )
+            .otherwise("keep")
+            .alias("decision"),
+        )
+    )
