@@ -149,7 +149,12 @@ def verify_jaccard(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    sh = shingled.join(cand_docs, "doc_id", "left_semi")
+    # Cache the semi-joined shingle table: it is candidate-docs-only
+    # (near-dup candidates ≪ corpus, so this is small by construction)
+    # and consumed three times below (counts + both self-join sides) —
+    # uncached, each consumer re-runs the full corpus-wide shingle
+    # explode just to throw most of it away at the semi-join.
+    sh = shingled.join(cand_docs, "doc_id", "left_semi").cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     co = (

@@ -39,10 +39,15 @@ def connected_components(
     ~10⁷ edges; pass None to inherit the input partitioning (huge
     graphs), where AQE coalesces each round's shuffles instead.
     """
-    und = edges.select(
+    # Materialize the (tiny) directed edge list ONCE before mirroring it:
+    # the union below consumes `e` twice, and without this boundary the
+    # possibly-expensive upstream pipeline (e.g. the whole MinHash
+    # shingle→band→verify chain) executes once per union branch.
+    e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
-    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ).cache()
+    e.count()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if num_partitions is not None:
         und = und.repartition(num_partitions, "u")
     und = und.cache()
@@ -75,6 +80,7 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    e.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
