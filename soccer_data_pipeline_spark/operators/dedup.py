@@ -243,6 +243,14 @@ def ngram_jaccard(
             .select(block_col, "shingle")
         )
         shingled = shingled.join(F.broadcast(hot), [block_col, "shingle"], "left_anti")
+    # The capped shingle table feeds three consumers (counts + both join
+    # sides); a disk-backed persist avoids re-running the explode chain
+    # per consumer. MEMORY_AND_DISK spills rather than OOMs; at corpus
+    # sizes where even spill is wrong, stage this table to storage and
+    # read it back (the standard petabyte-scale pipeline break).
+    from pyspark import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (
