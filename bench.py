@@ -97,6 +97,12 @@ def main() -> None:
         if spec is None:
             continue
         try:
+            # Each query is timed against ONLY its own warmup caches:
+            # operators cache internal tables (pair joins, CC edges) and
+            # never unpersist — by query 40 the accumulated block-manager
+            # pressure measurably slows unrelated plans (~40% on the
+            # heavy composites). Clearing here keeps runs independent.
+            spark.catalog.clearCache()
             # warmup run: JIT/codegen compile and footer caches are
             # session-lifetime costs, not per-query engine throughput
             spec.fn(spark, sf_dir).count()
