@@ -1190,9 +1190,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sequence packing (concat-then-chunk, GPT-pretraining style): docs are
 # concatenated in a stable order per lang and chunked into 512-token
-# context windows; pack_id = the window each doc STARTS in. One window
-# cumsum — no shuffle beyond the lang partition.
+# context windows; pack_id = the window each doc STARTS in.
+#
+# Scale shape: a single `Window.partitionBy("lang")` cumsum serializes each
+# language's whole corpus through ONE task (at 100 TB the `en` partition is
+# most of the data). Instead: a two-phase distributed prefix sum —
+#   1. shard each lang into doc_id-contiguous blocks (`doc_id // _PACK_SHARD`,
+#      monotonic in doc_id, so block-local order == global order),
+#      local cumsum per (lang, shard) — bounded ≤ _PACK_SHARD rows/task;
+#   2. per-(lang, shard) totals → per-lang exclusive running offset over the
+#      tiny shard table (rows = n_docs/_PACK_SHARD) → broadcast-join back and
+#      add. Identical output to the single-window form (the DuckDB oracle IS
+#      that form), no corpus-sized window partition anywhere in the plan.
 _PACK_WINDOW = 512
+_PACK_SHARD = 4096
 
 
 @register(
@@ -1218,13 +1229,44 @@ FROM c
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences_plan(docs, shard_size=_PACK_SHARD)
+
+
+def pack_sequences_plan(docs: DataFrame, shard_size: int = _PACK_SHARD) -> DataFrame:
+    """Two-phase-prefix-sum packing plan; ``shard_size`` bounds task size."""
     n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    t = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / shard_size).cast("long").alias("shard"),
     )
-    t = docs.select("doc_id", "lang", n_tokens.cast("long").alias("n_tokens"))
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    start = F.col("cum") - F.col("n_tokens")
+    # phase 1: block-local cumsum, task size bounded by _PACK_SHARD
+    w_local = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    # phase 2: exclusive per-lang running offset over the tiny shard table
+    w_shards = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .select(
+            "lang",
+            "shard",
+            F.coalesce(F.sum("shard_total").over(w_shards), F.lit(0)).alias(
+                "shard_offset"
+            ),
+        )
+    )
+    c = local.join(F.broadcast(offsets), ["lang", "shard"])
+    start = F.col("shard_offset") + F.col("local_cum") - F.col("n_tokens")
     return c.select(
         "doc_id",
         "lang",

@@ -50,12 +50,101 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+# ---------------------------------------------------------------------------
+# Driver-window curation. The correctness driver hash-checks the FIRST 50
+# entries of ``queries()`` (dict insertion order). With more registered
+# queries than window slots, ordering decides which operators get the hard
+# differential signal. This list puts exactly one representative of every
+# operator family in the window — SURVEY §2 core, SQL surface, as-of/range/
+# pivot reshape, event-time windows, text analysis, every dedup tier,
+# similarity (brute/LSH/IVF), multimodal, and the training-data tier.
+# Zoo variants that duplicate a family (posexplode vs explode, cube vs
+# grouping sets, per-function scalar zoos consolidated into
+# scalar_functions_combined / agg_functions_combined, ...) sort after the
+# window; they keep full local DuckDB-oracle coverage in
+# tests/test_registry_oracle.py.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW_SIZE = 50
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # star-schema / reference core (SURVEY §2.1-2.8)
+    "pricing_summary",
+    "flagship_top_customers",
+    "broadcast_lookup_join",
+    "alias_coalesce_join",
+    "unpivot_stack",
+    "topk_orders_per_customer",
+    "champion_per_segment",
+    "rolling_avg_events",
+    "lag_prev_order",
+    "cumulative_customer_spend",
+    "first_per_key",
+    "set_ops_nations",
+    "latest_version_per_key",
+    "filter_project_lineitem",
+    "explode_tokens",
+    "json_extract_events",
+    "scalar_functions_combined",
+    "agg_functions_combined",
+    # SQL surface (spark.sql parity: CTE, lateral, named window, grouping sets)
+    "sql_agg_orders",
+    "sql_cte_topn",
+    "sql_tpch_q3_shape",
+    "sql_lateral_topn",
+    "sql_named_window",
+    "sql_grouping_sets",
+    # beyond-equi joins / reshape
+    "asof_join_latest_order",
+    "range_join_close_events",
+    "pivot_event_counts",
+    # event-time windows (tumbling stays local — sliding supersets it)
+    "sessionize_events",
+    "event_sliding_windows",
+    # text analysis
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count_bpe",
+    "tfidf_tokens",
+    "rolling_hash_fingerprint",
+    # dedup tiers (exact, MinHash+LSH, clusters, SimHash, n-gram Jaccard)
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_clusters",
+    "dedup_simhash_groups",
+    "ngram_jaccard_pairs",
+    # similarity search (LSH-blocked near-dup, ANN recall gates)
+    "embedding_near_dup",
+    "similarity_ann_recall",
+    "similarity_ivf_recall",
+    # multimodal
+    "multimodal_binary_stats",
+    # training-data tier
+    "train_val_test_split",
+    "stratified_sample_docs",
+    "benchmark_contamination",
+    "pack_sequences",
+    "pii_scrub",
+    "approx_distinct_gate",
+    "corpus_clean_decisions",
+)
+
+
+def _ordered_names() -> list[str]:
+    """Window names first (curated order), then the rest in registration order."""
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    return list(DRIVER_WINDOW) + rest
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_map() -> dict[str, str]:
-    return dict(ORACLES)
+    return {name: ORACLES[name] for name in _ordered_names() if name in ORACLES}
 
 
 # Importing the query modules populates the registry.

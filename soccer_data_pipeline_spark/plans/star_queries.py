@@ -1262,3 +1262,112 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Combined scalar-function query (F1-F4, F9, F10, F12 in one plan).
+# Consolidates the per-family zoo queries (scalar_functions_docs,
+# string_functions_zoo, array_functions_zoo, null_handling_zoo — all still
+# registered and locally oracle-tested) into a single driver-window row so
+# every SURVEY §2.8 function op keeps a hard CORRECTNESS signal.
+# Reference ops: regex extract main.yml:56-58, regex replace main.yml:71-73,
+# trim main.yml:75, basename main.yml:56, CASE README.md:79-81, array index
+# with default README.md:217-218, null-coalescing main.yml:66-70.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions_combined",
+    oracle="""
+WITH d AS (
+  SELECT *, 'raw/' || lang || '/' || source || '.json' AS path,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS arr
+  FROM documents
+)
+SELECT doc_id,
+  REGEXP_EXTRACT(text, '^([a-z]+)', 1) AS first_token,
+  REGEXP_REPLACE(text, '[0-9]+', 'N', 'g') AS digits_masked,
+  TRIM(UPPER(lang)) AS lang_uc,
+  REGEXP_EXTRACT(path, '([^/]+)$', 1) AS file_base,
+  CASE WHEN n_chars > 500 THEN 'long' WHEN n_chars > 100 THEN 'medium' ELSE 'short' END AS size_bucket,
+  COALESCE(arr[1], '') AS tok_first,
+  COALESCE(arr[12], '<none>') AS tok_12,
+  COALESCE(NULLIF(lang, ''), 'unknown') AS lang_std,
+  LENGTH(text) AS text_len
+FROM d
+""",
+    doc=(
+        "F1 regexp_extract (main.yml:56-58), F2 regexp_replace (main.yml:71-73), "
+        "F3 trim (main.yml:75), F4 basename (main.yml:56), F9 CASE (README.md:79-81), "
+        "F10 array index w/ default (README.md:217-218), F12 coalesce (main.yml:66-70) "
+        "— one narrow codegen stage, no shuffle"
+    ),
+)
+def scalar_functions_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(F.lit("raw/"), F.col("lang"), F.lit("/"), F.col("source"), F.lit(".json"))
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_token"),
+        F.regexp_replace("text", r"[0-9]+", "N").alias("digits_masked"),
+        F.trim(F.upper(F.col("lang"))).alias("lang_uc"),
+        F.regexp_extract(path, r"([^/]+)$", 1).alias("file_base"),
+        F.when(F.col("n_chars") > 500, "long")
+        .when(F.col("n_chars") > 100, "medium")
+        .otherwise("short")
+        .alias("size_bucket"),
+        F.coalesce(F.try_element_at(arr, F.lit(1)), F.lit("")).alias("tok_first"),
+        F.coalesce(F.try_element_at(arr, F.lit(12)), F.lit("<none>")).alias("tok_12"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("unknown")).alias("lang_std"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Combined aggregate-function query (A-superset + F6 date extraction).
+# Consolidates stats_aggregates / global_aggregates / scalar_functions_dates
+# (all still registered and locally oracle-tested) into one driver-window
+# row: per-year hash agg with exact-cents totals, exact-rational percentile
+# over integer cents, mode, count-distinct, and min/max.
+# Reference ops: GROUP BY aggregation README.md:252-266, date parse/extract
+# README.md:71, count metrics README.md:112.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_functions_combined",
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price,
+  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS median_price,
+  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+""",
+    doc=(
+        "A1 group-by agg (README.md:252-266) + A5 count metrics (README.md:112) + "
+        "F6 date-part extraction (README.md:71) + stats superset "
+        "(exact-cents percentiles/distinct; mode stays in stats_aggregates — "
+        "engines break frequency ties differently) — one shuffle on year"
+    ),
+)
+def agg_functions_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    cents = _cents(price)
+    return orders.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _dsum(price, "total_price"),
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents, F.lit(0.9)) / 100.0).alias("p90_price"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+    )

@@ -1,0 +1,83 @@
+"""Guards on the curated driver-window ordering (plans/registry.py).
+
+The correctness driver hash-checks the first DRIVER_WINDOW_SIZE entries
+of ``queries()``. These tests pin the invariants that make that window
+cover every operator family, so a later registration can't silently
+push a family out of the hard-signal set.
+"""
+
+from __future__ import annotations
+
+from soccer_data_pipeline_spark.plans.registry import (
+    DRIVER_WINDOW,
+    DRIVER_WINDOW_SIZE,
+    QUERIES,
+    oracle_map,
+    query_fns,
+)
+
+# One representative per operator family that must hold a window slot.
+FAMILY_REPRESENTATIVES = {
+    "agg": "pricing_summary",
+    "join_broadcast": "broadcast_lookup_join",
+    "window": "topk_orders_per_customer",
+    "scalar_functions": "scalar_functions_combined",
+    "agg_functions": "agg_functions_combined",
+    "sql_surface": "sql_grouping_sets",
+    "asof_join": "asof_join_latest_order",
+    "range_join": "range_join_close_events",
+    "pivot": "pivot_event_counts",
+    "session_window": "sessionize_events",
+    "sliding_window": "event_sliding_windows",
+    "lang_id": "lang_id_heuristic",
+    "tfidf": "tfidf_tokens",
+    "dedup_exact": "dedup_exact_documents",
+    "dedup_lsh": "dedup_minhash_lsh_pairs",
+    "dedup_cc": "dedup_connected_clusters",
+    "dedup_simhash": "dedup_simhash_groups",
+    "dedup_ngram": "ngram_jaccard_pairs",
+    "similarity_near_dup": "embedding_near_dup",
+    "similarity_ann": "similarity_ann_recall",
+    "similarity_ivf": "similarity_ivf_recall",
+    "multimodal": "multimodal_binary_stats",
+    "split": "train_val_test_split",
+    "sampling": "stratified_sample_docs",
+    "contamination": "benchmark_contamination",
+    "packing": "pack_sequences",
+    "pii": "pii_scrub",
+    "sketch_gate": "approx_distinct_gate",
+    "corpus_clean": "corpus_clean_decisions",
+}
+
+
+def test_window_is_exactly_driver_sized():
+    assert len(DRIVER_WINDOW) == DRIVER_WINDOW_SIZE
+    assert len(set(DRIVER_WINDOW)) == DRIVER_WINDOW_SIZE
+
+
+def test_window_names_lead_query_fns():
+    names = list(query_fns())
+    assert names[:DRIVER_WINDOW_SIZE] == list(DRIVER_WINDOW)
+    # every registered query still appears exactly once
+    assert sorted(names) == sorted(QUERIES)
+
+
+def test_every_window_query_has_an_oracle():
+    oracles = oracle_map()
+    missing = [n for n in DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"window queries without DuckDB oracle: {missing}"
+
+
+def test_every_family_has_a_window_slot():
+    window = set(DRIVER_WINDOW)
+    missing = {
+        fam: name
+        for fam, name in FAMILY_REPRESENTATIVES.items()
+        if name not in window
+    }
+    assert not missing, f"families pushed out of the driver window: {missing}"
+
+
+def test_oracle_map_order_matches_query_fns():
+    qnames = [n for n in query_fns() if n in oracle_map()]
+    assert list(oracle_map()) == qnames
