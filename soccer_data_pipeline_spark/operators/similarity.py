@@ -249,3 +249,92 @@ def ivf_topk(
         .where(F.col("rn") <= k)
     )
     return out, model
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 24,
+    band_width: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pair discovery with banded sign-LSH blocking.
+
+    The MinHash-LSH banding scheme applied to random-hyperplane sign
+    bits: ``n_planes`` sign bits split into ``n_planes // band_width``
+    bands; two vectors become a candidate pair iff they agree on ALL
+    bits of at least one band (within the same ``label_col`` block when
+    given). Per-band bucket size — not label size — bounds the pair
+    space: at production scale ``band_width`` grows ~log2(n) to keep
+    buckets small, and ``max_bucket_size`` drops degenerate hot buckets
+    outright (same contract as dedup.minhash_near_dup_pairs).
+
+    Recall is config- and corpus-dependent; the registered
+    ``embedding_near_dup`` query gates it in-plan against the exact
+    label-blocked pairs (measured on the driver corpus, floor 0.8:
+    recall 0.929 @sf0.001, 0.885 @sf0.01, 0.882 @sf0.1 for the default
+    24-plane/3-bit config).
+    """
+    if n_planes % band_width != 0:
+        raise ValueError("n_planes must be a multiple of band_width")
+    planes = _hyperplanes(dim, n_planes)
+    n_bands = n_planes // band_width
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        *([F.col(label_col).alias("lbl")] if label_col else [F.lit(0).alias("lbl")]),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    # one code per band: band b = bits [b*w, (b+1)*w) of the sign sketch
+    band_codes = F.array(
+        *[
+            lsh_bucket(F.col("v"), planes[b * band_width : (b + 1) * band_width])
+            for b in range(n_bands)
+        ]
+    )
+    coded = base.withColumn("codes", band_codes).select(
+        "vid", "lbl", "v", "n", F.posexplode("codes").alias("band", "code")
+    )
+
+    if max_bucket_size is not None:
+        hot = (
+            coded.groupBy("lbl", "band", "code")
+            .agg(F.count("*").alias("_m"))
+            .where(F.col("_m") > max_bucket_size)
+            .select("lbl", "band", "code")
+        )
+        coded = coded.join(F.broadcast(hot), ["lbl", "band", "code"], "left_anti")
+
+    a = coded.alias("a")
+    b = coded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lbl") == F.col("b.lbl"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.lbl").alias("label"),
+            F.col("a.v").alias("av"),
+            F.col("a.n").alias("an"),
+            F.col("b.v").alias("bv"),
+            F.col("b.n").alias("bn"),
+        )
+        # a pair colliding in k bands appears k times — dedup BEFORE cosine
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "label",
+        _pair_cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
