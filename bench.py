@@ -29,6 +29,8 @@ HEADLINE = [
     "sql_tpch_q3_shape",
     "sql_agg_orders",
     "sql_cte_topn",
+    "scalar_functions_combined",
+    "agg_functions_combined",
     # window / temporal
     "rolling_avg_events",
     "cumulative_customer_spend",
@@ -91,29 +93,40 @@ def main() -> None:
     # not first-touch overheads.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # No clearCache() between queries: operators own their caches now
+    # (operators/cache.py) — internal persists are released before each
+    # operator returns, so a long-lived session accumulates nothing and
+    # the suite runs the way a library caller would experience it.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
         try:
-            # Each query is timed against ONLY its own warmup caches:
-            # operators cache internal tables (pair joins, CC edges) and
-            # never unpersist — by query 40 the accumulated block-manager
-            # pressure measurably slows unrelated plans (~40% on the
-            # heavy composites). Clearing here keeps runs independent.
-            spark.catalog.clearCache()
             # warmup run: JIT/codegen compile and footer caches are
             # session-lifetime costs, not per-query engine throughput
             spec.fn(spark, sf_dir).count()
-            t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                n = spec.fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:  # a failing query must not kill the suite
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # median of n_runs: sub-second deltas between rounds are only
+        # interpretable against the recorded run-to-run spread
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+        spread[name] = round(samples[-1] - samples[0], 4)
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"(spread {spread[name]:.3f}s over {n_runs} runs, {n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -124,6 +137,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "spread_sec": spread,
+                "variance_note": (
+                    "per-query values are medians of runs_per_query timed runs "
+                    "after one warmup; spread_sec is max-min per query — deltas "
+                    "within spread are noise, not regressions"
+                ),
             }
         )
     )

@@ -144,6 +144,8 @@ def verify_jaccard(
     candidate docs (semi-join pushes the candidate filter into the
     scan side before the wide join).
     """
+    from .cache import materialize_owned
+
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
@@ -153,7 +155,8 @@ def verify_jaccard(
     # (near-dup candidates ≪ corpus, so this is small by construction)
     # and consumed three times below (counts + both self-join sides) —
     # uncached, each consumer re-runs the full corpus-wide shingle
-    # explode just to throw most of it away at the semi-join.
+    # explode just to throw most of it away at the semi-join. The cache
+    # is operator-owned: released via materialize_owned before return.
     sh = shingled.join(cand_docs, "doc_id", "left_semi").cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -167,13 +170,14 @@ def verify_jaccard(
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         co.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    return materialize_owned(out, sh)
 
 
 def minhash_near_dup_pairs(
@@ -196,7 +200,12 @@ def minhash_near_dup_pairs(
     boundary Catalyst re-executes the whole shingle→sign→band subtree
     for each consumer (~12% wall-clock on the measured corpus; grows
     with corpus size). Do NOT cache the shingle table itself — it is
-    corpus-sized (measured OOM at default heap)."""
+    corpus-sized (measured OOM at default heap).
+
+    Cache ownership: verify_jaccard materializes its result eagerly, so
+    by the time it returns the candidate cache has served all three
+    consumers and is released here — no block-manager residue outlives
+    this call (operators/cache.py contract)."""
     sh = shingles(docs, n=n)
     sigs = minhash_signatures(sh, k=k)
     cands = lsh_candidate_pairs(
@@ -204,7 +213,10 @@ def minhash_near_dup_pairs(
     )
     if reuse_candidates:
         cands = cands.cache()
-    return verify_jaccard(cands, sh, threshold=threshold)
+    out = verify_jaccard(cands, sh, threshold=threshold)
+    if reuse_candidates:
+        cands.unpersist()
+    return out
 
 
 def ngram_jaccard(
@@ -247,8 +259,11 @@ def ngram_jaccard(
     # sides); a disk-backed persist avoids re-running the explode chain
     # per consumer. MEMORY_AND_DISK spills rather than OOMs; at corpus
     # sizes where even spill is wrong, stage this table to storage and
-    # read it back (the standard petabyte-scale pipeline break).
+    # read it back (the standard petabyte-scale pipeline break). The
+    # persist is operator-owned — released via materialize_owned below.
     from pyspark import StorageLevel
+
+    from .cache import materialize_owned
 
     shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -268,13 +283,14 @@ def ngram_jaccard(
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
+    out = (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    return materialize_owned(out, shingled)
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -60,6 +60,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             und.join(labels, und["u"] == labels["node"])
@@ -81,6 +82,17 @@ def connected_components(
             break
     und.unpersist()
     e.unpersist()
+    if changed != 0:
+        # Labels are still moving at iteration exhaustion: the component
+        # diameter exceeds max_iters and the labeling is NOT a fixpoint.
+        # Returning it silently would split clusters / emit multiple
+        # keepers downstream (dup_clusters), i.e. silent data corruption.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); raise max_iters (diameter > "
+            "max_iters) or switch to the large-star/small-star variant for "
+            "high-diameter graphs"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

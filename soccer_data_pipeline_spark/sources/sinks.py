@@ -66,8 +66,16 @@ def preflight_scan_bytes(df: DataFrame) -> int:
     runs; only the driver-side file listing is materialized. Non-file
     leaves (in-memory relations, ranges) fall back to Catalyst's
     logical size estimate.
+
+    Leaves are collected from ``sparkPlan()`` — the physical plan
+    BEFORE adaptive execution wraps it: under AQE (on by default in
+    session.py) ``executedPlan()``'s root is an ``AdaptiveSparkPlanExec``,
+    itself a leaf node, so collecting leaves there would never reach the
+    file scans of any plan with an exchange (joins/aggregates — exactly
+    the plans a budget guard exists for) and would mischarge the whole
+    plan's logical estimate instead (ADVICE r2, medium).
     """
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
     total = 0
     for i in range(leaves.size()):
         node = leaves.apply(i)
@@ -118,10 +126,24 @@ def compact_parquet(
     copy mid-swap, and a failed swap leaves the original recoverable
     at ``<path>__old``. (On object stores, compaction belongs to a
     table format — Delta/Iceberg rewrite — not this utility.)
+
+    Crash recovery: if a previous run died between the two renames, the
+    data lives at ``<path>__old`` and the canonical path is missing —
+    recover with ``mv <path>__old <path>``. A stale ``<path>__old`` from
+    any crashed run fails this function fast (below) instead of failing
+    half-way through the swap.
     """
     import glob
     import os
     import shutil
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"stale {old} exists (a previous compaction crashed mid-swap); "
+            f"recover first: inspect it and either `mv {old} {path}` (if the "
+            f"canonical path is missing) or delete it, then re-run"
+        )
 
     df = spark.read.parquet(path)
     total = sum(
@@ -135,7 +157,6 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     try:
         os.rename(tmp, path)

@@ -61,6 +61,14 @@ def test_compaction_reduces_files(spark, tmp_path):
     assert after < before
     assert spark.read.parquet(path).count() == n_rows
 
+    # a stale __old dir (crashed prior swap) must fail fast with the
+    # recovery hint, not die mid-rename (ADVICE r2)
+    import pytest
+
+    os.mkdir(path + "__old")
+    with pytest.raises(RuntimeError, match="recover"):
+        compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+
 
 def test_bucketed_table_join_has_no_shuffle_on_bucket_key(spark, tmp_path):
     from soccer_data_pipeline_spark.sources.sinks import write_bucketed_table
@@ -106,3 +114,26 @@ def test_scan_budget_preflight(spark, tmp_path):
     assert enforce_scan_budget(pruned, est_full) is pruned
     with pytest.raises(ScanBudgetExceeded):
         enforce_scan_budget(full, est_pruned)
+
+    # Exchange-bearing plans (join + agg): under AQE the executed plan
+    # root is an AdaptiveSparkPlanExec leaf wrapper — the estimate must
+    # still come from the real file scans, i.e. ~sum of both inputs,
+    # NOT a multiplicative join-output estimate and NOT silently 0
+    # (ADVICE r2, medium).
+    dim_path = str(tmp_path / "dim")
+    spark.range(4).select(
+        F.col("id").alias("bucket"), F.concat(F.lit("name_"), "id").alias("bname")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    joined_agg = (
+        full.join(dim, "bucket").groupBy("bname").count()
+    )
+    est_join = preflight_scan_bytes(joined_agg)
+    assert est_join > 0, "budget silently unenforced on exchange plans"
+    # both scan listings, within 2x slack (listing vs logical estimates)
+    assert est_join <= 2 * (est_full + preflight_scan_bytes(dim))
+    # pruning still reflected through the join
+    pruned_join = (
+        full.where(F.col("bucket") == 1).join(dim, "bucket").groupBy("bname").count()
+    )
+    assert preflight_scan_bytes(pruned_join) < est_join
