@@ -1371,3 +1371,103 @@ def agg_functions_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).alias("min_price"),
         F.max(price).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10/§2.9 batch twin: supersedence — latest record per logical key wins,
+# earlier versions counted as superseded. The reference keeps only the
+# newest file version per (season, prefix) before upload (main.yml:136-141)
+# and relies on dedup for idempotent re-ingest (README.md:96,114); the
+# streaming path implements this with dropDuplicates + checkpoint
+# (streaming/incremental.py), and this query is the oracle-checkable batch
+# equivalent over the events table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "staging_supersedence",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+)
+SELECT user_id, event_type, event_id AS latest_event_id,
+       EPOCH_US(ts) AS latest_ts_us,
+       CAST(n - 1 AS BIGINT) AS n_superseded
+FROM r WHERE rn = 1
+""",
+    doc=(
+        "S10/§2.9 supersedence batch twin: latest (ts, event_id) per "
+        "(user, type) wins, earlier versions counted (ref main.yml:136-141, "
+        "README.md:96,114) — one shuffle on the logical key"
+    ),
+)
+def staging_supersedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_all = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("latest_ts_us"),
+            (F.col("n") - 1).cast("long").alias("n_superseded"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5-P9 batch twin: quarantine routing — every record gets a route with a
+# reason, bad rows are never silently dropped. Mirrors the reference's
+# validation ladder (empty-file skip main.yml:122-125, required-field warn
+# main.yml:132-134, unknown-league skip via lookup main.yml:144-148): the
+# known-lang lookup is a broadcast LEFT join exactly like the league map,
+# with NULL-match → quarantine instead of drop.
+# ---------------------------------------------------------------------------
+
+_KNOWN_LANGS = ("en", "es", "de", "fr")
+_MIN_CHARS = 50
+
+
+@register(
+    "quarantine_routing",
+    oracle=f"""
+WITH known(lang) AS (VALUES {", ".join(f"('{x}')" for x in _KNOWN_LANGS)})
+SELECT d.doc_id,
+  CASE WHEN d.n_chars < {_MIN_CHARS} THEN 'quarantine_too_short'
+       WHEN k.lang IS NULL THEN 'quarantine_unknown_lang'
+       ELSE 'ok' END AS route
+FROM documents d LEFT JOIN known k ON d.lang = k.lang
+""",
+    doc=(
+        "P5-P9 quarantine routing: validation ladder with reasons (too-short "
+        "analog of empty-file skip main.yml:122-125; unknown-key lookup "
+        "main.yml:144-148) — broadcast left join against the known-lang dim"
+    ),
+)
+def quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    known = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(x,) for x in _KNOWN_LANGS], ["lang"]
+        ).withColumn("_known", F.lit(1))
+    )
+    return (
+        docs.join(known, "lang", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") < _MIN_CHARS, "quarantine_too_short")
+            .when(F.col("_known").isNull(), "quarantine_unknown_lang")
+            .otherwise("ok")
+            .alias("route"),
+        )
+    )
