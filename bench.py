@@ -66,6 +66,9 @@ HEADLINE = [
     "pack_sequences",
     "pii_scrub",
     "approx_distinct_gate",
+    "approx_quantile_gate",
+    "staging_supersedence",
+    "quarantine_routing",
     "corpus_clean_decisions",
 ]
 

@@ -251,9 +251,8 @@ def ivf_topk(
     return out, model
 
 
-def near_dup_pairs_banded(
+def banded_candidate_pairs(
     df: DataFrame,
-    threshold: float,
     n_planes: int = 24,
     band_width: int = 3,
     dim: int = 64,
@@ -262,7 +261,7 @@ def near_dup_pairs_banded(
     label_col: str | None = "label",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pair discovery with banded sign-LSH blocking.
+    """Candidate near-dup pairs from banded sign-LSH blocking (no cosine).
 
     The MinHash-LSH banding scheme applied to random-hyperplane sign
     bits: ``n_planes`` sign bits split into ``n_planes // band_width``
@@ -273,11 +272,12 @@ def near_dup_pairs_banded(
     buckets small, and ``max_bucket_size`` drops degenerate hot buckets
     outright (same contract as dedup.minhash_near_dup_pairs).
 
-    Recall is config- and corpus-dependent; the registered
-    ``embedding_near_dup`` query gates it in-plan against the exact
-    label-blocked pairs (measured on the driver corpus, floor 0.8:
-    recall 0.929 @sf0.001, 0.885 @sf0.01, 0.882 @sf0.1 for the default
-    24-plane/3-bit config).
+    Returns (vec_a, vec_b, label, av, an, bv, bn) — ids plus both
+    vectors/norms so callers can verify cosine without a second scan;
+    recall-gate callers that only intersect on ids (an exact pair found
+    here always passes the downstream cosine verify — same operands,
+    same threshold) can drop the vector columns and skip the dot
+    products entirely.
     """
     if n_planes % band_width != 0:
         raise ValueError("n_planes must be a multiple of band_width")
@@ -331,6 +331,38 @@ def near_dup_pairs_banded(
         )
         # a pair colliding in k bands appears k times — dedup BEFORE cosine
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 24,
+    band_width: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: banded sign-LSH candidates + exact cosine verify.
+
+    Recall is config- and corpus-dependent; the registered
+    ``embedding_near_dup`` query gates it in-plan against the exact
+    label-blocked pairs (measured on the driver corpus, floor 0.8:
+    recall 0.929 @sf0.001, 0.885 @sf0.01, 0.882 @sf0.1 for the default
+    24-plane/3-bit config).
+    """
+    pairs = banded_candidate_pairs(
+        df,
+        n_planes=n_planes,
+        band_width=band_width,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        max_bucket_size=max_bucket_size,
     )
     return pairs.select(
         "vec_a",

@@ -649,7 +649,7 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
     ),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import near_dup_pairs_banded
+    from ..operators.similarity import banded_candidate_pairs
 
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -684,9 +684,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.35)
     )
-    lsh = near_dup_pairs_banded(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
-    ).select("vec_a", "vec_b", F.lit(1).alias("hit"))
+    # The gate only intersects on pair IDS: an exact pair that appears in
+    # the LSH candidate set always survives the LSH path's own cosine
+    # verify (same operands, same >= 0.35 threshold — it IS an exact
+    # pair), so recall computed on candidates equals recall on verified
+    # pairs, and the LSH side skips every per-pair dot product.
+    lsh = banded_candidate_pairs(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
     marked = exact.join(lsh, ["vec_a", "vec_b"], "left").withColumn(
         "hit", F.coalesce(F.col("hit"), F.lit(0))
     )
