@@ -92,7 +92,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_cte_topn",
     "sql_tpch_q3_shape",
     "sql_lateral_topn",
-    "sql_named_window",
     "sql_grouping_sets",
     # beyond-equi joins / reshape
     "asof_join_latest_order",
@@ -126,6 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_sequences",
     "pii_scrub",
     "approx_distinct_gate",
+    # incremental ingest (§2.9): supersedence resolution gets the hard row;
+    # sql_named_window cedes its slot (pure syntax over the WindowExec the
+    # window already checks five other ways) and stays locally oracle-tested
+    "staging_supersedence",
     "corpus_clean_decisions",
 )
 

@@ -46,6 +46,7 @@ FAMILY_REPRESENTATIVES = {
     "packing": "pack_sequences",
     "pii": "pii_scrub",
     "sketch_gate": "approx_distinct_gate",
+    "supersedence": "staging_supersedence",
     "corpus_clean": "corpus_clean_decisions",
 }
 
