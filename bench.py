@@ -69,6 +69,10 @@ HEADLINE = [
     "approx_quantile_gate",
     "staging_supersedence",
     "quarantine_routing",
+    "repetition_filter",
+    "passage_dedup_stats",
+    "snapshot_diff",
+    "domain_mix_weights",
     "corpus_clean_decisions",
 ]
 

@@ -1,0 +1,359 @@
+"""[beyond-ref] Corpus-curation and snapshot-CDC operators (SURVEY §2.10).
+
+Round-3 additions to the training-data tier. Each query is designed
+for the 100 TB shape first, then mirrored by a DuckDB oracle:
+
+- ``repetition_filter`` — Gopher-style repetition stats computed
+  entirely NARROW (per-row higher-order functions over the token
+  array; zero shuffle, zero explode). The classic explode+groupBy
+  formulation shuffles one row per token — ~10^13 rows at corpus
+  scale; this plan shuffles nothing.
+- ``passage_dedup_stats`` — C4/RefinedWeb-style duplicated-passage
+  detection. Only (doc_id, chunk_hash) pairs ever shuffle — the
+  document text itself stays columnar in the scan and is never moved.
+- ``snapshot_diff`` — hash-diff CDC between two warehouse snapshots:
+  one co-partitioned full-outer join on the key, change classes
+  derived from null-sides + cents-exact value compare.
+- ``domain_mix_weights`` — per-language sampling allocation toward a
+  uniform token budget, integer-exact (LEAST(n, total/k)) so both
+  engines agree bit-for-bit; the global total rides a 1-row broadcast
+  cross join (same pattern as tfidf_tokens), not a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _tokens(col: str = "text"):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _max_run(sorted_arr):
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the multiplicity of the most frequent element. Computed
+    with a single F.aggregate pass — narrow, no explode, no shuffle.
+    """
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS top_unigram_count FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(LEN(t) - 1),
+                                   i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+      FROM toks WHERE LEN(t) >= 2
+    )
+    GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       LEN(toks.t) AS n_tokens,
+       COALESCE(uni.top_unigram_count, 0) AS top_unigram_count,
+       COALESCE(bi.top_bigram_count, 0) AS top_bigram_count,
+       CAST(COALESCE(uni.top_unigram_count, 0) AS DOUBLE)
+         / NULLIF(LEN(toks.t), 0) AS top_unigram_frac,
+       CAST(COALESCE(bi.top_bigram_count, 0) * 2 AS DOUBLE)
+         / NULLIF(LEN(toks.t), 0) AS top_bigram_frac,
+       (LEN(toks.t) >= 20
+        AND CAST(COALESCE(uni.top_unigram_count, 0) AS DOUBLE)
+              / NULLIF(LEN(toks.t), 0) <= 0.20
+        AND CAST(COALESCE(bi.top_bigram_count, 0) * 2 AS DOUBLE)
+              / NULLIF(LEN(toks.t), 0) <= 0.30) AS passes_repetition
+FROM toks
+LEFT JOIN uni ON toks.doc_id = uni.doc_id
+LEFT JOIN bi ON toks.doc_id = bi.doc_id
+""",
+    doc="[beyond-ref] Gopher-style repetition quality filter, zero-shuffle "
+    "narrow plan (SURVEY §2.10)",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-unigram / top-bigram concentration per document.
+
+    The oracle materializes one row per token (UNNEST + GROUP BY —
+    fine for DuckDB on a verification slice); the Spark plan instead
+    sorts each row's token array in place and takes the longest equal
+    run via one ``F.aggregate`` pass, so a 100 TB corpus scan stays a
+    single narrow stage: no explode, no shuffle, whole-stage codegen
+    end to end. Thresholds (max 20% top-unigram, 30% top-bigram token
+    coverage, ≥20 tokens) follow the published Gopher repetition
+    rules.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_uni = _max_run(F.array_sort(toks))
+    top_bi = _max_run(F.array_sort(bigrams))
+    out = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        top_uni.cast("long").alias("top_unigram_count"),
+        top_bi.cast("long").alias("top_bigram_count"),
+    )
+    uni_frac = F.col("top_unigram_count").cast("double") / F.nullif(
+        F.col("n_tokens"), F.lit(0)
+    )
+    bi_frac = (F.col("top_bigram_count") * 2).cast("double") / F.nullif(
+        F.col("n_tokens"), F.lit(0)
+    )
+    return out.select(
+        "*",
+        uni_frac.alias("top_unigram_frac"),
+        bi_frac.alias("top_bigram_frac"),
+        (
+            (F.col("n_tokens") >= 20) & (uni_frac <= 0.20) & (bi_frac <= 0.30)
+        ).alias("passes_repetition"),
+    )
+
+
+CHUNK = 20  # tokens per passage
+
+
+@register(
+    "passage_dedup_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(t[(i * {CHUNK} + 1):((i + 1) * {CHUNK})], ' '))
+           AS chunk_hash
+  FROM (SELECT doc_id, t, UNNEST(RANGE(LEN(t) // {CHUNK})) AS i FROM toks)
+),
+shared AS (
+  SELECT chunk_hash FROM chunks
+  GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(s.chunk_hash) AS n_shared_chunks,
+       CAST(COUNT(s.chunk_hash) AS DOUBLE) / COUNT(*) AS shared_frac,
+       CAST(COUNT(s.chunk_hash) AS DOUBLE) / COUNT(*) < 0.5
+         AS passes_passage_dedup
+FROM chunks c LEFT JOIN shared s ON c.chunk_hash = s.chunk_hash
+GROUP BY c.doc_id
+""",
+    doc="[beyond-ref] passage-level duplicate detection "
+    f"({CHUNK}-token chunks, hash-join on 128-bit keys) (SURVEY §2.10)",
+)
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style duplicated-passage stats per document.
+
+    Each document is cut into disjoint CHUNK-token passages; a passage
+    whose hash occurs in ≥2 distinct documents is "shared" and counts
+    against its document's ``shared_frac`` (drop threshold 0.5).
+
+    Scale shape: chunking + hashing is narrow (in-row higher-order
+    functions); the only shuffled payloads are (doc_id, 128-bit hash)
+    pairs — groupBy(hash) for the shared set, then a hash-equi join
+    back. Document text never leaves the scan stage, mirroring the
+    corpus_clean exact-keeper design (VERDICT r2 #6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_chunks = F.floor(F.size(toks) / CHUNK).cast("int")
+    chunks = docs.where(F.size(toks) >= CHUNK).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i * CHUNK + 1, CHUNK))
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    shared = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk_hash", F.lit(1).alias("is_shared"))
+    )
+    marked = chunks.join(shared, "chunk_hash", "left")
+    frac = F.col("n_shared_chunks").cast("double") / F.col("n_chunks")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_shared").alias("n_shared_chunks"),
+        )
+        .select(
+            "*",
+            frac.alias("shared_frac"),
+            (frac < 0.5).alias("passes_passage_dedup"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+snap_b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_cents
+  FROM orders WHERE o_orderkey % 17 <> 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+            WHEN a.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change_type,
+       a.price_cents AS old_price_cents,
+       b.price_cents AS new_price_cents
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR a.price_cents <> b.price_cents
+   OR a.o_custkey <> b.o_custkey
+   OR a.o_orderstatus <> b.o_orderstatus
+""",
+    doc="[beyond-ref] hash-diff CDC between warehouse snapshots "
+    "(full-outer join + cents-exact compare) (SURVEY §2.9 family)",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify added / deleted / changed rows between two snapshots.
+
+    The snapshots are derived deterministically from ``orders`` (mod-13
+    deletions, mod-17 additions, mod-7 price updates) so the diff is
+    reproducible across engines. Scale shape: ONE full-outer
+    sort-merge join on the snapshot key — both sides hash-partition on
+    ``o_orderkey``, so at 100 TB this is a single co-partitioned
+    shuffle; with both snapshots bucketed on the key (see
+    ``sources.sinks.write_bucketed_table``) it is shuffle-free.
+    Unchanged rows are filtered pre-output so the result is
+    |Δ|-sized, not snapshot-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    snap_a = base.where(F.col("o_orderkey") % 13 != 0)
+    snap_b = base.where(F.col("o_orderkey") % 17 != 0).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.where(
+        F.col("b.o_orderkey").isNull()
+        | F.col("a.o_orderkey").isNull()
+        | (F.col("a.price_cents") != F.col("b.price_cents"))
+        | (F.col("a.o_custkey") != F.col("b.o_custkey"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.o_orderkey").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("a.price_cents").alias("old_price_cents"),
+        F.col("b.price_cents").alias("new_price_cents"),
+    )
+
+
+@register(
+    "domain_mix_weights",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')))
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_langs FROM per_lang
+)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(LEAST(n_tokens, total_tokens // n_langs) AS BIGINT)
+         AS planned_tokens,
+       ROUND(CAST(LEAST(n_tokens, total_tokens // n_langs) AS DOUBLE)
+             / n_tokens, 6) AS sample_weight
+FROM per_lang CROSS JOIN tot
+""",
+    doc="[beyond-ref] per-language sampling allocation toward a uniform "
+    "token budget (SURVEY §2.10)",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation per language for corpus mixing.
+
+    Each language may contribute at most ``total_tokens // n_langs``
+    tokens (integer arithmetic — bit-identical across engines);
+    over-represented languages get a down-sampling weight, the rest
+    keep weight 1.0. The corpus-wide total joins back via a 1-row
+    broadcast cross join (the tfidf_tokens pattern) — no driver-side
+    ``collect`` splitting the plan in two.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    planned = F.least(
+        F.col("n_tokens"),
+        F.floor(F.col("total_tokens") / F.col("n_langs")).cast("long"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            planned.cast("long").alias("planned_tokens"),
+            F.round(
+                planned.cast("double") / F.col("n_tokens"), 6
+            ).alias("sample_weight"),
+        )
+    )

@@ -154,3 +154,4 @@ def oracle_map() -> dict[str, str]:
 from . import star_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401

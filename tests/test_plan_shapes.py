@@ -42,3 +42,26 @@ def test_no_shuffle_in_pure_projection(spark):
 def test_semi_anti_join_physical(spark):
     plan = _plan(spark, "semi_anti_join")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_repetition_filter_is_narrow(spark):
+    # The Gopher repetition stats must stay a zero-shuffle narrow plan
+    # (in-row array sort + aggregate), never the explode+groupBy shape.
+    plan = _plan(spark, "repetition_filter")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert plan.startswith("*(")  # whole-stage codegen root
+
+
+def test_passage_dedup_shuffles_hashes_not_text(spark):
+    # Only (doc_id, chunk_hash) may cross an exchange; document text
+    # must stay inside the scan stage. Check the partitioning spec on
+    # the Exchange node itself (its subtree below legitimately computes
+    # hashes FROM text pre-shuffle).
+    plan = _plan(spark, "passage_dedup_stats")
+    exchanges = [
+        part.split("\n", 1)[0] for part in plan.split("Exchange")[1:]
+    ]
+    assert exchanges, "expected at least one shuffle in the dedup plan"
+    for spec in exchanges:
+        assert "text#" not in spec, f"document text crosses a shuffle: {spec}"
