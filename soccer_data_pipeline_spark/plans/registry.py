@@ -79,7 +79,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rolling_avg_events",
     "lag_prev_order",
     "cumulative_customer_spend",
-    "first_per_key",
     "set_ops_nations",
     "latest_version_per_key",
     "filter_project_lineitem",
@@ -87,8 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "json_extract_events",
     "scalar_functions_combined",
     "agg_functions_combined",
-    # SQL surface (spark.sql parity: CTE, lateral, named window, grouping sets)
-    "sql_agg_orders",
+    # SQL surface (spark.sql parity: CTE, lateral, grouping sets)
     "sql_cte_topn",
     "sql_tpch_q3_shape",
     "sql_lateral_topn",
@@ -125,12 +123,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_sequences",
     "pii_scrub",
     "approx_distinct_gate",
-    # incremental ingest (§2.9): supersedence resolution gets the hard row;
-    # sql_named_window cedes its slot (pure syntax over the WindowExec the
-    # window already checks five other ways) and stays locally oracle-tested
+    # incremental ingest (§2.9): supersedence resolution + quarantine
+    # routing get the hard rows (P5-P9/S10 were golden-test-only in r2)
     "staging_supersedence",
+    "quarantine_routing",
+    # snapshot CDC diff — the only CDC-family representative
+    "snapshot_diff",
     "corpus_clean_decisions",
 )
+
+# Slot ledger (window = 50): sql_named_window ceded in r3a (pure syntax
+# over a WindowExec checked five other ways); first_per_key ceded here
+# (top-1-per-key family keeps topk_orders_per_customer AND
+# latest_version_per_key in-window); sql_agg_orders ceded here (plain
+# GROUP BY via spark.sql, superset-checked by sql_tpch_q3_shape +
+# sql_grouping_sets). All demoted queries keep full local DuckDB-oracle
+# coverage in tests/test_registry_oracle.py.
 
 
 def _ordered_names() -> list[str]:

@@ -47,6 +47,8 @@ FAMILY_REPRESENTATIVES = {
     "pii": "pii_scrub",
     "sketch_gate": "approx_distinct_gate",
     "supersedence": "staging_supersedence",
+    "quarantine": "quarantine_routing",
+    "cdc_diff": "snapshot_diff",
     "corpus_clean": "corpus_clean_decisions",
 }
 
