@@ -72,6 +72,7 @@ HEADLINE = [
     "repetition_filter",
     "passage_dedup_stats",
     "snapshot_diff",
+    "scd2_history",
     "domain_mix_weights",
     "corpus_clean_decisions",
 ]

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import register
@@ -356,4 +357,86 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 planned.cast("double") / F.col("n_tokens"), 6
             ).alias("sample_weight"),
         )
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+WITH log AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts,
+         MAX_BY(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY 1, 2
+),
+flagged AS (
+  SELECT custkey, ts, priority,
+         LAG(priority) OVER (PARTITION BY custkey ORDER BY ts) AS prev
+  FROM log
+),
+changes AS (
+  SELECT custkey, ts, priority FROM flagged
+  WHERE prev IS NULL OR prev <> priority
+)
+SELECT custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       EPOCH_US(ts) AS valid_from_us,
+       EPOCH_US(LEAD(ts) OVER w) AS valid_to_us,
+       priority,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY custkey ORDER BY ts)
+""",
+    doc="[beyond-ref] SCD type-2 dimension history build from a change "
+    "log (single shuffle; warehouse family, SURVEY §2.9)",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change log.
+
+    ``orders`` acts as the change stream for each customer's tracked
+    attribute (``o_orderpriority``): same-timestamp ties resolve to the
+    highest ``o_orderkey``, consecutive equal values compress into one
+    version, and each version gets ``[valid_from, valid_to)`` bounds
+    (epoch-µs — cross-engine-stable timestamp encoding) plus an
+    ``is_current`` flag on the open-ended last version.
+
+    Scale shape: ONE hash shuffle on ``custkey``. The tie-break dedup,
+    the change-compression lag, and the version/validity windows all
+    partition on the same key, and filters preserve both partitioning
+    and sort order — so Catalyst plans a single Exchange + sort with
+    three WindowExec passes on top (asserted by a plan-shape test).
+    Per-key history is bounded (a customer's order count), so no
+    single-task skew at 100 TB; contrast the groupBy-then-window
+    formulation, which would shuffle twice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        # NTZ → session-UTC timestamp so unix_micros resolves (loader
+        # pins spark.sql.session.timeZone=UTC; same instant in DuckDB)
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    # tie-break: first row per (custkey, ts) under orderkey-desc sort
+    w_tie = Window.partitionBy("custkey").orderBy(
+        F.col("ts").asc(), F.col("o_orderkey").desc()
+    )
+    dedup = log.withColumn("prev_ts", F.lag("ts").over(w_tie)).where(
+        F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts"))
+    )
+    w_ts = Window.partitionBy("custkey").orderBy("ts")
+    changes = dedup.withColumn(
+        "prev_priority", F.lag("priority").over(w_ts)
+    ).where(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("priority"))
+    )
+    nxt = F.lead("ts").over(w_ts)
+    return changes.select(
+        "custkey",
+        F.row_number().over(w_ts).cast("long").alias("version"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        "priority",
+        nxt.isNull().alias("is_current"),
     )

@@ -53,6 +53,17 @@ def test_repetition_filter_is_narrow(spark):
     assert plan.startswith("*(")  # whole-stage codegen root
 
 
+def test_scd2_history_single_shuffle(spark):
+    # Tie-break dedup, change-compression lag, and version/validity
+    # windows all partition on custkey; filters preserve partitioning
+    # and sort, so the whole SCD2 build must plan as ONE Exchange +
+    # one Sort with three WindowExec passes stacked on it.
+    plan = _plan(spark, "scd2_history")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 3
+    assert plan.count("Sort") == 1
+
+
 def test_passage_dedup_shuffles_hashes_not_text(spark):
     # Only (doc_id, chunk_hash) may cross an exchange; document text
     # must stay inside the scan stage. Check the partitioning spec on
