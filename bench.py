@@ -74,6 +74,10 @@ HEADLINE = [
     "snapshot_diff",
     "scd2_history",
     "domain_mix_weights",
+    "merge_upsert_orders",
+    "fuzzy_levenshtein_pairs",
+    "event_funnel",
+    "cohort_retention",
     "corpus_clean_decisions",
 ]
 

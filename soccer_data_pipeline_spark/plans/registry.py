@@ -78,7 +78,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "champion_per_segment",
     "rolling_avg_events",
     "lag_prev_order",
-    "cumulative_customer_spend",
     "set_ops_nations",
     "latest_version_per_key",
     "filter_project_lineitem",
@@ -86,8 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "json_extract_events",
     "scalar_functions_combined",
     "agg_functions_combined",
-    # SQL surface (spark.sql parity: CTE, lateral, grouping sets)
-    "sql_cte_topn",
+    # SQL surface (spark.sql parity: lateral, grouping sets, TPC-H text)
     "sql_tpch_q3_shape",
     "sql_lateral_topn",
     "sql_grouping_sets",
@@ -104,12 +102,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_count_bpe",
     "tfidf_tokens",
     "rolling_hash_fingerprint",
-    # dedup tiers (exact, MinHash+LSH, clusters, SimHash, n-gram Jaccard)
+    # dedup tiers (exact, MinHash+LSH, clusters, SimHash, n-gram
+    # Jaccard, character edit-distance)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_clusters",
     "dedup_simhash_groups",
     "ngram_jaccard_pairs",
+    "fuzzy_levenshtein_pairs",
     # similarity search (LSH-blocked near-dup, ANN recall gates)
     "embedding_near_dup",
     "similarity_ann_recall",
@@ -118,7 +118,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_binary_stats",
     # training-data tier
     "train_val_test_split",
-    "stratified_sample_docs",
     "benchmark_contamination",
     "pack_sequences",
     "pii_scrub",
@@ -127,8 +126,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # routing get the hard rows (P5-P9/S10 were golden-test-only in r2)
     "staging_supersedence",
     "quarantine_routing",
-    # snapshot CDC diff — the only CDC-family representative
+    # CDC family: detect (snapshot_diff) and apply (MERGE upsert)
     "snapshot_diff",
+    "merge_upsert_orders",
+    # event-sequence analytics (funnel; cohort_retention is same-family
+    # local coverage)
+    "event_funnel",
     "corpus_clean_decisions",
 )
 
@@ -137,8 +140,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (top-1-per-key family keeps topk_orders_per_customer AND
 # latest_version_per_key in-window); sql_agg_orders ceded here (plain
 # GROUP BY via spark.sql, superset-checked by sql_tpch_q3_shape +
-# sql_grouping_sets). All demoted queries keep full local DuckDB-oracle
-# coverage in tests/test_registry_oracle.py.
+# sql_grouping_sets). Round-3c swaps (new operator families >
+# family-redundant variants): sql_cte_topn ceded (SQL surface keeps 3
+# reps; CTE text also exercised by corpus_clean's recursive oracle),
+# cumulative_customer_spend ceded (running-window family keeps W2
+# rolling_avg_events + W3 lag_prev_order; W4 stays local), and
+# stratified_sample_docs ceded (same md5-bucket mechanism as in-window
+# train_val_test_split) — freeing slots for fuzzy_levenshtein_pairs
+# (edit-distance dedup tier), merge_upsert_orders (MERGE/upsert), and
+# event_funnel (sequence analytics). All demoted queries keep full
+# local DuckDB-oracle coverage in tests/test_registry_oracle.py.
 
 
 def _ordered_names() -> list[str]:
@@ -163,3 +174,4 @@ from . import star_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import curation_queries  # noqa: E402,F401
+from . import warehouse_queries  # noqa: E402,F401

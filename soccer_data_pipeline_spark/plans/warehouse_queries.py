@@ -1,0 +1,350 @@
+"""[beyond-ref] Warehouse-maintenance and event-analytics operators.
+
+Round-3 additions: the remaining "a user of a warehouse engine would
+expect this" surface, each designed for the 100 TB shape first:
+
+- ``merge_upsert_orders`` — MERGE INTO semantics (upsert): one
+  co-partitioned full-outer join on the key applies a batch of
+  updates + inserts to a snapshot. Complements ``snapshot_diff``
+  (which *detects* changes; this *applies* them) and ``scd2_history``
+  (which *records* them).
+- ``fuzzy_levenshtein_pairs`` — edit-distance near-dup tier. The
+  dedup ladder so far is exact / MinHash / SimHash / n-gram /
+  embedding; this adds the character-level tier used for short keys
+  (titles, names). Blocking = (first char, length bucket ± 1) so the
+  pair space is bucket-bounded, never O(n²); the ±1 bucket overlap is
+  realized as a narrow explode on one side feeding an equi-join —
+  Catalyst plans a plain shuffled hash join, no range/theta join.
+- ``event_funnel`` — strict-order funnel (view → click → purchase):
+  every aggregation and join keys on ``user_id``, so the whole plan
+  re-uses ONE hash partitioning; AQE coalesces the co-partitioned
+  stages.
+- ``cohort_retention`` — weekly cohort × week-offset retention
+  counts. Weeks are integer epoch-week numbers (``epoch_us div
+  604800e6``) — pure integer arithmetic, bit-identical across
+  engines, no date-truncation semantics to disagree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS price_cents
+  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.price_cents, t.price_cents) AS price_cents,
+       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'keep'
+            ELSE 'update' END AS merge_op
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+""",
+    doc="[beyond-ref] MERGE INTO / upsert via one co-partitioned "
+    "full-outer join (warehouse family, SURVEY §2.9)",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an update/insert batch to a snapshot — MERGE semantics.
+
+    Target = ``orders`` minus the mod-13 keys; source = the mod-7
+    price corrections plus the mod-13 keys as inserts (deterministic,
+    reproducible across engines). WHEN MATCHED → take source values
+    (``merge_op = 'update'``); WHEN NOT MATCHED BY SOURCE → keep
+    (``'keep'``); WHEN NOT MATCHED BY TARGET → insert (``'insert'``).
+
+    Scale shape: ONE full-outer sort-merge join, both sides
+    hash-partitioned on the merge key — the same single-shuffle plan
+    Delta/Iceberg MERGE compiles to for the matched-scan phase. With
+    the target bucketed on the key (``sinks.write_bucketed_table``)
+    the target side doesn't shuffle at all; the source batch (usually
+    ≪ target) is the only moved data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    target = base.where(F.col("o_orderkey") % 13 != 0).alias("t")
+    source = (
+        base.where((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0))
+        .withColumn("price_cents", F.col("price_cents") + 500)
+        .alias("s")
+    )
+    joined = target.join(
+        source, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("s.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("s.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("s.price_cents"), F.col("t.price_cents")).alias(
+            "price_cents"
+        ),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("s.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_op"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy dedup
+# ---------------------------------------------------------------------------
+
+PFX = 60  # compare the first PFX chars (title-/name-sized keys)
+LEN_BUCKET = 8  # length-bucket width for blocking
+MAX_EDITS = 4
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle=f"""
+WITH keys AS (
+  SELECT doc_id, SUBSTR(text, 1, {PFX}) AS pfx,
+         SUBSTR(text, 1, 1) AS c0,
+         LEN(SUBSTR(text, 1, {PFX})) // {LEN_BUCKET} AS bk
+  FROM documents WHERE LEN(text) >= 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEVENSHTEIN(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM keys a JOIN keys b
+  ON a.c0 = b.c0 AND ABS(a.bk - b.bk) <= 1 AND a.doc_id < b.doc_id
+WHERE LEVENSHTEIN(a.pfx, b.pfx) <= {MAX_EDITS}
+""",
+    doc="[beyond-ref] edit-distance near-dup pairs with (first-char, "
+    "length-bucket ±1) blocking (dedup tier, SURVEY §2.10)",
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: ``levenshtein(prefix) <= 4``.
+
+    The operator is *defined* over blocked candidates — pairs sharing
+    the first character whose prefix-length buckets differ by at most
+    one (an edit-distance-≤4 pair can't differ by ≥8 chars in length,
+    so within-threshold pairs only escape a block on a first-char
+    edit; the blocking key is part of the operator contract, exactly
+    as in the MinHash/SimHash tiers). The oracle states the semantics
+    with an ``ABS(bk_a - bk_b) <= 1`` predicate; the Spark plan
+    realizes it as a pure EQUI-join — the left side emits its bucket
+    three times (``bk - 1``, ``bk``, ``bk + 1``) via a narrow explode
+    and the right side keeps its single bucket, so every Δ ∈
+    {-1, 0, +1} pair meets in exactly one hash partition and Catalyst
+    plans a shuffled hash join, never a nested-loop/theta join
+    (asserted by a plan-shape test). The three probe values are
+    distinct, so each qualifying pair matches exactly once — no
+    dedup pass needed.
+
+    Scale shape: pair count is bounded per (c0, bucket) block, and the
+    expensive ``levenshtein`` (JVM codegen, O(PFX²) worst case) runs
+    only on candidates that survived blocking. At 100 TB the hot-block
+    guard from the LSH tier (``operators/dedup.cap_bucket_size``)
+    composes in front unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.where(F.length("text") >= 1).select(
+        "doc_id",
+        F.substring("text", 1, PFX).alias("pfx"),
+        F.substring("text", 1, 1).alias("c0"),
+        F.floor(F.length(F.substring("text", 1, PFX)) / LEN_BUCKET).alias("bk"),
+    )
+    left = keys.select(
+        "doc_id",
+        "pfx",
+        "c0",
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("jk"),
+    ).alias("a")
+    right = keys.withColumnRenamed("bk", "jk").alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.c0") == F.col("b.c0"))
+        & (F.col("a.jk") == F.col("b.jk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pfx").alias("pfx_a"),
+        F.col("b.pfx").alias("pfx_b"),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return pairs.where(dist <= MAX_EDITS).select(
+        "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       EPOCH_US(v.vt) AS view_us,
+       EPOCH_US(c.ct) AS click_us,
+       EPOCH_US(p.pt) AS purchase_us,
+       CAST(1 + (c.ct IS NOT NULL)::INT + (p.pt IS NOT NULL)::INT AS BIGINT)
+         AS funnel_depth,
+       (p.pt IS NOT NULL) AS converted,
+       EPOCH_US(p.pt) - EPOCH_US(v.vt) AS time_to_convert_us
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    doc="[beyond-ref] strict-order view→click→purchase funnel, all "
+    "stages co-partitioned on user_id (SURVEY §2.10 analytics)",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: first view, first click *after* that view,
+    first purchase *after* that click, per user.
+
+    Scale shape: three conditional min-aggregations and two left
+    joins, every one keyed on ``user_id`` — the plan settles into one
+    hash partitioning that every stage re-uses (AQE coalesces the
+    co-partitioned exchanges), and each per-stage aggregate is
+    map-side partial before the shuffle. Per-user state is three
+    timestamps regardless of event volume, so no skew amplification:
+    a hot user costs one partial-agg cell per map task, not a
+    serialized event list.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    depth = (
+        F.lit(1)
+        + F.col("ct").isNotNull().cast("int")
+        + F.col("pt").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("vt").alias("view_us"),
+        F.unix_micros("ct").alias("click_us"),
+        F.unix_micros("pt").alias("purchase_us"),
+        depth.cast("long").alias("funnel_depth"),
+        F.col("pt").isNotNull().alias("converted"),
+        (F.unix_micros("pt") - F.unix_micros("vt")).alias("time_to_convert_us"),
+    )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+WITH act AS (
+  SELECT user_id, EPOCH_US(ts) // {WEEK_US} AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT a.user_id, c.cohort_week, a.week - c.cohort_week AS week_offset
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week
+)
+SELECT cells.cohort_week, cells.week_offset,
+       COUNT(*) AS active_users,
+       sizes.cohort_size,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.cohort_size, 6) AS retention
+FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+GROUP BY cells.cohort_week, cells.week_offset, sizes.cohort_size
+""",
+    doc="[beyond-ref] weekly cohort × offset retention matrix, integer "
+    "epoch-week bucketing (SURVEY §2.10 analytics)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort retention: users grouped by first-active week,
+    counted per week-offset of later activity.
+
+    Weeks are integer epoch-week numbers (``epoch_us div 604800e6``) —
+    no engine-specific week-truncation semantics (ISO vs US week
+    start) to diverge on. Scale shape: the cohort assignment is a
+    min-aggregate on ``user_id``; activity cells re-join on the same
+    key (co-partitioned); the final matrix groupBy is tiny
+    (cohorts × offsets). Event volume per user collapses to distinct
+    (user, week) cells at the first aggregate, so hot users are
+    bounded by the calendar, not their event count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    cells = act.join(cohort, "user_id").select(
+        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    )
+    return (
+        cells.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

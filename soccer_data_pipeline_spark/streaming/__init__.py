@@ -1,4 +1,5 @@
 from .incremental import run_incremental_etl
+from .joins import streaming_interval_join
 from .windows import streaming_dedup, streaming_session_agg, streaming_tumbling_agg
 
 __all__ = [

@@ -76,3 +76,22 @@ def test_passage_dedup_shuffles_hashes_not_text(spark):
     assert exchanges, "expected at least one shuffle in the dedup plan"
     for spec in exchanges:
         assert "text#" not in spec, f"document text crosses a shuffle: {spec}"
+
+
+def test_fuzzy_levenshtein_equi_join(spark):
+    # The ±1 length-bucket blocking must compile to a shuffled/broadcast
+    # HASH join via the 3-element bucket explode — never a theta join
+    # (BroadcastNestedLoop / Cartesian), which would be all-pairs at scale.
+    plan = _plan(spark, "fuzzy_levenshtein_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_merge_upsert_single_join(spark):
+    # MERGE = ONE full-outer join on the key: no nested-loop fallback,
+    # and exactly one join operator in the whole plan.
+    plan = _plan(spark, "merge_upsert_orders")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 1

@@ -36,12 +36,15 @@ FAMILY_REPRESENTATIVES = {
     "dedup_cc": "dedup_connected_clusters",
     "dedup_simhash": "dedup_simhash_groups",
     "dedup_ngram": "ngram_jaccard_pairs",
+    "dedup_editdist": "fuzzy_levenshtein_pairs",
     "similarity_near_dup": "embedding_near_dup",
     "similarity_ann": "similarity_ann_recall",
     "similarity_ivf": "similarity_ivf_recall",
     "multimodal": "multimodal_binary_stats",
     "split": "train_val_test_split",
-    "sampling": "stratified_sample_docs",
+    # sampling: stratified_sample_docs ceded its slot in r3c — the
+    # md5-bucket mechanism is represented in-window by the split query
+    "sampling": "train_val_test_split",
     "contamination": "benchmark_contamination",
     "packing": "pack_sequences",
     "pii": "pii_scrub",
@@ -49,6 +52,8 @@ FAMILY_REPRESENTATIVES = {
     "supersedence": "staging_supersedence",
     "quarantine": "quarantine_routing",
     "cdc_diff": "snapshot_diff",
+    "merge_upsert": "merge_upsert_orders",
+    "funnel": "event_funnel",
     "corpus_clean": "corpus_clean_decisions",
 }
 

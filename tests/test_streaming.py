@@ -261,3 +261,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_out")
     assert got.count() == events.count()
     assert got.distinct().count() == events.count()
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join (view->click within 10
+    min per user) must emit exactly the batch inner-join result when
+    driven to completion with AvailableNow."""
+    from soccer_data_pipeline_spark.sources import load_table
+    from soccer_data_pipeline_spark.streaming import streaming_interval_join
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    views = events.where(F.col("event_type") == "view")
+    clicks = events.where(F.col("event_type") == "click")
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+
+    schema = spark.read.parquet(vdir).schema
+    sv = spark.readStream.schema(schema).parquet(vdir)
+    sc = spark.readStream.schema(schema).parquet(cdir)
+    q = (
+        streaming_interval_join(sv, sc)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+
+    v = views.select(
+        F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    want = {
+        tuple(r)
+        for r in v.join(c, "user_id")
+        .where(
+            (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes"))
+        )
+        .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+        .collect()
+    }
+    assert want, "batch ground truth unexpectedly empty"
+    assert got == want
