@@ -76,6 +76,7 @@ HEADLINE = [
     "domain_mix_weights",
     "merge_upsert_orders",
     "fuzzy_levenshtein_pairs",
+    "zorder_layout_keys",
     "event_funnel",
     "cohort_retention",
     "corpus_clean_decisions",

@@ -180,3 +180,27 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def write_zorder_layout(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16, n_files: int = 8
+) -> None:
+    """Z-ordered parquet layout: range-partition + sort on the Morton
+    interleave of ``cols`` so every written file covers a narrow
+    min/max band in EVERY listed dimension — multi-dimensional parquet
+    skipping (the ``OPTIMIZE ZORDER BY`` layout, functions/zorder.py).
+    One range shuffle; the interleave itself is narrow bit arithmetic
+    over min-max-scaled dimensions (``functions/zorder.with_zvalue`` —
+    unscaled dims of unequal magnitude would degenerate to a 1-dim
+    sort on the widest one).
+    """
+    from ..functions.zorder import with_zvalue
+
+    (
+        with_zvalue(df, cols, bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
