@@ -12,6 +12,7 @@ plan construction.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -83,6 +84,25 @@ HEADLINE = [
 ]
 
 
+def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
+    """Latest committed BENCH_r*.json with a parsed query dict at the
+    SAME scale factor — the baseline for the vs_prev regression diff;
+    cross-sf ratios would be meaningless. ('', {}) if none."""
+    best = ("", {})
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(path)).get("parsed")
+        except Exception:
+            continue
+        if (
+            isinstance(parsed, dict)
+            and isinstance(parsed.get("queries"), dict)
+            and abs(float(parsed.get("sf", -1)) - sf) < 1e-9
+        ):
+            best = (os.path.basename(path), parsed["queries"])
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -106,10 +126,17 @@ def main() -> None:
     # not first-touch overheads.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # No clearCache() between queries: operators own their caches now
-    # (operators/cache.py) — internal persists are released before each
-    # operator returns, so a long-lived session accumulates nothing and
-    # the suite runs the way a library caller would experience it.
+    # Deterministic cache lifecycle: operators release their internal
+    # persists before returning (operators/cache.py), and the bench
+    # releases any remaining GC-owned checkpoint blocks at every query
+    # boundary — the r3 suite measured a 2× slowdown from letting those
+    # accumulate across 57 queries. The post-release assertion makes a
+    # future leak a loud failure, not silent drift.
+    from soccer_data_pipeline_spark.operators.cache import (
+        persistent_rdd_ids,
+        release_session_blocks,
+    )
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -123,13 +150,18 @@ def main() -> None:
             spec.fn(spark, sf_dir).count()
             samples = []
             for _ in range(n_runs):
+                release_session_blocks(spark)
                 t0 = time.perf_counter()
                 n = spec.fn(spark, sf_dir).count()
                 samples.append(time.perf_counter() - t0)
         except Exception as exc:  # a failing query must not kill the suite
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             timings[name] = -1.0
+            release_session_blocks(spark)
             continue
+        released = release_session_blocks(spark)
+        leftover = persistent_rdd_ids(spark)
+        assert not leftover, f"block manager not clean after {name}: {leftover}"
         # median of n_runs: sub-second deltas between rounds are only
         # interpretable against the recorded run-to-run spread
         samples.sort()
@@ -137,29 +169,82 @@ def main() -> None:
         spread[name] = round(samples[-1] - samples[0], 4)
         print(
             f"# {name}: median {timings[name]:.3f}s "
-            f"(spread {spread[name]:.3f}s over {n_runs} runs, {n} rows)",
+            f"(spread {spread[name]:.3f}s over {n_runs} runs, {n} rows, "
+            f"{released} blocks released)",
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "spread_sec": spread,
-                "variance_note": (
-                    "per-query values are medians of runs_per_query timed runs "
-                    "after one warmup; spread_sec is max-min per query — deltas "
-                    "within spread are noise, not regressions"
-                ),
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    failed = sorted(k for k, v in timings.items() if v < 0)
+
+    # vs_prev: per-query regression diff against the last round's
+    # recorded medians, so a 9× regression is a loud line at bench time
+    # instead of a judge finding a round later (VERDICT r3 item 7).
+    prev_name, prev = _prev_round_medians(sf)
+    regressions: dict[str, float] = {}
+    fixed: list[str] = []
+    prev_total = 0.0
+    shared_cur = shared_prev = 0.0
+    for q, cur in timings.items():
+        p = prev.get(q, 0.0)
+        if p and p > 0:
+            prev_total += p
+            if cur > 0:
+                shared_cur += cur
+                shared_prev += p
+                ratio = cur / p
+                sp = spread.get(q, 0.0)
+                if ratio > 1.3 and cur - p > sp:
+                    regressions[q] = round(ratio, 2)
+                    print(
+                        f"# REGRESSION {q}: {p:.3f}s -> {cur:.3f}s "
+                        f"({ratio:.2f}x, spread {sp:.3f}s)",
+                        file=sys.stderr,
+                    )
+            elif cur < 0:
+                print(f"# BROKE {q}: ran in {prev_name}, fails now", file=sys.stderr)
+        elif p is not None and p < 0 and cur > 0:
+            fixed.append(q)
+    vs_prev = {
+        "ref": prev_name,
+        "shared_ratio": round(shared_cur / shared_prev, 3) if shared_prev else None,
+        "regr": regressions,
+        "fixed_count": len(fixed),
+    }
+
+    # Full-detail artifact on disk (spreads, fixed list, machine info);
+    # the stdout line must stay under the driver's 2000-char tail buffer
+    # or it is recorded truncated/unparseable (ADVICE r3, BENCH_r03).
+    detail = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+        "spread_sec": spread,
+        "failed": failed,
+        "vs_prev": {**vs_prev, "fixed": fixed},
+    }
+    detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    line_obj = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+        "vs_prev": vs_prev,
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1990:  # progressively slim to fit the tail buffer
+        line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line_obj["vs_prev"] = {"ref": prev_name, "shared_ratio": vs_prev["shared_ratio"]}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -25,7 +25,7 @@ users are in that class — their results are near-dup pair lists.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def materialize_owned(result: DataFrame, *owned: DataFrame) -> DataFrame:
@@ -38,8 +38,54 @@ def materialize_owned(result: DataFrame, *owned: DataFrame) -> DataFrame:
     returned DataFrame reads the checkpointed blocks; their lifetime is
     tied to the DataFrame object itself (ContextCleaner), not to the
     session catalog.
+
+    GC-ownership is *eventual*, not immediate: ContextCleaner only drops
+    the checkpoint blocks after the Python wrapper is collected AND the
+    JVM weak-reference queue drains — both asynchronous. A long-lived
+    session running many operators back-to-back accumulates blocks in
+    the interim (the r3 bench measured a 2× suite-wide slowdown from
+    exactly this). Callers with a unit-of-work boundary (per bench
+    query, per service request) should call
+    :func:`release_session_blocks` at that boundary for deterministic
+    release.
     """
     out = result.localCheckpoint(eager=True)
     for df in owned:
         df.unpersist()
     return out
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """IDs of every RDD currently persisted in the block manager —
+    catalog caches, operator persists, and localCheckpoint blocks."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def unpersist_ids(spark: SparkSession, ids: set[int]) -> int:
+    """Unpersist the given RDD ids (non-blocking); returns count."""
+    if not ids:
+        return 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for k in list(jmap.keySet().toArray()):
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+            n += 1
+    return n
+
+
+def release_session_blocks(spark: SparkSession) -> int:
+    """Deterministically drop EVERY persisted block in the session:
+    catalog caches and all persistent RDDs (including localCheckpoint
+    blocks backing already-dead DataFrames).
+
+    This is the caller-side lifecycle hook for long-lived sessions: call
+    it at a unit-of-work boundary where no DataFrame from previous work
+    is still live (bench calls it between queries; a query service would
+    call it between requests). Any still-live checkpointed DataFrame
+    becomes unusable after this — by contract there are none at the
+    boundary. Returns the number of RDDs unpersisted.
+    """
+    spark.catalog.clearCache()
+    return unpersist_ids(spark, persistent_rdd_ids(spark))

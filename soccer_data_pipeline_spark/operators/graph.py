@@ -53,13 +53,22 @@ def connected_components(
     und = und.cache()
     # localCheckpoint per round: truncates the logical lineage, which
     # otherwise grows exponentially across self-referencing rounds (the
-    # plan tree alone OOMs the driver past ~10 rounds).
+    # plan tree alone OOMs the driver past ~10 rounds). Each round's
+    # checkpoint supersedes the previous one; the stale blocks are
+    # unpersisted by id as soon as the new checkpoint materializes —
+    # waiting for GC-driven cleanup lets ~max_iters copies of the label
+    # table pile up in the block manager (r3's measured suite slowdown).
+    from .cache import persistent_rdd_ids, unpersist_ids
+
+    spark = edges.sparkSession
+    pre = persistent_rdd_ids(spark)
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    labels_blocks = persistent_rdd_ids(spark) - pre
     changed = 0
     for _ in range(max_iters):
         neighbor_min = (
@@ -67,6 +76,7 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        pre = persistent_rdd_ids(spark)
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -77,6 +87,10 @@ def connected_components(
             .localCheckpoint()
         )
         changed = updated.where(F.col("_changed")).count()
+        # the new checkpoint is materialized (eager) and lineage-free, so
+        # the previous round's blocks are garbage — drop them now
+        unpersist_ids(spark, labels_blocks)
+        labels_blocks = persistent_rdd_ids(spark) - pre
         labels = updated.drop("_changed")
         if changed == 0:
             break

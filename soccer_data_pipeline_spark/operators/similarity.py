@@ -171,14 +171,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    model=None,
+    fit_sample_rows: int | None = None,
 ):
     """IVF (inverted-file) ANN: k-means coarse quantizer → candidates
     are searched only in the query's ``n_probe`` nearest cells.
 
     The scale path the FAISS-style IVF index uses, expressed on Spark:
 
-    1. fit KMeans on (a sample of) the candidate vectors — the only
-       iterative step, run once per corpus build, not per query;
+    1. fit KMeans on a bounded SAMPLE of the candidate vectors — the
+       quantizer only needs the cluster geometry, which ~256 points per
+       centroid capture (FAISS trains on exactly such a sample); a
+       full-corpus fit at 100 TB is both unaffordable and unnecessary.
+       This is the only iterative step, run once per corpus build, not
+       per query — pass the returned ``model`` back in to skip it;
     2. assign every candidate to its nearest centroid (one narrow
        pass, broadcast centroids);
     3. per query, rank centroids and probe the top ``n_probe`` cells
@@ -197,8 +203,16 @@ def ivf_topk(
         .withColumn("cn", _norm(F.col("cv")))
         .withColumn("features", array_to_vector("cv"))
     )
-    km = KMeans(k=n_centroids, seed=seed, maxIter=20)
-    model = km.fit(cand.select("features"))
+    if model is None:
+        target = fit_sample_rows or 256 * n_centroids
+        n_cand = candidates.select(id_col).count()
+        fit_df = cand.select("features")
+        if n_cand > target:
+            # seeded Bernoulli sample → deterministic per corpus; 1.2×
+            # headroom keeps the expected sample above target
+            fit_df = fit_df.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
+        km = KMeans(k=n_centroids, seed=seed, maxIter=20)
+        model = km.fit(fit_df)
     assigned = model.transform(cand).select(
         "candidate_id", "cv", "cn", F.col("prediction").alias("cell")
     )

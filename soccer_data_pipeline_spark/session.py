@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # ContextCleaner only reclaims dropped checkpoint/cache blocks
+        # after a JVM GC notices the dead references; the default 30min
+        # periodic GC lets a busy session accumulate blocks far longer
+        # than any query runs. 1min bounds that drift for callers who
+        # don't release explicitly (operators/cache.py has the hook).
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
