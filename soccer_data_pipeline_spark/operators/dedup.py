@@ -43,10 +43,20 @@ def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """doc_id → distinct word n-gram shingles, JVM-side only.
+    """doc_id → distinct word n-gram shingles, fully narrow.
 
-    ``transform`` over an index sequence builds the n-grams inside one
-    projection — narrow, no shuffle until the caller aggregates.
+    Distinctness is per (doc_id, shingle) — exactly within-doc — so
+    ``array_distinct`` before the explode replaces the corpus-wide
+    ``.distinct()`` shuffle the r1-r3 form paid: the whole stage is
+    zero-shuffle.
+
+    PLAN TRAP (measured 6×): the array expression MUST be fused into
+    the explode's select. If the array is aliased in one projection and
+    exploded in the next, ``InferFiltersFromGenerate`` + predicate
+    pushdown inline the whole shingle expression into a ``size(...) >
+    0`` filter below the alias, re-running parse+transform+distinct per
+    row a second time. Keep the Generate's input as the full expression
+    and the rule leaves it alone.
     """
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     idx = F.sequence(F.lit(0), F.size("toks") - n)
@@ -56,28 +66,42 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     return (
         docs.select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= n)
-        .select("doc_id", F.explode(F.transform(idx, gram)).alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform(idx, gram))).alias("shingle"),
+        )
+    )
+
+
+def _hash_pair(shingle_col):
+    """ONE md5 per shingle provides two independent 48-bit halves
+    (hex chars 1-12 and 13-24) — the double-hashing base; no modular
+    arithmetic (i·h2 < 2^52, sums stay well under int64 and are
+    engine-portable)."""
+    md5h = F.md5(shingle_col.cast("binary"))
+    return F.struct(
+        F.conv(F.substring(md5h, 1, HEX_LEN), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5h, HEX_LEN + 1, HEX_LEN), 16, 10)
+        .cast("long")
+        .alias("h2"),
     )
 
 
 def minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
-    """doc_id, h0..h{k-1}: MinHash signature via double hashing.
+    """doc_id, h0..h{k-1}: MinHash signature via double hashing over the
+    exploded (doc_id, shingle) form.
 
-    ONE md5 per shingle provides two independent 48-bit halves
-    (hex chars 1-12 and 13-24); family i is ``h1 + i·h2``
-    (Kirsch-Mitzenmacher) — k families for one hash evaluation, no
-    modular arithmetic (i·h2 < 2^52, sums stay well under int64 and
-    are engine-portable). Only shuffle: the groupBy(doc_id).
+    The groupBy(doc_id) runs inside whole-stage codegen with map-side
+    partial aggregation, and a doc's exploded shingles stay within one
+    partition — so the shuffle carries ONE ~136-byte row per doc, not
+    the shingle table. (An all-narrow ``array_min``-over-HOF variant
+    was measured 4× SLOWER here: per-family array traversals are
+    interpreted, losing codegen — the agg form is the right shape both
+    locally and at 100 TB.)
     """
-    md5h = F.md5(F.col("shingle").cast("binary"))
-    h1 = F.conv(F.substring(md5h, 1, HEX_LEN), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5h, HEX_LEN + 1, HEX_LEN), 16, 10).cast("long")
-    with_h = shingled.select(
-        "doc_id", h1.alias("_h1"), h2.alias("_h2")
-    )
+    with_h = shingled.select("doc_id", _hash_pair(F.col("shingle")).alias("_h"))
     aggs = [
-        F.min(F.col("_h1") + i * F.col("_h2")).alias(f"h{i}") for i in range(k)
+        F.min(F.col("_h.h1") + i * F.col("_h.h2")).alias(f"h{i}") for i in range(k)
     ]
     return with_h.groupBy("doc_id").agg(*aggs)
 
@@ -136,13 +160,18 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    candidates: DataFrame, shingled: DataFrame, threshold: float = 0.5
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (LSH prunes the rest).
 
-    Shingle co-counts come from a shingle-key join restricted to
-    candidate docs (semi-join pushes the candidate filter into the
-    scan side before the wide join).
+    Takes the raw docs: the candidate-doc semi-join runs on one row per
+    doc BEFORE any shingling, so only candidate docs (≪ corpus) are
+    ever parsed/exploded on the verify path — the doc_id semi-join
+    pushes into the scan.
     """
     from .cache import materialize_owned
 
@@ -151,33 +180,44 @@ def verify_jaccard(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    # Cache the semi-joined shingle table: it is candidate-docs-only
-    # (near-dup candidates ≪ corpus, so this is small by construction)
-    # and consumed three times below (counts + both self-join sides) —
-    # uncached, each consumer re-runs the full corpus-wide shingle
-    # explode just to throw most of it away at the semi-join. The cache
-    # is operator-owned: released via materialize_owned before return.
-    sh = shingled.join(cand_docs, "doc_id", "left_semi").cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .join(candidates, ["doc_a", "doc_b"], "inner")
+    # Shingle ARRAYS for candidate docs only (semi-join before any
+    # parsing), kept un-exploded: Jaccard is then pair-local —
+    # array_intersect on the two shingle sets per candidate pair — with
+    # no shingle-key self-join, no co-count aggregation, and no count
+    # re-joins (the r3 formulation spent ~6 extra stages on those).
+    # The table is candidate-docs-only (near-dup candidates ≪ corpus,
+    # small by construction), consumed twice (both join sides) →
+    # operator-owned cache, released via materialize_owned.
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.size("toks") - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    arrs = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", F.array_distinct(F.transform(idx, gram)).alias("sh"))
+        .cache()
+    )
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sha"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_shb"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     out = (
-        co.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("n_common"),
+            F.size("_sha").cast("long").alias("n_a"),
+            F.size("_shb").cast("long").alias("n_b"),
+        )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
-    return materialize_owned(out, sh)
+    return materialize_owned(out, arrs)
 
 
 def minhash_near_dup_pairs(
@@ -205,15 +245,28 @@ def minhash_near_dup_pairs(
     Cache ownership: verify_jaccard materializes its result eagerly, so
     by the time it returns the candidate cache has served all three
     consumers and is released here — no block-manager residue outlives
-    this call (operators/cache.py contract)."""
-    sh = shingles(docs, n=n)
-    sigs = minhash_signatures(sh, k=k)
+    this call (operators/cache.py contract).
+
+    Shuffle budget (the 100 TB shape): shingling is narrow
+    (array_distinct replaces the r1-r3 corpus-wide distinct shuffle of
+    full shingle strings), the signature agg shuffles one row per doc
+    (map-side combine), and the only remaining corpus-sized shuffle is
+    the banded self-join. Verify shingles candidate docs only."""
+    # The signature table is doc-count-sized (17 longs/doc — corpus row
+    # count, NOT corpus bytes) and lsh_candidate_pairs consumes it four
+    # times (hot-bucket agg, anti-join probe, both self-join sides).
+    # Without a materialization boundary each consumer re-runs the full
+    # parse→shingle→hash pipeline; the r1-r3 plan got that boundary by
+    # accident from its distinct-shuffle (ReuseExchange), the narrow
+    # shingle form needs it explicitly. Operator-owned, released below.
+    sigs = minhash_signatures(shingles(docs, n=n), k=k).cache()
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=k // bands, max_bucket_size=max_bucket_size
     )
     if reuse_candidates:
         cands = cands.cache()
-    out = verify_jaccard(cands, sh, threshold=threshold)
+    out = verify_jaccard(cands, docs, threshold=threshold, n=n)
+    sigs.unpersist()
     if reuse_candidates:
         cands.unpersist()
     return out
@@ -244,9 +297,13 @@ def ngram_jaccard(
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
     )
+    # distinctness is per (doc_id, shingle): array_distinct before the
+    # explode replaces the corpus-wide .distinct() shuffle — narrow
     shingled = with_toks.select(
-        "doc_id", block_col, F.explode(F.transform(idx, gram)).alias("shingle")
-    ).distinct()
+        "doc_id",
+        block_col,
+        F.explode(F.array_distinct(F.transform(idx, gram))).alias("shingle"),
+    )
     if max_df is not None:
         hot = (
             shingled.groupBy(block_col, "shingle")
