@@ -157,9 +157,13 @@ def main() -> None:
         except Exception as exc:  # a failing query must not kill the suite
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             timings[name] = -1.0
-            release_session_blocks(spark)
+            release_session_blocks(spark, gc=True)
             continue
-        released = release_session_blocks(spark)
+        # per-query boundary: drop blocks AND force a GC so dead
+        # broadcast blocks from this query's joins are reclaimed before
+        # the next query is timed (they otherwise accumulate across the
+        # suite and destabilize the heavy composites)
+        released = release_session_blocks(spark, gc=True)
         leftover = persistent_rdd_ids(spark)
         assert not leftover, f"block manager not clean after {name}: {leftover}"
         # median of n_runs: sub-second deltas between rounds are only

@@ -75,7 +75,7 @@ def unpersist_ids(spark: SparkSession, ids: set[int]) -> int:
     return n
 
 
-def release_session_blocks(spark: SparkSession) -> int:
+def release_session_blocks(spark: SparkSession, gc: bool = False) -> int:
     """Deterministically drop EVERY persisted block in the session:
     catalog caches and all persistent RDDs (including localCheckpoint
     blocks backing already-dead DataFrames).
@@ -86,6 +86,19 @@ def release_session_blocks(spark: SparkSession) -> int:
     call it between requests). Any still-live checkpointed DataFrame
     becomes unusable after this — by contract there are none at the
     boundary. Returns the number of RDDs unpersisted.
+
+    ``gc=True`` additionally triggers a JVM GC: BROADCAST blocks (one
+    per broadcast join) are only reclaimed when ContextCleaner sees
+    their weak refs die, which needs a collection — across a long suite
+    hundreds of dead broadcasts otherwise pile up in the block manager.
+    Reserve it for coarse boundaries (bench uses per-query, not
+    per-run); a forced GC per service request would be pathological.
     """
     spark.catalog.clearCache()
-    return unpersist_ids(spark, persistent_rdd_ids(spark))
+    n = unpersist_ids(spark, persistent_rdd_ids(spark))
+    if gc:
+        import gc as _pygc
+
+        _pygc.collect()  # drop py4j refs so the JVM side sees dead objects
+        spark._jvm.System.gc()
+    return n

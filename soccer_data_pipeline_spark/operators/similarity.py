@@ -304,16 +304,29 @@ def banded_candidate_pairs(
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
-    # one code per band: band b = bits [b*w, (b+1)*w) of the sign sketch
+    # one code per band: band b = bits [b*w, (b+1)*w) of the sign sketch.
+    # The array expression is fused into the posexplode's select: aliased
+    # in a separate projection, InferFiltersFromGenerate + pushdown would
+    # inline all n_planes interpreted plane-dot-products into a size()>0
+    # filter below and run them twice per row (same trap measured 6× on
+    # the MinHash shingle stage).
     band_codes = F.array(
         *[
             lsh_bucket(F.col("v"), planes[b * band_width : (b + 1) * band_width])
             for b in range(n_bands)
         ]
     )
-    coded = base.withColumn("codes", band_codes).select(
-        "vid", "lbl", "v", "n", F.posexplode("codes").alias("band", "code")
+    coded = base.select(
+        "vid", "lbl", "v", "n", F.posexplode(band_codes).alias("band", "code")
     )
+    # Materialization boundary: coded feeds four consumers (hot-bucket
+    # agg, anti-join probe, both self-join sides). A repartition on the
+    # join keys turns into ONE shuffle exchange that ReuseExchange
+    # serves to all four — the n_planes interpreted sign-dots run once
+    # per row, not four times — and it already satisfies the self-join's
+    # distribution. Corpus-sized, so an exchange (disk-backed shuffle
+    # files) is the right boundary, not a cache.
+    coded = coded.repartition("lbl", "band", "code")
 
     if max_bucket_size is not None:
         hot = (

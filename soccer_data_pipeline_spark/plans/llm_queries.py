@@ -1240,9 +1240,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(5)]
     )
+    # distinctness is per (doc_id, shingle): array_distinct fused into
+    # the explode replaces the corpus-wide DISTINCT shuffle (see
+    # operators/dedup.shingles for the fusion trap this avoids)
     sh = with_toks.select(
-        "doc_id", F.explode(F.transform(idx, gram)).alias("shingle")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(idx, gram))).alias("shingle"),
+    )
     bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
     return (
         sh.where(F.col("doc_id") >= 20)
