@@ -87,9 +87,29 @@ HEADLINE = [
 def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
     """Latest committed BENCH_r*.json with a parsed query dict at the
     SAME scale factor — the baseline for the vs_prev regression diff;
-    cross-sf ratios would be meaningless. ('', {}) if none."""
+    cross-sf ratios would be meaningless. ('', {}) if none.
+
+    Committed means `git ls-files`: the current round's just-written
+    (untracked) artifact must not become its own baseline, or a bench
+    re-run within a round compares against itself and masks cross-round
+    regressions (ADVICE r4). Glob is the no-git fallback only.
+    """
+    root = os.path.dirname(os.path.abspath(__file__)) or "."
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        paths = sorted(os.path.join(root, n) for n in out.split())
+    except Exception:
+        paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     best = ("", {})
-    for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))):
+    for path in paths:
         try:
             parsed = json.load(open(path)).get("parsed")
         except Exception:
@@ -243,10 +263,17 @@ def main() -> None:
         "runs_per_query": n_runs,
         "vs_prev": vs_prev,
     }
+    # progressively slim to fit the tail buffer; each step is re-checked
+    # (the first slimmed form is itself near the cap at ~57 query names —
+    # ADVICE r4), and the final step drops `queries` entirely (the full
+    # dict always survives in BENCH_DETAIL.json).
     line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1990:  # progressively slim to fit the tail buffer
+    if len(line) > 1990:
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line_obj["vs_prev"] = {"ref": prev_name, "shared_ratio": vs_prev["shared_ratio"]}
+        line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1990:
+        line_obj.pop("queries", None)
         line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     spark.stop()

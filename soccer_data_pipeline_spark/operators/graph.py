@@ -50,7 +50,15 @@ def connected_components(
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if num_partitions is not None:
         und = und.repartition(num_partitions, "u")
+    # Materialize the mirrored table BEFORE snapshotting `pre` below: a
+    # lazy cache() only registers its RDD in getPersistentRDDs when the
+    # first job touches it — which would be the eager labels
+    # localCheckpoint, i.e. AFTER `pre` is captured. und's cache id would
+    # then land in labels_blocks and the first round's unpersist would
+    # silently drop it, recomputing the mirror+repartition twice per
+    # round for the rest of the loop (ADVICE r4).
     und = und.cache()
+    und.count()
     # localCheckpoint per round: truncates the logical lineage, which
     # otherwise grows exponentially across self-referencing rounds (the
     # plan tree alone OOMs the driver past ~10 rounds). Each round's

@@ -811,7 +811,14 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and what the bench's repeat runs now measure (search cost, not
     # refit cost). Keyed by app id too: a KMeansModel is a JVM object
     # and dies with its session.
-    cache_key = (spark.sparkContext.applicationId, sf_dir, 16, 42)
+    app_id = spark.sparkContext.applicationId
+    # prune entries from stopped sessions: a KMeansModel is a handle into
+    # its session's JVM, so keys under a different applicationId are dead
+    # objects that would otherwise accumulate for the process lifetime
+    # (ADVICE r4)
+    for stale in [k for k in _IVF_QUANTIZERS if k[0] != app_id]:
+        del _IVF_QUANTIZERS[stale]
+    cache_key = (app_id, sf_dir, 16, 42)
     prefit = _IVF_QUANTIZERS.get(cache_key)
 
     def _ivf(q, c):
