@@ -11,9 +11,11 @@ graphs have tiny diameters (clusters are near-cliques), so convergence
 takes a handful of rounds; the loop is over ROUNDS, not rows — each
 round is one distributed join + aggregate, and the only driver-side
 value is the per-round changed-label count (an iterative algorithm's
-convergence check, same as MLlib's KMeans). At extreme diameters the
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce") halves round count; dup graphs never need it.
+convergence check, same as MLlib's KMeans). At extreme diameters
+min-label stalls (one hop per round); ``connected_components`` then
+auto-switches to the alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), which converges in O(log² n) rounds on ANY topology.
 """
 
 from __future__ import annotations
@@ -22,12 +24,149 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_contract(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    num_partitions: int | None = 8,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction — the
+    high-diameter path (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Input: (u, v) long edges; output
+    (node, label) with label = component minimum.
+
+    Min-label propagation moves labels ONE hop per round, so a chain
+    graph needs O(diameter) rounds; the star operations rewire whole
+    neighborhoods onto local minima each round and converge in
+    O(log² n) rounds on any topology, at ~2 shuffles per round instead
+    of 1. Dup-cluster graphs are near-cliques where min-label wins;
+    chains/meshes (transitive fuzzy-match graphs) need this variant.
+
+    Per round (both ops keep every edge pointing larger→smaller):
+      large-star(u): strictly-larger neighbors re-attach to
+        m = min(Γ(u) ∪ {u});
+      small-star(u): u and its strictly-smaller neighbors re-attach to
+        m = min(Γ⁻(u)).
+    Fixpoint = star forest whose centers are the component minima.
+    Convergence is detected by a (count, bit_xor(xxhash64)) signature
+    going stable across rounds; because a signature collision is a
+    stopping HEURISTIC, the labeling is then validated with one
+    explicit min-label pass over the input graph before returning
+    (changed labels there ⇒ raise, never silent corruption).
+
+    Same lineage/block discipline as the min-label loop: per-round
+    eager localCheckpoint, stale round unpersisted immediately.
+    """
+    from .cache import persistent_rdd_ids, unpersist_ids
+
+    spark = edges.sparkSession
+    e0 = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).where(
+        F.col("u") != F.col("v")
+    )
+    if num_partitions is not None:
+        e0 = e0.repartition(num_partitions, "u")
+    pre = persistent_rdd_ids(spark)
+    e = e0.localCheckpoint()
+    blocks = persistent_rdd_ids(spark) - pre
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: emit (v, m) for every neighbor v > u
+        lmin = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output: emit (v, m) for every
+        # neighbor v < u, plus (u, m) itself
+        und2 = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        sm = und2.where(F.col("v") < F.col("u"))
+        smin = sm.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sm.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        pre = persistent_rdd_ids(spark)
+        new_e = small.localCheckpoint()
+        # bit_xor, not sum: xxhash64 spans the full 64-bit range and an
+        # ANSI-mode SUM overflows; XOR is overflow-free and safe here
+        # because the edge set is distinct (no pair cancels itself)
+        row = new_e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        sig = (row["n"], row["h"])
+        unpersist_ids(spark, blocks)
+        blocks = persistent_rdd_ids(spark) - pre
+        e = new_e
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"_star_contract did not stabilize within max_rounds={max_rounds}; "
+            "O(log^2 n) convergence implies a malformed edge table"
+        )
+    # star forest → labeling; self-loop/isolated inputs keep their own id
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = (
+        all_nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+    # Eager checkpoint BEFORE releasing the round blocks: it severs the
+    # result's lineage into both the contracted edge table and the
+    # caller's input (which the fallback path unpersists on return) —
+    # without it the returned frame would read truncated-lineage blocks
+    # after the caller's cleanup. The labels blocks are GC-owned.
+    labels = labels.localCheckpoint()
+    unpersist_ids(spark, blocks)
+    # explicit fixpoint validation over the INPUT graph (see docstring)
+    und_in = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nmin = (
+        und_in.join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.min("label").alias("nlabel"))
+    )
+    moved = (
+        labels.join(nmin, "node", "left")
+        .where(F.coalesce("nlabel", "label") < F.col("label"))
+        .count()
+    )
+    if moved != 0:
+        raise RuntimeError(
+            f"_star_contract produced a non-fixpoint labeling ({moved} labels "
+            "still improvable) — signature collision or edge-rewrite bug"
+        )
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 20,
     num_partitions: int | None = 8,
+    fallback: str | None = "star",
 ) -> DataFrame:
     """→ (node, cluster_id) where cluster_id = min node id in the
     component. Every node appearing in ``edges`` is labeled.
@@ -102,6 +241,26 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0 and fallback == "star":
+        # Diameter exceeds max_iters: min-label is the wrong algorithm
+        # for this topology. Hand off to the O(log² n) star contraction,
+        # seeded with the partial labels — each (node → label) edge is a
+        # multi-hop shortcut, so the rounds already paid are kept (the
+        # seeded graph has identical components to the original: label
+        # edges only ever connect nodes min-label already proved
+        # connected).
+        seed = e.union(
+            labels.where(F.col("node") != F.col("label")).select(
+                F.col("node").alias("u"), F.col("label").alias("v")
+            )
+        )
+        out = _star_contract(seed, num_partitions=num_partitions)
+        # _star_contract runs eagerly (per-round checkpoints + the
+        # validation count), so the min-label leftovers are garbage now
+        unpersist_ids(spark, labels_blocks)
+        und.unpersist()
+        e.unpersist()
+        return out.select("node", F.col("label").alias("cluster_id"))
     und.unpersist()
     e.unpersist()
     if changed != 0:
@@ -111,9 +270,8 @@ def connected_components(
         # keepers downstream (dup_clusters), i.e. silent data corruption.
         raise RuntimeError(
             f"connected_components did not converge within max_iters={max_iters} "
-            f"({changed} labels still changing); raise max_iters (diameter > "
-            "max_iters) or switch to the large-star/small-star variant for "
-            "high-diameter graphs"
+            f"({changed} labels still changing); pass fallback='star' for "
+            "high-diameter graphs or raise max_iters"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
 

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
 from soccer_data_pipeline_spark.operators.graph import (
+    _star_contract,
     connected_components,
     dup_clusters,
 )
@@ -19,6 +22,46 @@ def test_long_path_converges(spark):
     rows = {r.node: r.cluster_id for r in cc.collect()}
     assert set(rows) == set(range(12))
     assert set(rows.values()) == {0}
+
+
+def test_high_diameter_chain_auto_fallback(spark):
+    """A 61-node chain (diameter 60) with max_iters=5: min-label alone
+    cannot converge, so connected_components must auto-switch to the
+    large-star/small-star contraction and still produce the exact
+    single-component labeling."""
+    cc = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(60)]), max_iters=5
+    )
+    rows = {r.node: r.cluster_id for r in cc.collect()}
+    assert set(rows) == set(range(61))
+    assert set(rows.values()) == {0}
+
+
+def test_high_diameter_raises_without_fallback(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(30)]),
+            max_iters=3,
+            fallback=None,
+        ).collect()
+
+
+def test_star_contract_direct(spark):
+    """Star contraction standalone: mixed topology — two cliques, a
+    chain bridging one of them, an isolated self-loop node."""
+    pairs = (
+        [(1, 2), (2, 3), (1, 3)]        # clique {1,2,3}
+        + [(3, 100), (100, 101), (101, 102)]  # chain hanging off it
+        + [(50, 51), (51, 52), (50, 52)]      # clique {50,51,52}
+        + [(77, 77)]                           # self-loop only
+    )
+    e = spark.createDataFrame(pairs, "u long, v long")
+    out = {r.node: r.label for r in _star_contract(e).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 100: 1, 101: 1, 102: 1,
+        50: 50, 51: 50, 52: 50,
+        77: 77,
+    }
 
 
 def test_disjoint_cliques_and_keeper(spark):
