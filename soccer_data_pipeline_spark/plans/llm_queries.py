@@ -710,6 +710,101 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Banded-only near-dup window variant (VERDICT r4 #4): the in-window form
+# above pays an O(label²) exact join over EVERY label block because its
+# oracle must recompute the full exact pair list. This variant keeps hash-
+# verifiability while bounding the exact side to a deterministic AUDIT
+# SAMPLE of label blocks (label % 4 = 0 → 3 of the 10 corpus labels): the
+# production banded path runs over the FULL corpus (linear in corpus size —
+# the ids-only recall join cannot prune it, there is no label predicate
+# linking the two sides), and the quadratic exact join shrinks to the
+# sampled blocks. At 100× data, sample a 100× smaller label fraction and
+# the audit cost stays flat while the hot path stays linear.
+#
+# Threshold provenance (same discipline as above): measured full-corpus
+# banded recall on the SAMPLED blocks, deterministic per (seed=42, corpus):
+# 1.0 @sf0.001 (5 exact pairs), 1.0 @sf0.01 (9), 0.8667 @sf0.1 (104/120).
+# Floor 0.8 → margins +0.2/+0.2/+0.0667; the computation is seeded-
+# deterministic, so the thin sf0.1 margin is tuning headroom, not noise.
+# ---------------------------------------------------------------------------
+
+_BANDED_RECALL_FLOOR = 0.8
+
+
+@register(
+    "embedding_near_dup_banded",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE label % 4 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine,
+       TRUE AS lsh_recall_ok
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.35
+""",
+    doc=(
+        "[beyond-ref] embedding near-dup via the production banded path over "
+        "the full corpus, recall-gated against an exact audit sample "
+        "(label % 4 = 0 blocks) — the 100 TB-shaped window form of "
+        "embedding_near_dup (SURVEY §2.10)"
+    ),
+)
+def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import banded_candidate_pairs
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = emb.where(F.col("label") % 4 == 0).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    sampled = sampled.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    exact = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+    # full-corpus banded candidates; ids-only intersection (an exact pair
+    # in the candidate set always survives the downstream cosine verify —
+    # same operands, same threshold — so candidate recall == verified
+    # recall and the LSH side skips every dot product)
+    lsh = banded_candidate_pairs(emb).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    marked = exact.join(lsh, ["vec_a", "vec_b"], "left").withColumn(
+        "hit", F.coalesce(F.col("hit"), F.lit(0))
+    )
+    w_all = Window.partitionBy()
+    recall = F.sum("hit").over(w_all) / F.count("*").over(w_all)
+    return marked.select(
+        "vec_a",
+        "vec_b",
+        "label",
+        "cosine",
+        (recall >= _BANDED_RECALL_FLOOR).alias("lsh_recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN similarity, driver-verifiable (VERDICT r1 #2): instead of a rows-only
 # ANN query, run ANN *and* the exact brute-force baseline in one plan, join
 # them, and emit recall aggregates. The oracle recomputes the exact side

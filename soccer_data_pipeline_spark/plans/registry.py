@@ -111,7 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "fuzzy_levenshtein_pairs",
     # similarity search (LSH-blocked near-dup, ANN recall gates)
-    "embedding_near_dup",
+    "embedding_near_dup_banded",
     "similarity_ann_recall",
     "similarity_ivf_recall",
     # multimodal
@@ -150,6 +150,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (edit-distance dedup tier), merge_upsert_orders (MERGE/upsert), and
 # event_funnel (sequence analytics). All demoted queries keep full
 # local DuckDB-oracle coverage in tests/test_registry_oracle.py.
+# Round 4: no swaps (window unchanged). Round 5: embedding_near_dup
+# ceded to embedding_near_dup_banded (VERDICT r4 #4 — same family, but
+# the window form now runs the production banded path over the full
+# corpus with the O(label²) exact join bounded to an audit sample of
+# label blocks; the full-exact form stays local-oracle-covered).
 
 
 def _ordered_names() -> list[str]:
