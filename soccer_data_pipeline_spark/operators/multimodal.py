@@ -11,11 +11,13 @@ tier is split by format:
 - **PNG: real.** Decode / resample / re-encode run on actual PNG bytes
   via the pure-stdlib codec in ``functions/png_codec.py`` (zlib inflate
   + spec filters) — no external library needed.
-- **JPEG / audio / video: stubbed.** Their codecs genuinely require
-  external libraries absent from this container; those payloads raise
-  ``NotImplementedError`` (or use the deterministic fake in tests).
-  Swap ``_decode_image_impl``'s fallback for a Pillow/libav call and
-  nothing else changes.
+- **JPEG / other images: Pillow-optional.** Pillow is feature-detected
+  at call time (worker-side, so a cluster whose executors carry Pillow
+  decodes even if the driver doesn't); when present, decode/resize run
+  through it, when absent those payloads raise ``NotImplementedError``
+  (or use the deterministic fake in tests).
+- **audio / video: stubbed.** Their codecs genuinely require external
+  libraries (libav et al.); payloads raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -56,17 +58,47 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pillow():
+    """Feature-detected Pillow Image module, or None.
+
+    Probed at CALL time inside the Arrow batch handler, i.e. in the
+    executor's Python — a cluster whose workers ship Pillow decodes
+    JPEG even when the driver environment doesn't have it.
+    """
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
 def _decode_image_impl(payload: bytes) -> list[float]:
-    """Real decode for PNG (stdlib codec); other formats raise.
+    """Real decode for PNG (stdlib codec) and, when Pillow is
+    importable, any Pillow-supported format (JPEG, WebP, ...); other
+    payloads raise.
 
     Feature = 8-bucket normalized luminance histogram of the DECODED
     pixels (same shape as the byte-level fake, so downstream schema
-    and tests are format-agnostic).
+    and tests are format-agnostic). The PNG path averages RGB; the
+    Pillow path uses its L-mode luma (ITU-R 601-2) — both are
+    luminance features, the 8-dim contract is what downstream sees.
     """
     from ..functions.png_codec import decode_png, is_png, luminance_histogram
 
     if payload is not None and is_png(payload):
         return luminance_histogram(*decode_png(payload))
+    Image = _pillow()
+    if Image is not None and payload is not None:
+        import io
+
+        import numpy as np
+
+        with Image.open(io.BytesIO(payload)) as im:
+            lum = np.asarray(im.convert("L"), dtype=np.float64).reshape(-1)
+        hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+        n = max(lum.size, 1)
+        return [round(float(c) / n, 6) for c in hist]
     raise NotImplementedError(
         "only PNG decodes without an external codec library; "
         "use fake_decode=True or install Pillow for JPEG/other formats"
@@ -162,10 +194,11 @@ def resize_images(
     """Resize plumbing: binary in → binary out with updated metadata.
 
     PNG payloads are REALLY resized (decode → nearest-neighbor resample
-    → re-encode, stdlib codec); other formats raise unless
-    ``fake_decode`` — the engine-side contract (Arrow batching, output
-    schema with refreshed width/height metadata, null passthrough) is
-    identical either way.
+    → re-encode, stdlib codec); other formats go through Pillow when it
+    is importable worker-side (nearest-neighbor, re-encoded to the
+    source format) and raise otherwise unless ``fake_decode`` — the
+    engine-side contract (Arrow batching, output schema with refreshed
+    width/height metadata, null passthrough) is identical either way.
     """
 
     def _resize_png(payload: bytes) -> bytes:
@@ -176,13 +209,27 @@ def resize_images(
             resize_nearest,
         )
 
-        if not is_png(payload):
-            raise NotImplementedError(
-                "only PNG resizes without an external codec library; "
-                "use fake_decode=True or install Pillow"
+        if is_png(payload):
+            w0, h0, ch, px = decode_png(payload)
+            return encode_png(
+                width, height, ch, resize_nearest(w0, h0, ch, px, width, height)
             )
-        w0, h0, ch, px = decode_png(payload)
-        return encode_png(width, height, ch, resize_nearest(w0, h0, ch, px, width, height))
+        Image = _pillow()
+        if Image is not None:
+            import io
+
+            nearest = getattr(
+                getattr(Image, "Resampling", Image), "NEAREST"
+            )
+            with Image.open(io.BytesIO(payload)) as im:
+                fmt = im.format
+                buf = io.BytesIO()
+                im.resize((width, height), nearest).save(buf, format=fmt)
+                return buf.getvalue()
+        raise NotImplementedError(
+            "only PNG resizes without an external codec library; "
+            "use fake_decode=True or install Pillow"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

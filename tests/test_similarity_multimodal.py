@@ -113,10 +113,57 @@ def test_feature_extraction_arrow_batched(media):
     assert feats[1].content_hash is not None and feats[3].content_hash is None
 
 
+try:
+    import PIL  # noqa: F401
+
+    _HAS_PILLOW = True
+except ImportError:
+    _HAS_PILLOW = False
+
+
+@pytest.mark.skipif(
+    _HAS_PILLOW, reason="with Pillow present non-PNG formats decode instead of raising"
+)
 def test_codec_stub_raises_cleanly(media):
     with pytest.raises(Exception) as ei:
         extract_media_features(media, fake_decode=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+@pytest.mark.skipif(not _HAS_PILLOW, reason="Pillow not installed in this container")
+def test_jpeg_decode_with_pillow(spark):
+    """Real JPEG → 8-bucket luminance histogram through the Arrow path."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (200, 30, 90)).save(buf, format="JPEG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), ("image", "jpeg", 16, 16, None))], MEDIA_SCHEMA
+    )
+    feats = extract_media_features(media).collect()
+    assert len(feats[0].feature) == 8
+    assert abs(sum(feats[0].feature) - 1.0) < 1e-3
+
+
+@pytest.mark.skipif(not _HAS_PILLOW, reason="Pillow not installed in this container")
+def test_jpeg_resize_with_pillow(spark):
+    import io
+
+    from PIL import Image
+
+    from soccer_data_pipeline_spark.operators.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (10, 120, 250)).save(buf, format="JPEG")
+    media = spark.createDataFrame(
+        [(1, buf.getvalue(), ("image", "jpeg", 32, 16, None))], MEDIA_SCHEMA
+    )
+    out = resize_images(media, 8, 8).collect()[0]
+    assert (out.width, out.height) == (8, 8)
+    with Image.open(io.BytesIO(out.content)) as im:
+        assert im.size == (8, 8) and im.format == "JPEG"
 
 
 def test_frame_sampling(media):
