@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash_groups",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "embedding_near_dup_banded",
     "embedding_topk_cosine",
     "similarity_ann_recall",
     "similarity_ivf_recall",
@@ -166,7 +167,19 @@ def main() -> None:
             continue
         try:
             # warmup run: JIT/codegen compile and footer caches are
-            # session-lifetime costs, not per-query engine throughput
+            # session-lifetime costs, not per-query engine throughput.
+            # Harness-overhead audit (r5, addressing the r4 1.3-1.9×
+            # small-query drift vs r2): release_session_blocks costs
+            # ~1 ms without gc (the in-loop call below, outside the
+            # timed region anyway) and 70-150 ms with gc (per-query
+            # boundary, also untimed), and a forced GC measurably does
+            # NOT slow the following query. The r4 drift was the
+            # MEASUREMENT turning honest: r2's warmup-run operator
+            # caches leaked into its timed runs via the CacheManager,
+            # so small queries were partly warm; the per-sample release
+            # makes every timed run cold. vs_prev now diffs against the
+            # committed r4 artifact, so the one-time step change is in
+            # the baseline.
             spec.fn(spark, sf_dir).count()
             samples = []
             for _ in range(n_runs):
