@@ -32,6 +32,7 @@ HEADLINE = [
     "sql_cte_topn",
     "scalar_functions_combined",
     "agg_functions_combined",
+    "salted_agg_returnflag",
     # window / temporal
     "rolling_avg_events",
     "cumulative_customer_spend",

@@ -84,6 +84,58 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe aggregation demonstrator (SURVEY §4 / VERDICT r4 stretch):
+# l_returnflag has THREE distinct values over the whole of lineitem, so a
+# plain groupBy funnels ~n/3 rows into each of 3 reduce tasks — the
+# classic hot-key shape that leaves 997 of 1000 executors idle at 100 TB.
+# salted_aggregate (operators/skew.py) splits each key into n_salts
+# subkeys for the partial agg (map-side combine over 48 groups), then
+# re-aggregates the algebraic partials over the true key. Differentially
+# checked here: the salted two-phase plan must be value-identical to the
+# oracle's plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents_sum,
+       CAST(COUNT(l_linenumber) AS BIGINT) AS l_linenumber_count,
+       CAST(MAX(l_orderkey) AS BIGINT) AS l_orderkey_max
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc=(
+        "[beyond-ref] skew-safe two-phase salted aggregation over a 3-key "
+        "hot-key groupBy, value-checked against the plain GROUP BY "
+        "(operators/skew.py, SURVEY §4)"
+    ),
+)
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_quantity")).alias("qty_cents"),
+        "l_linenumber",
+        "l_orderkey",
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={"qty_cents": "sum", "l_linenumber": "count", "l_orderkey": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("qty_cents_sum").cast("long"),
+        F.col("l_linenumber_count").cast("long"),
+        F.col("l_orderkey_max").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: multi-join star query + agg + W1 top-k per group.
 # Reference: lookup joins J1 (main.yml:144-148), group agg A1-A2
 # (README.md:252-266), top-1-per-group A6/W1 champion (README.md:277).
