@@ -37,7 +37,9 @@ FAMILY_REPRESENTATIVES = {
     "dedup_simhash": "dedup_simhash_groups",
     "dedup_ngram": "ngram_jaccard_pairs",
     "dedup_editdist": "fuzzy_levenshtein_pairs",
-    "similarity_near_dup": "embedding_near_dup",
+    # r5: window form is the banded production path with a sampled
+    # exact audit; the full-exact form stays local-oracle-covered
+    "similarity_near_dup": "embedding_near_dup_banded",
     "similarity_ann": "similarity_ann_recall",
     "similarity_ivf": "similarity_ivf_recall",
     "multimodal": "multimodal_binary_stats",
