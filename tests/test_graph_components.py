@@ -64,6 +64,50 @@ def test_star_contract_direct(spark):
     }
 
 
+def _union_find_reference(pairs):
+    """Driver-side union-find oracle: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_both_paths_match_union_find_on_random_graphs(spark):
+    """min-label and star contraction must both reproduce the exact
+    union-find labeling on seeded random graphs (mixed cliques, chains,
+    and sparse noise — the shapes real near-dup pair tables take)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ] + [(i, i + 1) for i in range(120, 150)]  # a diameter-30 chain
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = _union_find_reference(pairs)
+
+    e = _edges(spark, pairs)
+    got_minlabel = {
+        r.node: r.cluster_id
+        for r in connected_components(e, max_iters=50).collect()
+    }
+    assert got_minlabel == expected
+
+    e2 = spark.createDataFrame(pairs, "u long, v long")
+    got_star = {r.node: r.label for r in _star_contract(e2).collect()}
+    assert got_star == expected
+
+
 def test_disjoint_cliques_and_keeper(spark):
     pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
     out = {r.doc_id: r for r in dup_clusters(_edges(spark, pairs)).collect()}
