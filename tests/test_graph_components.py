@@ -30,7 +30,9 @@ def test_high_diameter_chain_auto_fallback(spark):
     large-star/small-star contraction and still produce the exact
     single-component labeling."""
     cc = connected_components(
-        _edges(spark, [(i, i + 1) for i in range(60)]), max_iters=5
+        _edges(spark, [(i, i + 1) for i in range(60)]),
+        max_iters=5,
+        driver_cutoff=None,
     )
     rows = {r.node: r.cluster_id for r in cc.collect()}
     assert set(rows) == set(range(61))
@@ -43,6 +45,7 @@ def test_high_diameter_raises_without_fallback(spark):
             _edges(spark, [(i, i + 1) for i in range(30)]),
             max_iters=3,
             fallback=None,
+            driver_cutoff=None,
         ).collect()
 
 
@@ -97,9 +100,14 @@ def test_both_paths_match_union_find_on_random_graphs(spark):
     expected = _union_find_reference(pairs)
 
     e = _edges(spark, pairs)
+    # driver_cutoff=None forces the distributed min-label loop; the
+    # cutoff path IS the union-find reference, so covering it here
+    # would be circular
     got_minlabel = {
         r.node: r.cluster_id
-        for r in connected_components(e, max_iters=50).collect()
+        for r in connected_components(
+            e, max_iters=50, driver_cutoff=None
+        ).collect()
     }
     assert got_minlabel == expected
 
