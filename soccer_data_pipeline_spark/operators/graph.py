@@ -5,17 +5,29 @@ dedup decision: A~B and B~C must collapse into ONE cluster {A,B,C} with
 one keeper. That consolidation is connected components — the standard
 last stage of web-scale dedup pipelines.
 
-Algorithm: iterative min-label propagation (each node adopts the
-smallest label among itself and its neighbors) until fixpoint. Dup
-graphs have tiny diameters (clusters are near-cliques), so convergence
-takes a handful of rounds; the loop is over ROUNDS, not rows — each
-round is one distributed join + aggregate, and the only driver-side
-value is the per-round changed-label count (an iterative algorithm's
-convergence check, same as MLlib's KMeans). At extreme diameters
-min-label stalls (one hop per round); ``connected_components`` then
-auto-switches to the alternating large-star/small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which converges in O(log² n) rounds on ANY topology.
+Three tiers, picked by the data, cheapest sufficient one wins:
+
+1. **Driver union-find** below ``driver_cutoff`` edges: the pair graph
+   is the dup REPORT, usually orders of magnitude smaller than the
+   corpus; when it fits the driver comfortably (≤10⁶ edges ≈ 16 MB),
+   distributed rounds are pure scheduling overhead. Same small-graph
+   cutoff GraphFrames' connectedComponents applies.
+2. **Iterative min-label propagation** (each node adopts the smallest
+   label among itself and its neighbors) until fixpoint. Dup graphs
+   have tiny diameters (clusters are near-cliques), so convergence
+   takes a handful of rounds; the loop is over ROUNDS, not rows — each
+   round is one distributed join + aggregate, and the only driver-side
+   value is the per-round changed-label count (an iterative
+   algorithm's convergence check, same as MLlib's KMeans).
+3. **Large-star/small-star contraction** (Kiveris et al., "Connected
+   Components in MapReduce and Beyond", SoCC'14), auto-engaged when
+   min-label exhausts ``max_iters`` with labels still moving: at
+   extreme diameters min-label moves one hop per round, the star
+   operations converge in O(log² n) rounds on ANY topology.
+
+All three produce the identical labeling (min node id per component);
+tests/test_graph_components.py property-checks them against each
+other on random graphs.
 """
 
 from __future__ import annotations
