@@ -16,8 +16,13 @@ tier is split by format:
   decodes even if the driver doesn't); when present, decode/resize run
   through it, when absent those payloads raise ``NotImplementedError``
   (or use the deterministic fake in tests).
-- **audio / video: stubbed.** Their codecs genuinely require external
-  libraries (libav et al.); payloads raise ``NotImplementedError``.
+- **WAV audio: real.** RIFF/PCM parses with the stdlib ``wave`` +
+  ``struct`` (``functions/wav_codec.py``, same trick as PNG) — decode,
+  channels / sample-rate / duration / RMS, amplitude-histogram
+  feature.
+- **compressed audio / video: stubbed.** Their codecs genuinely
+  require external libraries (libav et al.); payloads raise
+  ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -73,35 +78,55 @@ def _pillow():
         return None
 
 
-def _decode_image_impl(payload: bytes) -> list[float]:
-    """Real decode for PNG (stdlib codec) and, when Pillow is
-    importable, any Pillow-supported format (JPEG, WebP, ...); other
-    payloads raise.
+def _decode_media_impl(payload: bytes) -> list[float]:
+    """Real decode for PNG (stdlib codec), WAV (stdlib codec) and, when
+    Pillow is importable, any Pillow-supported image format (JPEG,
+    WebP, ...); other payloads raise ``NotImplementedError``.
 
-    Feature = 8-bucket normalized luminance histogram of the DECODED
-    pixels (same shape as the byte-level fake, so downstream schema
-    and tests are format-agnostic). The PNG path averages RGB; the
-    Pillow path uses its L-mode luma (ITU-R 601-2) — both are
-    luminance features, the 8-dim contract is what downstream sees.
+    Feature = 8-bucket normalized histogram of the DECODED signal
+    (same shape as the byte-level fake, so downstream schema and tests
+    are format-agnostic): luminance buckets for images (PNG path
+    averages RGB; Pillow path uses L-mode ITU-R 601-2 luma), amplitude
+    buckets for WAV audio. The 8-dim contract is what downstream sees.
+
+    Format dispatch is by magic bytes, WAV before Pillow — an audio
+    payload must never reach the image library. Pillow failures
+    (unidentified or truncated payloads) re-raise as
+    ``NotImplementedError`` so the stub contract holds with Pillow
+    installed too (ADVICE r5).
     """
     from ..functions.png_codec import decode_png, is_png, luminance_histogram
+    from ..functions.wav_codec import amplitude_histogram, decode_wav, is_wav
 
-    if payload is not None and is_png(payload):
+    if payload is None:  # null passthrough, same as the fake path
+        return []
+    if is_png(payload):
         return luminance_histogram(*decode_png(payload))
+    if is_wav(payload):
+        _ch, _rate, _n, samples = decode_wav(payload)
+        return amplitude_histogram(samples)
     Image = _pillow()
-    if Image is not None and payload is not None:
+    if Image is not None:
         import io
 
         import numpy as np
 
-        with Image.open(io.BytesIO(payload)) as im:
-            lum = np.asarray(im.convert("L"), dtype=np.float64).reshape(-1)
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                lum = np.asarray(im.convert("L"), dtype=np.float64).reshape(-1)
+        except NotImplementedError:
+            raise
+        except Exception as exc:  # UnidentifiedImageError, truncation, ...
+            raise NotImplementedError(
+                f"payload is not a decodable image ({type(exc).__name__}); "
+                "compressed audio/video need an external codec library"
+            )
         hist, _ = np.histogram(lum, bins=8, range=(0, 256))
         n = max(lum.size, 1)
         return [round(float(c) / n, 6) for c in hist]
     raise NotImplementedError(
-        "only PNG decodes without an external codec library; "
-        "use fake_decode=True or install Pillow for JPEG/other formats"
+        "only PNG/WAV decode without an external codec library; "
+        "use fake_decode=True or install Pillow for JPEG/other image formats"
     )
 
 
@@ -125,7 +150,7 @@ def extract_media_features(media: DataFrame, fake_decode: bool = False) -> DataF
     maxRecordsPerBatch`` (tune down for large payloads: ~100 MB of
     payload per batch is the sweet spot at scale).
     """
-    decode = _fake_decode if fake_decode else _decode_image_impl
+    decode = _fake_decode if fake_decode else _decode_media_impl
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -149,6 +174,60 @@ def extract_media_features(media: DataFrame, fake_decode: bool = False) -> DataF
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched audio feature extraction: channels, sample rate,
+    duration, RMS amplitude per payload.
+
+    WAV (RIFF/PCM) decodes for real via the stdlib codec in
+    ``functions/wav_codec.py``; compressed audio raises
+    ``NotImplementedError`` (documented boundary — needs libav). Null
+    payloads pass through as null features. ``fake_decode`` substitutes
+    a deterministic byte-derived stand-in with the same schema, for
+    plumbing tests on non-WAV fixtures.
+    """
+    from ..functions.wav_codec import decode_wav, duration_ms, is_wav, rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    out_rows.append((mid, None, None, None, None))
+                    continue
+                payload = bytes(c)
+                if fake_decode:
+                    out_rows.append(
+                        (mid, 1, 16000, len(payload) // 32, (payload[0] if payload else 0) / 255.0)
+                    )
+                    continue
+                if not is_wav(payload):
+                    raise NotImplementedError(
+                        "only RIFF/PCM WAV decodes without an external codec "
+                        "library; compressed audio needs libav"
+                    )
+                ch, rate, n_frames, samples = decode_wav(payload)
+                out_rows.append(
+                    (mid, ch, rate, duration_ms(n_frames, rate), rms(samples))
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "channels", "sample_rate_hz", "duration_ms", "rms"],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """JVM-only byte-level stats (no Python): size, hash, format split.
 
@@ -161,9 +240,14 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.md5("content").alias("content_hash"),
         F.col("meta.media_type").alias("media_type"),
         F.col("meta.format").alias("format"),
-        # magic-byte sniff: JPEG FF D8, PNG 89 50
+        # magic-byte sniff: JPEG FF D8, PNG 89 50, WAV RIFF....WAVE
         F.when(F.hex(F.substring("content", 1, 2)) == "FFD8", "jpeg")
         .when(F.hex(F.substring("content", 1, 2)) == "8950", "png")
+        .when(
+            (F.hex(F.substring("content", 1, 4)) == "52494646")
+            & (F.hex(F.substring("content", 9, 4)) == "57415645"),
+            "wav",
+        )
         .otherwise("unknown")
         .alias("sniffed_format"),
     )
@@ -196,9 +280,13 @@ def resize_images(
     PNG payloads are REALLY resized (decode → nearest-neighbor resample
     → re-encode, stdlib codec); other formats go through Pillow when it
     is importable worker-side (nearest-neighbor, re-encoded to the
-    source format) and raise otherwise unless ``fake_decode`` — the
+    source format — lossy formats like JPEG re-encode at Pillow's
+    default quality) and raise otherwise unless ``fake_decode`` — the
     engine-side contract (Arrow batching, output schema with refreshed
     width/height metadata, null passthrough) is identical either way.
+    Read-only Pillow formats (decodable but not re-encodable, e.g. PSD)
+    raise a clean ``NotImplementedError`` rather than Pillow's opaque
+    save error (ADVICE r5).
     """
 
     def _resize_png(payload: bytes) -> bytes:
@@ -221,11 +309,26 @@ def resize_images(
             nearest = getattr(
                 getattr(Image, "Resampling", Image), "NEAREST"
             )
-            with Image.open(io.BytesIO(payload)) as im:
-                fmt = im.format
-                buf = io.BytesIO()
-                im.resize((width, height), nearest).save(buf, format=fmt)
-                return buf.getvalue()
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    fmt = im.format
+                    buf = io.BytesIO()
+                    try:
+                        im.resize((width, height), nearest).save(buf, format=fmt)
+                    except NotImplementedError:
+                        raise
+                    except Exception as exc:  # read-only format: no encoder
+                        raise NotImplementedError(
+                            f"format {fmt} decodable but not re-encodable "
+                            f"({type(exc).__name__})"
+                        )
+                    return buf.getvalue()
+            except NotImplementedError:
+                raise
+            except Exception as exc:  # not an image at all
+                raise NotImplementedError(
+                    f"payload is not a decodable image ({type(exc).__name__})"
+                )
         raise NotImplementedError(
             "only PNG resizes without an external codec library; "
             "use fake_decode=True or install Pillow"
