@@ -33,6 +33,7 @@ HEADLINE = [
     "scalar_functions_combined",
     "agg_functions_combined",
     "salted_agg_returnflag",
+    "salted_broadcast_join_supplier",
     # window / temporal
     "rolling_avg_events",
     "cumulative_customer_spend",

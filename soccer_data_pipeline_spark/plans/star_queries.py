@@ -135,6 +135,47 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_broadcast_join_supplier",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+    doc=(
+        "[beyond-ref] skew-safe fact⋈dim join: hot dim keys broadcast, the "
+        "long tail shuffle-joined, value-checked against the plain join "
+        "(operators/skew.py broadcast_salted_join, SURVEY §4)"
+    ),
+)
+def salted_broadcast_join_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates the skewed-join half of the skew toolkit (the
+    salted-agg half is ``salted_agg_returnflag``). At 100 TB the dim is
+    too large to broadcast whole and a handful of its keys dominate the
+    fact side; ``broadcast_salted_join`` broadcasts ONLY the hot-key
+    slice and shuffle-joins the long tail, so no single reducer sees a
+    hot key's full fact partition. Here the hot set is a fixed literal
+    slice (deterministic, so the oracle diff is exact); in production
+    it comes from a cheap approx-count sample over the fact keys.
+    """
+    from ..operators.skew import broadcast_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        _cents(F.col("l_quantity")).alias("qty_cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = broadcast_salted_join(li, sup, "suppkey", hot_keys=[1, 2, 3, 4, 5, 6, 7, 8])
+    return joined.groupBy("s_nationkey").agg(
+        F.sum("qty_cents").cast("long").alias("qty_cents_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: multi-join star query + agg + W1 top-k per group.
 # Reference: lookup joins J1 (main.yml:144-148), group agg A1-A2
