@@ -619,11 +619,17 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Threshold provenance (ADVICE r2: document margins so a flip is diagnosable
 # as tuning drift, not an engine bug): measured recall of the default
-# 24-plane/3-bit-band config on the driver corpus, deterministic per
-# (seed=42, corpus): 0.929 @sf0.001, 0.885 @sf0.01, 0.882 @sf0.1.
-# Floor 0.8 → margins +0.13/+0.085/+0.082. Corpus is near-uniform random
-# 64-d (max pair cosine ~0.47), the LSH worst case; real near-dup corpora
-# (cosine >= 0.9 pairs) sit far above the floor at this config.
+# 36-plane/3-bit-band config on the driver corpus, deterministic per
+# (seed=42, corpus): 1.0 @sf0.001 (14/14), 1.0 @sf0.01 (26/26),
+# 0.9668 @sf0.1 (378/391). Floor 0.8 → margins +0.2/+0.2/+0.167.
+# Retune procedure if the margin ever thins again (r6, was 24 planes /
+# 0.882 @sf0.1): add bands in multiples of band_width — recall theory at
+# the 0.35-cosine threshold is 1-(1-p^w)^b with p = 1-acos(s)/pi ≈ 0.614,
+# so each extra 3-bit band multiplies the miss rate by (1-p^3) ≈ 0.768 —
+# then re-measure all three sfs with the script in the r6 commit.
+# Corpus is near-uniform random 64-d (max pair cosine ~0.47), the LSH
+# worst case; real near-dup corpora (cosine >= 0.9 pairs) sit far above
+# the floor at this config.
 # ---------------------------------------------------------------------------
 
 _NEAR_DUP_RECALL_FLOOR = 0.8
@@ -643,7 +649,7 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
 """,
     doc=(
         "[beyond-ref] embedding near-dup pairs, cosine >= 0.35, with in-plan "
-        "banded-sign-LSH recall gate (floor 0.8; measured 0.929/0.885/0.882 at "
+        "banded-sign-LSH recall gate (floor 0.8; measured 1.0/1.0/0.9668 at "
         "sf0.001/0.01/0.1) — production path is bucket-bounded "
         "near_dup_pairs_banded (SURVEY §2.10)"
     ),
@@ -723,9 +729,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Threshold provenance (same discipline as above): measured full-corpus
 # banded recall on the SAMPLED blocks, deterministic per (seed=42, corpus):
-# 1.0 @sf0.001 (5 exact pairs), 1.0 @sf0.01 (9), 0.8667 @sf0.1 (104/120).
-# Floor 0.8 → margins +0.2/+0.2/+0.0667; the computation is seeded-
-# deterministic, so the thin sf0.1 margin is tuning headroom, not noise.
+# 1.0 @sf0.001 (5 exact pairs), 1.0 @sf0.01 (9), 0.9583 @sf0.1 (115/120)
+# at the 36-plane default (r6 retune: the 24-plane config measured
+# 0.8667 @sf0.1, a +0.067 margin — one band-hash perturbation from a
+# driver-visible flip; VERDICT r5 #4). Floor 0.8 → margins
+# +0.2/+0.2/+0.158, all >= 0.1. Retune procedure documented at the
+# full-corpus variant's provenance block above.
 # ---------------------------------------------------------------------------
 
 _BANDED_RECALL_FLOOR = 0.8
