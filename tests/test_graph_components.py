@@ -102,11 +102,13 @@ def test_both_paths_match_union_find_on_random_graphs(spark):
     e = _edges(spark, pairs)
     # driver_cutoff=None forces the distributed min-label loop; the
     # cutoff path IS the union-find reference, so covering it here
-    # would be circular
+    # would be circular. fallback=None makes non-convergence within
+    # max_iters a loud failure instead of a silent star-contraction
+    # rescue — this leg must exercise min-label itself (ADVICE r5)
     got_minlabel = {
         r.node: r.cluster_id
         for r in connected_components(
-            e, max_iters=50, driver_cutoff=None
+            e, max_iters=50, driver_cutoff=None, fallback=None
         ).collect()
     }
     assert got_minlabel == expected
