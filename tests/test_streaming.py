@@ -311,3 +311,77 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     }
     assert want, "batch ground truth unexpectedly empty"
     assert got == want
+
+
+def test_foreach_batch_merge_exactly_once(spark, tmp_path):
+    """Exactly-once MERGE sink (VERDICT r5 #6): foreachBatch upserts
+    each micro-batch into a batch-id-versioned snapshot, so (a) new
+    batches apply updates+inserts, (b) a no-new-files re-run is a
+    no-op, and (c) a full from-scratch replay of every file in one
+    batch — the redelivery worst case — converges to the identical
+    warehouse state instead of double-applying."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from soccer_data_pipeline_spark.streaming import run_incremental_merge
+
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("updated_at", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot(version=None):
+        import os
+        import re
+
+        if version is None:
+            version = max(
+                int(m.group(1))
+                for d in os.listdir(wh)
+                if (m := re.fullmatch(r"v=(\d+)", d))
+            )
+        rows = spark.read.schema(schema).parquet(f"{wh}/v={version}").collect()
+        return {r.order_id: r.price_cents for r in rows}
+
+    spark.createDataFrame([(1, 100, 1), (2, 200, 1)], schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    n1 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n1 == 1 and snapshot() == {1: 100, 2: 200}
+
+    # update key 2, insert key 3
+    spark.createDataFrame([(2, 250, 2), (3, 300, 2)], schema).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    n2 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n2 == 1 and snapshot() == {1: 100, 2: 250, 3: 300}
+
+    # committed batches are never redelivered: no new files → no batch
+    n3 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n3 == 0 and snapshot() == {1: 100, 2: 250, 3: 300}
+
+    # redelivery worst case: checkpoint lost, every file replays in one
+    # batch against the already-applied warehouse. Within-batch
+    # supersedence (updated_at) picks the correction for key 2, and the
+    # absolute-value MERGE is a no-op on applied rows — the replayed
+    # batch 0 snapshot equals the pre-replay final state.
+    shutil.rmtree(ckpt)
+    n4 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n4 == 1
+    assert snapshot(version=0) == {1: 100, 2: 250, 3: 300}
+    assert snapshot() == {1: 100, 2: 250, 3: 300}
