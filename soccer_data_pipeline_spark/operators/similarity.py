@@ -265,6 +265,29 @@ def ivf_topk(
     return out, model
 
 
+def save_ivf_quantizer(model, path: str) -> None:
+    """Persist the IVF coarse quantizer to ``path`` (Spark ML writer
+    format: centroid parquet + metadata JSON, session-independent).
+
+    The production pattern for repeated ANN serving: the quantizer is
+    an index-build artifact — fit once per (corpus snapshot, config)
+    next to the corpus build job, persisted alongside the corpus, then
+    loaded by every query session instead of refit (the in-process
+    cache in ``plans/llm_queries.py`` dies with its SparkSession; this
+    survives app restarts). Centroid assignment of the corpus can be
+    persisted too (it is just a column), leaving queries with only the
+    probe join."""
+    model.write().overwrite().save(path)
+
+
+def load_ivf_quantizer(path: str):
+    """Load a quantizer saved by :func:`save_ivf_quantizer`; pass it to
+    ``ivf_topk(model=...)`` to skip the fit."""
+    from pyspark.ml.clustering import KMeansModel
+
+    return KMeansModel.load(path)
+
+
 def banded_candidate_pairs(
     df: DataFrame,
     n_planes: int = 36,

@@ -914,7 +914,11 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (corpus, config), reused across query calls — the FAISS contract,
     # and what the bench's repeat runs now measure (search cost, not
     # refit cost). Keyed by app id too: a KMeansModel is a JVM object
-    # and dies with its session.
+    # and dies with its session. Across sessions the production pattern
+    # is save_ivf_quantizer/load_ivf_quantizer (operators/similarity.py,
+    # Spark ML writer format) — persist next to the corpus build and
+    # load instead of refit; this in-process dict is only the
+    # within-session fast path.
     app_id = spark.sparkContext.applicationId
     # prune entries from stopped sessions: a KMeansModel is a handle into
     # its session's JVM, so keys under a different applicationId are dead

@@ -42,3 +42,31 @@ def test_multiprobe_radius_monotone(spark):
         df = ann_lsh_cosine(q, c, k=1000, n_planes=6, dim=64, multiprobe=radius)
         ids[radius] = {(r.query_id, r.candidate_id) for r in df.collect()}
     assert ids[0] <= ids[1] <= ids[2]
+
+
+def test_ivf_quantizer_persist_reload(spark, tmp_path):
+    """The quantizer survives a session restart: saved in Spark ML
+    writer format, reloaded, and the probe results are identical to
+    the in-memory model's (same centers -> same cells -> same top-k)."""
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_quantizer,
+        save_ivf_quantizer,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where("vec_id < 5")
+    c = emb.where("vec_id >= 5")
+    out1, model = ivf_topk(q, c, k=3, n_centroids=4, n_probe=2)
+    r1 = {(r.query_id, r.rn): r.candidate_id for r in out1.collect()}
+
+    path = str(tmp_path / "ivf_quantizer")
+    save_ivf_quantizer(model, path)
+    loaded = load_ivf_quantizer(path)
+    assert [list(x) for x in loaded.clusterCenters()] == [
+        list(x) for x in model.clusterCenters()
+    ]
+    out2, _ = ivf_topk(q, c, k=3, n_centroids=4, n_probe=2, model=loaded)
+    assert {(r.query_id, r.rn): r.candidate_id for r in out2.collect()} == r1
