@@ -202,20 +202,22 @@ def run_incremental_merge(
 def _read_latest_snapshot(spark: SparkSession, warehouse_path: str, schema):
     """Highest ``v=N`` snapshot under ``warehouse_path``, or None.
 
-    Local-FS listing; on an object store the same convention resolves
-    through the FileSystem API or a table catalog (Delta/Iceberg keep
-    this pointer in their log — the convention is identical)."""
-    import os
+    Listed through the Hadoop FileSystem API so the convention works on
+    any cluster filesystem (HDFS, S3A, GCS, local), not just the local
+    FS; a table catalog (Delta/Iceberg) keeps this same pointer in its
+    log — the convention is identical."""
     import re
 
-    try:
-        versions = [
-            int(m.group(1))
-            for d in os.listdir(warehouse_path)
-            if (m := re.fullmatch(r"v=(\d+)", d))
-        ]
-    except FileNotFoundError:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
+    versions = [
+        int(m.group(1))
+        for status in fs.listStatus(jpath)
+        if (m := re.fullmatch(r"v=(\d+)", status.getPath().getName()))
+    ]
     if not versions:
         return None
     return spark.read.schema(schema).parquet(
