@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_score",
     "lang_id_heuristic",
     "tfidf_tokens",
+    "bm25_scores",
     "token_count_bpe",
     "rolling_hash_fingerprint",
     "doc_fingerprint",

@@ -1109,6 +1109,95 @@ def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 (Okapi) relevance scoring — the retrieval-scoring tier of the text
+# family (TF-IDF's ranking-grade sibling; what a RAG corpus build scores
+# chunks with). One token explode feeds tf / dl; df and the two scalar
+# stats (N, avgdl) broadcast-cross-join in, so the whole query is one
+# corpus-sized pass + tiny joins — no per-query rescan at 100 TB, and the
+# query-term filter prunes tf before its shuffle.
+#
+# Cross-engine float discipline (same as tfidf): integer counts
+# everywhere, ln of exact ratios, expression trees parenthesized
+# IDENTICALLY in Spark and SQL, per-term scores rounded to 6 dp BEFORE
+# the per-doc sum — rounded scores carry ~20 mantissa bits, so the sum
+# of ≤|terms| of them is exact in either engine regardless of add order.
+# k1=1.2, b=0.75 (the standard Okapi constants) folded to literals so
+# both engines see identical operands.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "scan")
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+WITH tokc AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM tokc WHERE token <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+               ((tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl)))), 6) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+  CROSS JOIN stats CROSS JOIN ad
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+""",
+    doc=(
+        "[beyond-ref] Okapi BM25 relevance scores for a fixed query term "
+        "set over the documents corpus (k1=1.2, b=0.75) — retrieval-"
+        "scoring tier of the text family (SURVEY §2.10)"
+    ),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    ad = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    score = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (
+            (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ad))
+        .select("doc_id", score.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.sum("s"), 6).alias("bm25"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot: event_type counts per user — wide-table materialization
 # (pyspark_guide pivot pattern; oracle via portable conditional agg).
 # ---------------------------------------------------------------------------
