@@ -155,6 +155,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # the window form now runs the production banded path over the full
 # corpus with the O(label²) exact join bounded to an audit sample of
 # label blocks; the full-exact form stays local-oracle-covered).
+# Round 6: no swaps — the round's new queries (salted broadcast join,
+# BM25) slot next to in-window family representatives (broadcast join,
+# tfidf_tokens) and take local oracle + bench coverage.
 
 
 def _ordered_names() -> list[str]:
