@@ -76,6 +76,7 @@ HEADLINE = [
     "quarantine_routing",
     "repetition_filter",
     "passage_dedup_stats",
+    "chunk_documents",
     "snapshot_diff",
     "scd2_history",
     "domain_mix_weights",

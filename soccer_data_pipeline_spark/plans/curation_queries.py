@@ -11,6 +11,8 @@ for the 100 TB shape first, then mirrored by a DuckDB oracle:
 - ``passage_dedup_stats`` — C4/RefinedWeb-style duplicated-passage
   detection. Only (doc_id, chunk_hash) pairs ever shuffle — the
   document text itself stays columnar in the scan and is never moved.
+- ``chunk_documents`` — overlapping-window chunking (the RAG corpus-
+  build output shape): per-row sequence + slice + hash, zero shuffle.
 - ``snapshot_diff`` — hash-diff CDC between two warehouse snapshots:
   one co-partitioned full-outer join on the key, change classes
   derived from null-sides + cents-exact value compare.
@@ -225,6 +227,60 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*",
             frac.alias("shared_frac"),
             (frac < 0.5).alias("passes_passage_dedup"),
+        )
+    )
+
+
+CHUNK_W = 32  # tokens per retrieval chunk
+CHUNK_S = 24  # stride (8-token overlap carries context across cuts)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(LEN(t[(start + 1):(start + {CHUNK_W})]) AS BIGINT)
+         AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(t[(start + 1):(start + {CHUNK_W})], ' '))
+         AS chunk_hash
+FROM (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t), {CHUNK_S})) AS start
+      FROM toks WHERE LEN(t) >= 1)
+""",
+    doc="[beyond-ref] overlapping-window document chunking "
+    f"({CHUNK_W}-token windows, stride {CHUNK_S}) — the RAG/retrieval "
+    "corpus-build output shape (SURVEY §2.10)",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each document into overlapping token windows — the chunk
+    table a retrieval index (and the BM25/ANN tiers) is built over.
+    Disjoint-chunk hashing for dedup is ``passage_dedup_stats``; this
+    emits the chunks themselves, stride < width so no context is lost
+    at cut points.
+
+    Scale shape: entirely NARROW — per-row sequence + slice + hash
+    inside whole-stage codegen, one output row per chunk, no shuffle
+    at all (the chunk table inherits the scan's partitioning). The
+    chunk hash keys downstream dedup/ANN joins; chunk text would be
+    emitted the same way (slice + concat_ws) but is hashed here so the
+    oracle diff stays byte-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_S))
+    chunk = lambda s: F.slice(F.col("t"), s + 1, CHUNK_W)  # noqa: E731
+    return (
+        docs.where(F.size(toks) >= 1)
+        .select("doc_id", toks.alias("t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_S).cast("long").alias("chunk_id"),
+            F.size(chunk(F.col("start"))).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk(F.col("start")))).alias("chunk_hash"),
         )
     )
 
