@@ -95,3 +95,31 @@ def test_merge_upsert_single_join(spark):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Join") == 1
+
+
+def test_chunk_documents_is_narrow(spark):
+    # Overlapping-window chunking must stay zero-shuffle: per-row
+    # sequence + slice + hash, one Generate for the window explode,
+    # chunk rows inherit the scan's partitioning.
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan
+
+
+def test_salted_broadcast_join_routes_hot_keys(spark):
+    # The hot-key slice must be an explicit broadcast join; no
+    # cartesian products anywhere (the tail join may be broadcast too
+    # at test scale — AQE's call — but the hot branch is forced).
+    plan = _plan(spark, "salted_broadcast_join_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_token_explode(spark):
+    # BM25's tf and dl both derive from ONE token explode per scan
+    # branch; df and the scalar stats ride broadcasts, so exactly the
+    # two id-keyed aggregation exchanges (tf, dl→avgdl rolls into a
+    # single-partition agg) plus broadcasts may appear — never a
+    # corpus-sized join shuffle of text.
+    plan = _plan(spark, "bm25_scores")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
