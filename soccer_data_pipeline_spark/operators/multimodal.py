@@ -228,6 +228,63 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("seg_index", T.IntegerType(), True),
+        T.StructField("seg_start_ms", T.LongType(), True),
+        T.StructField("seg_end_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def segment_audio(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Windowed audio features: per-segment RMS over fixed time slices
+    — the audio analog of ``sample_frames`` (which only emits the
+    timestamps; here the WAV codec is real, so the per-segment
+    *feature* is real too). One input row fans out to
+    ceil(duration/every_ms) output rows inside the Arrow batch handler
+    — decode once per payload, slice many.
+
+    WAV decodes via the stdlib codec; other audio raises the
+    documented ``NotImplementedError`` boundary; null payloads emit no
+    segments (empty fan-out, same contract as an empty stream).
+    """
+    from ..functions.wav_codec import decode_wav, is_wav, rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "seg_index", "seg_start_ms", "seg_end_ms", "rms"]
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                payload = bytes(c)
+                if not is_wav(payload):
+                    raise NotImplementedError(
+                        "only RIFF/PCM WAV decodes without an external codec "
+                        "library; compressed audio needs libav"
+                    )
+                ch, rate, n_frames, samples = decode_wav(payload)
+                frames_per_seg = max(1, rate * every_ms // 1000)
+                for i in range(0, (n_frames + frames_per_seg - 1) // frames_per_seg):
+                    lo = i * frames_per_seg * ch
+                    hi = min((i + 1) * frames_per_seg, n_frames) * ch
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            i * frames_per_seg * 1000 // rate,
+                            min((i + 1) * frames_per_seg, n_frames) * 1000 // rate,
+                            rms(samples[lo:hi]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, AUDIO_SEGMENT_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """JVM-only byte-level stats (no Python): size, hash, format split.
 

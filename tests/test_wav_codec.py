@@ -150,3 +150,34 @@ def test_compressed_audio_raises_through_spark(spark):
     with pytest.raises(Exception) as ei:
         extract_audio_features(media).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_segment_audio_windowed_rms(spark):
+    """One payload fans out to per-window rows with REAL per-segment
+    RMS: an amplitude-modulated sine (quiet first half, loud second)
+    must show the step between its segments."""
+    import struct as _struct
+
+    from soccer_data_pipeline_spark.operators.multimodal import segment_audio
+
+    rate, seconds = 8000, 1.0
+    n = int(rate * seconds)
+    frames = bytearray()
+    for i in range(n):
+        amp = 0.2 if i < n // 2 else 0.8
+        v = int(round(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate)))
+        frames += _struct.pack("<h", v)
+    payload = encode_wav(1, rate, 2, bytes(frames))
+    media = spark.createDataFrame(
+        [(1, payload, ("audio", "wav", None, None, 1000)),
+         (2, None, ("audio", "wav", None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    segs = {r.seg_index: r for r in segment_audio(media, every_ms=250).collect()}
+    assert sorted(segs) == [0, 1, 2, 3]  # null payload emits nothing
+    assert segs[0].seg_start_ms == 0 and segs[0].seg_end_ms == 250
+    assert segs[3].seg_start_ms == 750 and segs[3].seg_end_ms == 1000
+    for i in (0, 1):
+        assert abs(segs[i].rms - 0.2 / math.sqrt(2)) < 5e-3
+    for i in (2, 3):
+        assert abs(segs[i].rms - 0.8 / math.sqrt(2)) < 5e-3
