@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_connected_clusters",
     "train_val_test_split",
     "stratified_sample_docs",
+    "shard_manifest",
     "benchmark_contamination",
     "pack_sequences",
     "pii_scrub",

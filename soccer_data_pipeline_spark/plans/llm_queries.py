@@ -1393,6 +1393,55 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_HASH_SPARK = "conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 16"
+_SHARD_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16"
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+SELECT {_SHARD_HASH_DUCK} AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY 1
+""",
+    doc=(
+        "[beyond-ref] webdataset-style output sharding: deterministic "
+        "md5-bucket shard assignment (16 shards) + per-shard audit "
+        "manifest (doc count, byte budget, id range) (SURVEY §2.10 "
+        "training-data tier)"
+    ),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment + manifest for the corpus writer. The shard id
+    is the hash-deterministic bucket the split/sampling family already
+    uses (re-execution can never move a doc between shards); the
+    writer repartitions on it (`repartition('shard_id').write...`) so
+    each output shard is one task's sequential write, and this
+    manifest is the audit table a training loader checks before
+    consuming. One hash + one count-sum groupBy — the manifest costs a
+    single 16-row shuffle at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(_SHARD_HASH_SPARK).cast("long").alias("shard_id"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
 @register(
     "stratified_sample_docs",
     oracle=f"""
