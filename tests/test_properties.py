@@ -98,3 +98,75 @@ def test_salted_aggregate_equals_plain(spark):
     got = {r.l_returnflag: r.qty_c_sum for r in salted.collect()}
     for k, (s, _, _, _) in plain.items():
         assert got[k] == s
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_exact(samples, rate):
+    """encode→decode is the identity on 16-bit integer PCM: every
+    sample comes back as exactly v/32768, and the header metadata
+    (channels, rate, frame count) survives."""
+    import struct
+
+    from soccer_data_pipeline_spark.functions.wav_codec import decode_wav, encode_wav
+
+    frames = b"".join(struct.pack("<h", v) for v in samples)
+    ch, r, n, out = decode_wav(encode_wav(1, rate, 2, frames))
+    assert (ch, r, n) == (1, rate, len(samples))
+    assert out == [v / 32768.0 for v in samples]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(  # target rows: unique keys
+        st.tuples(st.integers(0, 15), st.integers(0, 99)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # source rows: (key, value, seq) — duplicate keys allowed
+        st.tuples(st.integers(0, 15), st.integers(0, 99), st.integers(0, 9)),
+        max_size=12,
+    ),
+)
+def test_merge_upsert_batch_matches_reference(spark, target_rows, source_rows):
+    """merge_upsert_batch ≡ a dict applying per-key max-seq source
+    values over the target (ties break to the larger value via the
+    deterministic row_number orderBy extension below being on seq
+    only — so restrict generated seqs to be unique per key first)."""
+    from soccer_data_pipeline_spark.streaming import merge_upsert_batch
+
+    # make seq unique per key so "latest" is well-defined for the
+    # reference (the operator's tie-break within equal seq is
+    # row_number-arbitrary by contract)
+    seen: dict[tuple[int, int], bool] = {}
+    src = []
+    for k, v, s in source_rows:
+        if (k, s) not in seen:
+            seen[(k, s)] = True
+            src.append((k, v, s))
+
+    ref = {k: v for k, v in target_rows}
+    latest: dict[int, tuple[int, int]] = {}
+    for k, v, s in src:
+        if k not in latest or s > latest[k][1]:
+            latest[k] = (v, s)
+    for k, (v, _) in latest.items():
+        ref[k] = v
+
+    target = spark.createDataFrame(
+        [(k, v, -1) for k, v in target_rows] or [(999999, 0, -1)],
+        "key long, value long, seq long",
+    )
+    if not target_rows:
+        target = target.where("key < 0")  # empty target with schema
+    source = spark.createDataFrame(
+        src or [(999999, 0, 0)], "key long, value long, seq long"
+    )
+    if not src:
+        source = source.where("key < 0")
+    out = merge_upsert_batch(target, source, "key", seq_col="seq")
+    got = {r.key: r.value for r in out.collect()}
+    assert got == ref
