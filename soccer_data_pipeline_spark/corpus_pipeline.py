@@ -1,0 +1,81 @@
+"""[beyond-ref] End-to-end training-corpus build — the LLM-tier analog
+of ``pipeline.run_soccer_etl``: ONE lazy composition from a raw
+documents frame to the training-ready artifact frames.
+
+    clean (quality → exact dedup → near-dup clusters)
+      → split (hash-deterministic train/val/test)
+      → shard (md5-bucket output sharding)
+      → manifest (per split × shard audit)
+
+Every stage is the same operator the registered queries hash-check
+individually (``corpus_clean_decisions``, ``train_val_test_split``,
+``shard_manifest``), so the composition inherits their oracle
+coverage; the integration test additionally asserts the composed
+decisions are row-identical to the registered query's.
+
+All outputs are lazy DataFrames — the caller writes
+``corpus.repartition("shard_id").write.partitionBy("split", ...)`` so
+each output shard is one task's sequential write. Determinism is
+end-to-end: every assignment is a pure function of doc_id/text, so a
+re-run (or a backfill at 100 TB) reproduces byte-identical shards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_bucket(col, mod: int):
+    """Deterministic integer bucket in [0, mod) from any key column —
+    the split/sampling/shard family's hash (first 16 bits of md5 of the
+    key's string form; engine-portable, seed-free, stable across
+    re-executions by construction)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+        % mod
+    )
+
+
+@dataclass
+class CorpusBuildOutputs:
+    decisions: DataFrame  # (doc_id, decision) — every input doc, keep/drop + reason
+    corpus: DataFrame  # kept docs + (split, shard_id) assignment columns
+    manifest: DataFrame  # per (split, shard_id): n_docs, total_chars
+
+
+def run_corpus_build(
+    docs: DataFrame,
+    n_shards: int = 16,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    **clean_kwargs,
+) -> CorpusBuildOutputs:
+    """Build the full corpus-assembly plan (lazy — caller writes).
+
+    ``docs`` needs (doc_id, text, n_chars); ``clean_kwargs`` pass
+    through to :func:`operators.corpus.clean_decisions` (minhash
+    config, quality thresholds).
+    """
+    from .operators.corpus import clean_decisions
+
+    decisions = clean_decisions(docs, **clean_kwargs)
+    kept = docs.join(
+        decisions.where(F.col("decision") == "keep"), "doc_id", "left_semi"
+    )
+    split_bucket = md5_bucket(F.col("doc_id"), 100)
+    corpus = kept.select(
+        "*",
+        F.when(split_bucket < train_pct, "train")
+        .when(split_bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+        md5_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
+    )
+    manifest = corpus.groupBy("split", "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return CorpusBuildOutputs(decisions=decisions, corpus=corpus, manifest=manifest)

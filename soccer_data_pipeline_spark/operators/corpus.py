@@ -1,0 +1,88 @@
+"""[beyond-ref] Corpus cleaning decisions as a reusable operator.
+
+The keep/drop policy the training-data tier applies before assembly:
+quality gate → exact-dup keeper → near-dup cluster keeper, with fixed
+precedence. Extracted from the registered ``corpus_clean_decisions``
+query (plans/llm_queries.py keeps the DuckDB oracle that hash-checks
+this exact composition, recursive-CTE components included) so the
+end-to-end corpus build (``corpus_pipeline.run_corpus_build``) can
+compose it over any documents frame.
+
+Scale shape (unchanged from the query): document text never shuffles —
+the quality gate is narrow per-row array math, the exact-keeper ships
+only (128-bit hash, doc_id) through its groupBy + join-back, and the
+near-dup tier is the bucket-capped MinHash pipeline + the three-tier
+connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_decisions(
+    docs: DataFrame,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 50,
+    min_tokens: int = 20,
+    stop_lo: float = 0.01,
+    stop_hi: float = 0.5,
+) -> DataFrame:
+    """→ (doc_id, decision) with decision ∈ {keep, drop_quality,
+    drop_exact_dup, drop_near_dup}; precedence quality → exact → near.
+    Keeper = min doc_id per exact-hash group / per near-dup cluster."""
+    from .dedup import minhash_near_dup_pairs
+    from .graph import connected_components
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    passes_quality = (
+        (n_tokens >= min_tokens) & (stop_ratio >= stop_lo) & (stop_ratio <= stop_hi)
+    )
+
+    # Exact-dup keeper via hash-groupBy + join-back (VERDICT r2 #6): a
+    # window over md5(text) partitions would shuffle document text; the
+    # groupBy ships only (128-bit hash, doc_id) and the join-back only
+    # (hash, keeper) — the scale-correct shape for a corpus-sized table.
+    h = F.md5(F.col("text").cast("binary"))
+    keepers = (
+        docs.select(h.alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("_exact_keeper"))
+    )
+
+    pairs = minhash_near_dup_pairs(
+        docs, n=3, k=k, bands=bands, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+    q = (
+        docs.select("doc_id", h.alias("_h"), passes_quality.alias("_q_ok"))
+        .join(keepers, "_h")
+        .select(
+            "doc_id",
+            "_q_ok",
+            (F.col("doc_id") == F.col("_exact_keeper")).alias("_exact_keep"),
+        )
+    )
+    return q.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(~F.col("_q_ok"), "drop_quality")
+        .when(~F.col("_exact_keep"), "drop_exact_dup")
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("doc_id") != F.col("cluster_id")),
+            "drop_near_dup",
+        )
+        .otherwise("keep")
+        .alias("decision"),
+    )

@@ -1715,62 +1715,14 @@ FROM quality q LEFT JOIN clusters c ON c.doc_id = q.doc_id
     doc="[beyond-ref] end-to-end corpus cleaning decision table: quality -> exact dedup -> near-dup clusters, keep/drop + reason per doc (SURVEY §2.10 training-data tier)",
 )
 def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_near_dup_pairs
-    from ..operators.graph import connected_components
+    # Policy body lives in operators/corpus.clean_decisions (r6) so the
+    # end-to-end corpus build composes the same code the oracle checks;
+    # the parameters here ARE the oracle's constants.
+    from ..operators.corpus import clean_decisions
 
     docs = load_table(spark, sf_dir, "documents")
-
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
-    passes_quality = (n_tokens >= 20) & (stop_ratio >= 0.01) & (stop_ratio <= 0.5)
-
-    # Exact-dup keeper via hash-groupBy + join-back (VERDICT r2 #6): a
-    # window over md5(text) partitions would shuffle document text; the
-    # groupBy ships only (128-bit hash, doc_id) and the join-back only
-    # (hash, keeper) — the scale-correct shape for a corpus-sized table.
-    h = F.md5(F.col("text").cast("binary"))
-    keepers = (
-        docs.select(h.alias("_h"), "doc_id")
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("_exact_keeper"))
-    )
-
-    pairs = minhash_near_dup_pairs(
-        docs, n=3, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
-    )
-    clusters = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-
-    q = (
-        docs.select(
-            "doc_id",
-            h.alias("_h"),
-            passes_quality.alias("_q_ok"),
-        )
-        .join(keepers, "_h")
-        .select(
-            "doc_id",
-            "_q_ok",
-            (F.col("doc_id") == F.col("_exact_keeper")).alias("_exact_keep"),
-        )
-    )
-    return (
-        q.join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("_q_ok"), "drop_quality")
-            .when(~F.col("_exact_keep"), "drop_exact_dup")
-            .when(
-                F.col("cluster_id").isNotNull()
-                & (F.col("doc_id") != F.col("cluster_id")),
-                "drop_near_dup",
-            )
-            .otherwise("keep")
-            .alias("decision"),
-        )
+    return clean_decisions(
+        docs, k=_K, bands=_BANDS, threshold=0.5, max_bucket_size=_MAX_BUCKET
     )
 
 

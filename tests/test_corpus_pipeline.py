@@ -1,0 +1,58 @@
+"""End-to-end corpus build (corpus_pipeline.run_corpus_build): the
+composed plan must agree row-for-row with the registered queries that
+hash-check each stage, and every assignment must be deterministic."""
+
+from __future__ import annotations
+
+from soccer_data_pipeline_spark.corpus_pipeline import run_corpus_build
+from soccer_data_pipeline_spark.plans import QUERIES
+from soccer_data_pipeline_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_decisions_match_registered_query(spark):
+    out = run_corpus_build(_docs(spark))
+    composed = {(r.doc_id, r.decision) for r in out.decisions.collect()}
+    registered = {
+        (r.doc_id, r.decision)
+        for r in QUERIES["corpus_clean_decisions"].fn(spark, SF).collect()
+    }
+    assert composed == registered
+
+
+def test_corpus_split_and_shard_assignment(spark):
+    out = run_corpus_build(_docs(spark), n_shards=8)
+    rows = out.corpus.collect()
+    keep_count = out.decisions.where("decision = 'keep'").count()
+    assert len(rows) == keep_count and keep_count > 0
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r.shard_id < 8 for r in rows)
+    # split agrees with the registered hash-split query on kept docs
+    split_ref = {
+        r.doc_id: r.split
+        for r in QUERIES["train_val_test_split"].fn(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.split == split_ref[r.doc_id]
+
+
+def test_manifest_totals_account_for_corpus(spark):
+    out = run_corpus_build(_docs(spark))
+    m = out.manifest.collect()
+    assert sum(r.n_docs for r in m) == out.corpus.count()
+    chars = {r.doc_id: r.n_chars for r in out.corpus.collect()}
+    assert sum(r.total_chars for r in m) == sum(chars.values())
+
+
+def test_rebuild_is_deterministic(spark):
+    a = run_corpus_build(_docs(spark))
+    b = run_corpus_build(_docs(spark))
+    key = lambda r: (r.doc_id, r.split, r.shard_id)  # noqa: E731
+    assert sorted(map(key, a.corpus.collect())) == sorted(
+        map(key, b.corpus.collect())
+    )
