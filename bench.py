@@ -81,6 +81,7 @@ HEADLINE = [
     "snapshot_diff",
     "scd2_history",
     "domain_mix_weights",
+    "domain_quota_sample",
     "merge_upsert_orders",
     "fuzzy_levenshtein_pairs",
     "zorder_layout_keys",

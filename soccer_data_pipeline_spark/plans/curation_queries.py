@@ -20,6 +20,9 @@ for the 100 TB shape first, then mirrored by a DuckDB oracle:
   uniform token budget, integer-exact (LEAST(n, total/k)) so both
   engines agree bit-for-bit; the global total rides a 1-row broadcast
   cross join (same pattern as tfidf_tokens), not a driver collect.
+- ``domain_quota_sample`` — the apply half: hash-ordered cumulative
+  selection per language until each token budget is spent (seed-free
+  deterministic; two-phase prefix sum is the hot-language scale form).
 """
 
 from __future__ import annotations
@@ -413,6 +416,78 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 planned.cast("double") / F.col("n_tokens"), 6
             ).alias("sample_weight"),
         )
+    )
+
+
+@register(
+    "domain_quota_sample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+         SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+),
+per_lang AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM t GROUP BY 1),
+tot AS (SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM per_lang),
+budget AS (
+  SELECT lang, LEAST(lang_tokens, total_tokens // n_langs) AS budget_tokens
+  FROM per_lang CROSS JOIN tot
+),
+ranked AS (
+  SELECT t.doc_id, t.lang, t.n_tokens,
+         SUM(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id)
+           AS cum_tokens,
+         b.budget_tokens
+  FROM t JOIN budget b USING (lang)
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= budget_tokens
+""",
+    doc="[beyond-ref] apply the domain-mix token budgets: hash-ordered "
+    "cumulative selection per language until each budget is spent "
+    "(SURVEY §2.10)",
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of ``domain_mix_weights``: deterministically pick
+    WHICH documents fill each language's token budget. Docs rank by
+    (md5(doc_id), doc_id) within their language — seed-free, so a
+    re-run or backfill selects the identical corpus — and survive
+    while the running token total stays within budget. All integer
+    arithmetic; the ordering key is unique, so the running sum is
+    frame-unambiguous in both engines.
+
+    Scale note: the per-language running sum is a single window here;
+    at 100 TB a hot language would make that partition a straggler —
+    the production decomposition is the two-phase per-shard prefix sum
+    ``pack_sequences`` demonstrates (shard subtotals → broadcast
+    offsets), applied per (lang, shard) with identical semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("h"),
+    )
+    per_lang = t.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    budget = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("lang_tokens"),
+            F.floor(F.col("total_tokens") / F.col("n_langs")).cast("long"),
+        ).alias("budget_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        t.join(F.broadcast(budget), "lang")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .select("doc_id", "lang", "n_tokens", F.col("cum_tokens").cast("long"))
     )
 
 
