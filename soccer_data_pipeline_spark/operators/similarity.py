@@ -86,14 +86,45 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket code for one vector column: bit i = sign(v·p_i)."""
-    code = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(vec_col, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
-        code = code + bit
-    return code.cast("long")
+def _lit_d(x: float) -> str:
+    """SQL double literal with exact round-trip (repr is shortest
+    round-trip; decimal→double parse is correctly rounded; D suffix
+    keeps Spark from reading it as DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _dot_sql(col_name: str, vec: list[float]) -> str:
+    """SQL text for v·constant — same aggregate/zip_with op tree (and
+    therefore bit-identical doubles) as the Column-built ``_dot``."""
+    arr = "array(" + ",".join(_lit_d(x) for x in vec) + ")"
+    return (
+        f"aggregate(zip_with({col_name}, {arr}, (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
+def lsh_bucket_sql(col_name: str, planes: list[list[float]]) -> str:
+    """SQL text for the sign-bit bucket code: bit i = sign(v·p_i).
+
+    Generated as TEXT and parsed JVM-side in one round trip because
+    plane constants are big: the banded config embeds 36×64 doubles,
+    and building that expression through the Column API costs ~15k
+    py4j round trips — measured 2.5-3 s of plan-CONSTRUCTION time per
+    query (driver-side, so it would precede every job on a real
+    cluster too) vs ~50 ms for one parsed string. Identical op tree
+    (aggregate/zip_with/multiply/add, correctly-rounded literals), so
+    bucket codes — and every measured recall — are bit-identical.
+    """
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(col_name, p)} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def lsh_bucket(col_name: str, planes: list[list[float]]):
+    """Sign-bit bucket code column for a named vector column."""
+    return F.expr(lsh_bucket_sql(col_name, planes))
 
 
 def ann_lsh_cosine(
@@ -124,7 +155,7 @@ def ann_lsh_cosine(
             _as_double(F.col(vec_col)).alias("qv"),
         )
         .withColumn("qn", _norm(F.col("qv")))
-        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        .withColumn("bucket", lsh_bucket("qv", planes))
     )
     c = (
         candidates.select(
@@ -132,7 +163,7 @@ def ann_lsh_cosine(
             _as_double(F.col(vec_col)).alias("cv"),
         )
         .withColumn("cn", _norm(F.col("cv")))
-        .withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+        .withColumn("bucket", lsh_bucket("cv", planes))
     )
 
     if radius > 0:
@@ -221,22 +252,23 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    # rank cells per query by distance to centroid, keep top n_probe
-    cell_arrays = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                _dot(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.array_repeat(F.lit(1.0), len(centroids[0])),
-                ).alias("dist2"),
+    # rank cells per query by distance to centroid, keep top n_probe.
+    # One parsed SQL string (see lsh_bucket_sql): centroid constants via
+    # the Column API cost ~1k py4j round trips per construction. The
+    # squared-distance sum is the same aggregate/zip_with op tree as
+    # before (the old form dot-multiplied each term by exactly 1.0,
+    # which is an IEEE no-op) — bit-identical dist2.
+    cell_arrays = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cell', {i}, 'dist2', "
+            "aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "0D, (acc, x) -> acc + x))".format(
+                i=i, arr="array(" + ",".join(_lit_d(x) for x in c) + ")"
             )
             for i, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     probed = (
         q.withColumn(
@@ -332,12 +364,16 @@ def banded_candidate_pairs(
     # in a separate projection, InferFiltersFromGenerate + pushdown would
     # inline all n_planes interpreted plane-dot-products into a size()>0
     # filter below and run them twice per row (same trap measured 6× on
-    # the MinHash shingle stage).
-    band_codes = F.array(
-        *[
-            lsh_bucket(F.col("v"), planes[b * band_width : (b + 1) * band_width])
+    # the MinHash shingle stage). Built as ONE parsed SQL string — the
+    # 36×64 plane constants through the Column API cost seconds of py4j
+    # round trips per construction (see lsh_bucket_sql).
+    band_codes = F.expr(
+        "array("
+        + ",".join(
+            lsh_bucket_sql("v", planes[b * band_width : (b + 1) * band_width])
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     coded = base.select(
         "vid", "lbl", "v", "n", F.posexplode(band_codes).alias("band", "code")
