@@ -5,6 +5,8 @@
     python -m soccer_data_pipeline_spark incremental --raw RAW_DIR \
         --leagues config/leagues.json --staging OUT --checkpoint CKPT
     python -m soccer_data_pipeline_spark query NAME [--sf-dir DIR] [-n 20]
+    python -m soccer_data_pipeline_spark corpus --docs DOCS_PARQUET \
+        --out OUT_DIR [--shards 16]
     python -m soccer_data_pipeline_spark list
 """
 
@@ -37,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("-n", type=int, default=20, help="rows to show")
 
+    corpus = sub.add_parser(
+        "corpus", help="training-corpus build: clean → split → shard → manifest"
+    )
+    corpus.add_argument("--docs", required=True, help="documents parquet path")
+    corpus.add_argument("--out", required=True, help="output directory")
+    corpus.add_argument("--shards", type=int, default=16)
+
     sub.add_parser("list", help="list registry queries")
 
     args = p.parse_args(argv)
@@ -49,8 +58,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:32s} [{oracle}] {spec.doc}")
         return 0
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # Only stop a session this entrypoint created: main() is also
+    # callable programmatically (tests, notebooks), where tearing down
+    # the caller's shared session would poison every later use of it.
+    had_active = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"sdp-{args.cmd}")
     try:
         if args.cmd == "query":
@@ -60,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query: {args.name}", file=sys.stderr)
                 return 2
             QUERIES[args.name].fn(spark, args.sf_dir).show(args.n, truncate=False)
+            return 0
+
+        if args.cmd == "corpus":
+            from .corpus_pipeline import run_corpus_build
+
+            out = run_corpus_build(spark.read.parquet(args.docs), n_shards=args.shards)
+            (
+                out.corpus.repartition("shard_id")
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(f"{args.out}/corpus")
+            )
+            out.manifest.write.mode("overwrite").parquet(f"{args.out}/manifest")
+            out.decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+            kept = spark.read.parquet(f"{args.out}/corpus").count()
+            total = spark.read.parquet(f"{args.out}/decisions").count()
+            print(f"kept {kept}/{total} docs → {args.out}/corpus (+ manifest, decisions)")
             return 0
 
         from .sources.lookup import leagues_from_json
@@ -95,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"processed {n_batches} micro-batch(es)")
             return 0
     finally:
-        spark.stop()
+        if not had_active:
+            spark.stop()
     return 1
 
 

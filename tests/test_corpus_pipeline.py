@@ -56,3 +56,19 @@ def test_rebuild_is_deterministic(spark):
     assert sorted(map(key, a.corpus.collect())) == sorted(
         map(key, b.corpus.collect())
     )
+
+
+def test_cli_corpus_subcommand(spark, tmp_path):
+    """`python -m soccer_data_pipeline_spark corpus` writes the corpus,
+    manifest, and decisions trees with consistent counts."""
+    from soccer_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "out")
+    rc = main(["corpus", "--docs", f"{SF}/documents.parquet", "--out", out, "--shards", "4"])
+    assert rc == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    decisions = spark.read.parquet(f"{out}/decisions")
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert corpus.count() == decisions.where("decision = 'keep'").count()
+    assert sum(r.n_docs for r in manifest.collect()) == corpus.count()
+    assert corpus.select("shard_id").distinct().count() <= 4
