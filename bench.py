@@ -47,6 +47,7 @@ HEADLINE = [
     # dedup / text / similarity (LLM-pipeline tier)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental_pairs",
     "dedup_simhash_groups",
     "ngram_jaccard_pairs",
     "embedding_near_dup",

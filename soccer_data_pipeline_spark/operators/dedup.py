@@ -159,6 +159,104 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_candidates(
+    signatures: DataFrame,
+    new_ids: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW doc — the daily-batch
+    dedup shape. The band join is new-side × full-side instead of the
+    full self-join, so candidate cost scales with |batch| × bucket
+    size, not corpus²: existing-vs-existing pairs (already resolved by
+    previous runs) are never generated.
+
+    The hot-bucket cap is evaluated on the FULL bucket population
+    (identical semantics to the full run — an over-capacity bucket is
+    boilerplate regardless of which run looks at it). ``new_ids`` is a
+    1-column (doc_id) frame; output pairs are (least, greatest)
+    normalized so a new-new pair meeting from both directions
+    deduplicates.
+    """
+    k = bands * rows_per_band
+    stack_args = []
+    for b in range(bands):
+        cols = ", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band))
+        stack_args.append(f"{b}, md5(concat_ws(',', {cols}))")
+    banded = signatures.selectExpr(
+        "doc_id",
+        f"stack({bands}, {', '.join(stack_args)}) AS (band_id, band_key)",
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_sz"))
+            .where(F.col("_sz") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
+    new_side = banded.join(new_ids, "doc_id", "left_semi").alias("a")
+    full_side = banded.alias("b")
+    return (
+        new_side.join(
+            full_side,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    is_new,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: verified pairs touching at
+    least one doc matching ``is_new`` (a boolean Column) — new-vs-new
+    and new-vs-existing, never existing-vs-existing.
+
+    Locally this recomputes every signature for oracle checkability;
+    at 100 TB the existing side's signatures load from the signature
+    store written by the previous run (they are just a table —
+    ``minhash_signatures`` output through the S6 parquet sink) and
+    only the batch is shingled, making the whole run
+    O(batch + touched buckets). Same boundaries as
+    ``minhash_near_dup_pairs``: operator-owned sigs cache, eager
+    checkpoint under the candidate table, blocks released before
+    return.
+    """
+    from .cache import persistent_rdd_ids, unpersist_ids
+
+    spark = docs.sparkSession
+    sigs = minhash_signatures(shingles(docs, n=n), k=k).cache()
+    new_ids = docs.where(is_new).select("doc_id")
+    cands = lsh_incremental_candidates(
+        sigs,
+        new_ids,
+        bands=bands,
+        rows_per_band=k // bands,
+        max_bucket_size=max_bucket_size,
+    )
+    pre = persistent_rdd_ids(spark)
+    cands = cands.localCheckpoint()
+    cand_blocks = persistent_rdd_ids(spark) - pre
+    out = verify_jaccard(cands, docs, threshold=threshold, n=n)
+    sigs.unpersist()
+    unpersist_ids(spark, cand_blocks)
+    return out
+
+
 def verify_jaccard(
     candidates: DataFrame,
     docs: DataFrame,

@@ -519,6 +519,39 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_pairs",
+    oracle=f"WITH {_MINHASH_PAIRS_CTES}\n"
+    + _MINHASH_PAIRS_SELECT.rstrip()
+    + "\n  AND (c.doc_a % 5 = 0 OR c.doc_b % 5 = 0)\n",
+    doc=(
+        "[beyond-ref] incremental MinHash-LSH dedup: verified near-dup "
+        "pairs touching the NEW batch (doc_id % 5 = 0 stands in for it) "
+        "— new-vs-new and new-vs-existing only, the daily-crawl shape "
+        "(SURVEY §2.10)"
+    ),
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: the band join is new-side × full-side, so
+    at 100 TB candidate cost scales with the batch (existing signatures
+    load from the prior run's signature store), and existing-vs-existing
+    pairs — already resolved — are never regenerated. The oracle is the
+    full pair pipeline restricted to pairs touching the batch, which is
+    definitionally the incremental output."""
+    from ..operators.dedup import minhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        docs,
+        F.col("doc_id") % 5 == 0,
+        n=3,
+        k=_K,
+        bands=_BANDS,
+        threshold=0.5,
+        max_bucket_size=_MAX_BUCKET,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clusters: connected components over the near-dup pair graph
 # (operators/graph.py — iterative min-label propagation on Spark). The

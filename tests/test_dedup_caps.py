@@ -93,3 +93,34 @@ def test_ngram_df_cap_bounds_boilerplate(spark):
     assert (1000, 1001) in pairs_cap
     row = capped.where((F.col("doc_a") == 1000) & (F.col("doc_b") == 1001)).collect()[0]
     assert row.n_common == 10 and row.n_a == 10 and row.n_b == 11
+
+
+def test_incremental_pairs_equal_full_pairs_restricted(spark):
+    """Incremental dedup (new batch vs corpus) must equal the full run
+    restricted to pairs touching the batch — and generate no
+    existing-vs-existing pair."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_incremental_pairs(
+            docs, is_new, n=3, k=16, bands=4, threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(
+            docs, n=3, k=16, bands=4, threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    expected = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert inc == expected
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
