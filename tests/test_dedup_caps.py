@@ -124,3 +124,39 @@ def test_incremental_pairs_equal_full_pairs_restricted(spark):
     expected = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert inc == expected
     assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
+
+
+def test_incremental_candidates_from_persisted_signature_store(spark, tmp_path):
+    """The production incremental path: signatures written by a prior
+    run load from parquet and drive candidate generation directly — no
+    reshingling of the existing corpus — with identical candidates to
+    the in-memory signature frame."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.dedup import (
+        lsh_incremental_candidates,
+        minhash_signatures,
+        shingles,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(shingles(docs, n=3), k=16)
+    store = str(tmp_path / "sig_store")
+    sigs.write.parquet(store)  # prior run's S6 sink
+
+    new_ids = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    from_store = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_incremental_candidates(
+            spark.read.parquet(store), new_ids, bands=4, rows_per_band=4,
+            max_bucket_size=50,
+        ).collect()
+    }
+    in_memory = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_incremental_candidates(
+            sigs, new_ids, bands=4, rows_per_band=4, max_bucket_size=50
+        ).collect()
+    }
+    assert from_store == in_memory and from_store
