@@ -52,6 +52,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "embedding_near_dup_banded",
+    "embedding_incremental_near_dup",
     "embedding_topk_cosine",
     "similarity_ann_recall",
     "similarity_ivf_recall",

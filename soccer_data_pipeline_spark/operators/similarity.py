@@ -421,6 +421,96 @@ def banded_candidate_pairs(
     return pairs
 
 
+def banded_incremental_candidates(
+    df: DataFrame,
+    new_ids: DataFrame,
+    n_planes: int = 36,
+    band_width: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded sign-LSH candidates touching at least one NEW vector —
+    the embedding twin of ``dedup.lsh_incremental_candidates``: the
+    band join is new-side × full-side, so candidate cost scales with
+    the batch and existing-vs-existing pairs are never generated. At
+    scale the full side's band codes load from the sketch store
+    written by the previous run (they are one long per (vid, band));
+    only the batch is re-sketched.
+
+    Returns the same (vec_a, vec_b, label, av, an, bv, bn) contract as
+    ``banded_candidate_pairs`` with (least, greatest)-normalized ids.
+    """
+    if n_planes % band_width != 0:
+        raise ValueError("n_planes must be a multiple of band_width")
+    planes = _hyperplanes(dim, n_planes)
+    n_bands = n_planes // band_width
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        *([F.col(label_col).alias("lbl")] if label_col else [F.lit(0).alias("lbl")]),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    band_codes = F.expr(
+        "array("
+        + ",".join(
+            lsh_bucket_sql("v", planes[b * band_width : (b + 1) * band_width])
+            for b in range(n_bands)
+        )
+        + ")"
+    )
+    coded = base.select(
+        "vid", "lbl", "v", "n", F.posexplode(band_codes).alias("band", "code")
+    )
+    coded = coded.repartition("lbl", "band", "code")
+    if max_bucket_size is not None:
+        # cap on the FULL bucket population — identical semantics to the
+        # full run regardless of which batch is looking
+        hot = (
+            coded.groupBy("lbl", "band", "code")
+            .agg(F.count("*").alias("_m"))
+            .where(F.col("_m") > max_bucket_size)
+            .select("lbl", "band", "code")
+        )
+        coded = coded.join(F.broadcast(hot), ["lbl", "band", "code"], "left_anti")
+    new_side = coded.join(
+        new_ids.select(F.col(new_ids.columns[0]).alias("vid")), "vid", "left_semi"
+    ).alias("a")
+    full_side = coded.alias("b")
+    return (
+        new_side.join(
+            full_side,
+            (F.col("a.lbl") == F.col("b.lbl"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
+            F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
+            F.col("a.lbl").alias("label"),
+            # vectors re-keyed to the normalized order so the caller's
+            # cosine sees (vec_a's vector, vec_b's vector) regardless of
+            # which side was the batch
+            F.when(F.col("a.vid") < F.col("b.vid"), F.col("a.v"))
+            .otherwise(F.col("b.v"))
+            .alias("av"),
+            F.when(F.col("a.vid") < F.col("b.vid"), F.col("a.n"))
+            .otherwise(F.col("b.n"))
+            .alias("an"),
+            F.when(F.col("a.vid") < F.col("b.vid"), F.col("b.v"))
+            .otherwise(F.col("a.v"))
+            .alias("bv"),
+            F.when(F.col("a.vid") < F.col("b.vid"), F.col("b.n"))
+            .otherwise(F.col("a.n"))
+            .alias("bn"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def near_dup_pairs_banded(
     df: DataFrame,
     threshold: float,

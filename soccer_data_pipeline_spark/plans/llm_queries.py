@@ -748,6 +748,87 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_incremental_near_dup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine,
+       TRUE AS lsh_recall_ok
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.35
+  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+""",
+    doc=(
+        "[beyond-ref] incremental embedding near-dup: batch-vs-corpus "
+        "pairs (vec_id % 5 = 0 stands in for the new batch) with the "
+        "incremental banded-LSH recall gate — the embedding twin of "
+        "dedup_incremental_pairs (SURVEY §2.10)"
+    ),
+)
+def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus embedding dedup. The exact side is already
+    incremental-shaped — new × all within label blocks, |batch|·|block|
+    pairs, not |block|² — and the gate asserts the production path
+    (``banded_incremental_candidates``: band join new-side × full-side,
+    existing band codes loadable from the sketch store) recovers
+    >= _BANDED_RECALL_FLOOR of them. Measured gate recall at the
+    36-plane default, deterministic per (seed=42, corpus): 1.0
+    @sf0.001 (6 pairs), 1.0 @sf0.01 (10), 0.9496 @sf0.1 (132/139) —
+    floor 0.8, margins >= 0.149 everywhere (retune procedure at the
+    embedding_near_dup provenance block)."""
+    from ..operators.similarity import banded_incremental_candidates
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    base = base.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    new_side = base.where(F.col("vec_id") % 5 == 0).alias("a")
+    full_side = base.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    exact = (
+        new_side.join(
+            full_side,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    new_ids = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    lsh = banded_incremental_candidates(emb, new_ids).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    marked = exact.join(lsh, ["vec_a", "vec_b"], "left").withColumn(
+        "hit", F.coalesce(F.col("hit"), F.lit(0))
+    )
+    w_all = Window.partitionBy()
+    recall = F.sum("hit").over(w_all) / F.count("*").over(w_all)
+    return marked.select(
+        "vec_a",
+        "vec_b",
+        "label",
+        "cosine",
+        (recall >= _BANDED_RECALL_FLOOR).alias("lsh_recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Banded-only near-dup window variant (VERDICT r4 #4): the in-window form
 # above pays an O(label²) exact join over EVERY label block because its
