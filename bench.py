@@ -214,7 +214,8 @@ def main() -> None:
     prev_name, prev = _prev_round_medians(sf)
 
     def canary_ratios(phase: str) -> list[float]:
-        """Per-canary (current median / committed median) ratios."""
+        """Per-canary (current median / committed median) ratios for one
+        phase; the two phases are combined conservatively below."""
         ratios = []
         for cname in CANARIES:
             cspec = QUERIES.get(cname)
@@ -233,7 +234,7 @@ def main() -> None:
             print(f"# canary[{phase}] {cname}: {r:.2f}x vs {prev_name}", file=sys.stderr)
         return ratios
 
-    load_samples = canary_ratios("pre")
+    pre_ratios = canary_ratios("pre")
 
     for name in HEADLINE:
         spec = QUERIES.get(name)
@@ -287,18 +288,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    load_samples += canary_ratios("post")
+    post_ratios = canary_ratios("post")
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     failed = sorted(k for k, v in timings.items() if v < 0)
 
-    # Session-load factor: median canary ratio across the pre and post
-    # phases. A uniformly loaded session (e.g. the driver benching while
-    # pytest runs) inflates every query with tight per-query spread —
-    # invisible to the spread gate but fully visible to the canaries,
-    # whose plans are frozen across rounds.
-    load_samples.sort()
-    load_factor = load_samples[len(load_samples) // 2] if load_samples else 1.0
+    # Session-load factor. A uniformly loaded session (e.g. the driver
+    # benching while pytest runs) inflates every query with tight
+    # per-query spread — invisible to the spread gate but fully visible
+    # to the canaries, whose plans are frozen across rounds.
+    # Conservative combination: per-phase medians, then
+    # max(1.0, min(pre, post)) — normalization may only ever WAIVE a
+    # flag, and only when BOTH phases agree the load is sustained. A
+    # bimodal session (one measured run: pre 1.5-1.9x from session-start
+    # contention, post 0.7x) would otherwise yield a ~1.5x factor that
+    # silently waives real regressions.
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else 1.0
+
+    load_factor = max(1.0, min(_median(pre_ratios), _median(post_ratios)))
 
     # vs_prev: per-query regression diff against the last round's
     # recorded medians, so a 9× regression is a loud line at bench time
