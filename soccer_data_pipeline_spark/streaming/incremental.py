@@ -113,12 +113,14 @@ def merge_upsert_batch(
     join, the same single-shuffle plan as the registered
     ``merge_upsert_orders`` query (plans/warehouse_queries.py).
 
-    ``seq_col`` resolves within-batch supersedence first: when a key
-    appears multiple times in ``source`` (e.g. an insert and a later
-    correction land in the same micro-batch), only the row with the
-    max ``seq_col`` survives — a full-replay of all files in one batch
-    must converge to the same state as the original one-file-per-batch
-    run.
+    ``seq_col`` makes the MERGE order-independent at two levels: (1)
+    within-batch supersedence — when a key appears multiple times in
+    ``source`` only the max-``seq_col`` row survives, so a full replay
+    of all files in one batch converges; (2) cross-batch — a matched
+    target row is overwritten only when the source row's ``seq_col`` is
+    >= the target's, so a stale batch replayed out of order (late
+    files, backfills) cannot clobber newer state. Without ``seq_col``
+    the MERGE is plain last-writer-wins.
     """
     if seq_col is not None:
         w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
@@ -129,9 +131,19 @@ def merge_upsert_batch(
         )
     t, s = target.alias("t"), source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    if seq_col is None:
+        # no ordering column: matched rows always take source values
+        take_source = F.col(f"s.{key}").isNotNull()
+    else:
+        take_source = F.col(f"s.{key}").isNotNull() & (
+            F.col(f"t.{key}").isNull()
+            | (F.col(f"s.{seq_col}") >= F.col(f"t.{seq_col}"))
+        )
     return joined.select(
         *[
-            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(take_source, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
             for c in target.columns
         ]
     )

@@ -385,3 +385,87 @@ def test_foreach_batch_merge_exactly_once(spark, tmp_path):
     assert n4 == 1
     assert snapshot(version=0) == {1: 100, 2: 250, 3: 300}
     assert snapshot() == {1: 100, 2: 250, 3: 300}
+
+
+def test_foreach_batch_merge_multi_batch_versions(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces one version per file in a single
+    AvailableNow run: v=0 then v=1, each snapshot building on the
+    previous one."""
+    import os
+    import re
+
+    from pyspark.sql import types as T
+
+    from soccer_data_pipeline_spark.streaming.incremental import (
+        merge_upsert_batch,
+        run_incremental_merge,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("updated_at", T.LongType()),
+        ]
+    )
+    src, wh, ckpt = (str(tmp_path / d) for d in ("src", "wh", "ckpt"))
+    spark.createDataFrame([(1, 100, 1)], schema).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame([(1, 150, 2), (2, 200, 2)], schema).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+
+    # reuse the runner's plumbing but bound each micro-batch to 1 file
+    batches = {"n": 0}
+
+    def process(batch_df, batch_id):
+        from soccer_data_pipeline_spark.streaming.incremental import (
+            _read_latest_snapshot,
+        )
+
+        cur = _read_latest_snapshot(batch_df.sparkSession, wh, schema)
+        tgt = cur if cur is not None else batch_df.limit(0)
+        merge_upsert_batch(tgt, batch_df, "order_id", seq_col="updated_at").write.mode(
+            "overwrite"
+        ).parquet(f"{wh}/v={batch_id}")
+        batches["n"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert batches["n"] == 2
+    versions = sorted(
+        int(m.group(1)) for d in os.listdir(wh) if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    assert versions == [0, 1]
+    final = {
+        r.order_id: r.price_cents
+        for r in spark.read.schema(schema).parquet(f"{wh}/v=1").collect()
+    }
+    # file order within one AvailableNow run isn't guaranteed, but the
+    # absolute-value MERGE with per-key max-seq supersedence converges
+    # to the same final snapshot either way
+    assert final == {1: 150, 2: 200}
+
+
+def test_merge_upsert_batch_ignores_stale_batches(spark):
+    """Cross-batch supersedence: replaying an OLD batch over a newer
+    snapshot is a no-op for keys the newer state already superseded —
+    the out-of-order/backfill safety of the seq-aware MERGE."""
+    from soccer_data_pipeline_spark.streaming.incremental import merge_upsert_batch
+
+    schema = "order_id long, price_cents long, updated_at long"
+    snap = spark.createDataFrame([(1, 150, 2), (2, 200, 2)], schema)
+    stale = spark.createDataFrame([(1, 100, 1), (3, 300, 1)], schema)
+    out = {
+        r.order_id: (r.price_cents, r.updated_at)
+        for r in merge_upsert_batch(snap, stale, "order_id", seq_col="updated_at").collect()
+    }
+    # key 1 keeps the newer value; key 3 (genuinely new) inserts
+    assert out == {1: (150, 2), 2: (200, 2), 3: (300, 1)}
