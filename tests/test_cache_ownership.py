@@ -59,3 +59,16 @@ def test_result_correct_after_release(spark):
     rows = pairs.collect()
     assert all(r.jaccard >= 0.5 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_incremental_minhash_releases_caches(spark):
+    spark.catalog.clearCache()
+    from soccer_data_pipeline_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = minhash_incremental_pairs(
+        docs, F.col("doc_id") % 5 == 0, n=3, k=16, bands=4, threshold=0.5,
+        max_bucket_size=50,
+    )
+    assert _cache_manager_empty(spark), "incremental minhash leaked a cache"
+    assert out.count() >= 0
