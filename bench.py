@@ -90,6 +90,8 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "corpus_clean_decisions",
+    "corpus_shuffle_order",
+    "embedding_dedup_clusters",
 ]
 
 

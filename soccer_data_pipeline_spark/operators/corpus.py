@@ -17,7 +17,7 @@ connected components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,69 @@ def clean_decisions(
         )
         .otherwise("keep")
         .alias("decision"),
+    )
+
+
+def shuffle_order(
+    docs: DataFrame,
+    *,
+    seed: str = "42",
+    shard_rows: int = 1024,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """[beyond-ref] Deterministic global training order: every doc gets a
+    reproducible pseudo-random position (seeded md5 of its id), plus the
+    output shard and within-shard slot that position lands in — the
+    "shuffle once, stream in order" step before corpus serialization.
+
+    → (doc_id, global_pos, shard_id, pos_in_shard), where global_pos is
+    the 0-based rank under ORDER BY (md5(seed:doc_id), doc_id).
+
+    Scale shape: a naive ROW_NUMBER over a global ORDER BY funnels the
+    corpus through one window partition. Instead, the same two-phase
+    prefix sum as ``pack_sequences_plan``:
+
+    1. bucket by the hash PREFIX (first ``bucket_hex_chars`` hex chars —
+       256 buckets at 2, 65 536 at 4 for larger clusters). Bucket order
+       is a prefix of hash order, so local rank within a bucket plus the
+       total count of all earlier buckets IS the global rank.
+    2. local ``row_number`` per bucket (corpus/256 rows per task, and the
+       rows carried are (doc_id, 32-char hash) — text never shuffles);
+       bucket counts → exclusive running offset over the tiny bucket
+       table (≤ 16^bucket_hex_chars rows, the one unpartitioned window,
+       bounded by construction) → broadcast-join back and add.
+
+    Changing the seed re-shuffles; same seed + corpus reproduces the
+    exact training order on any cluster size.
+    """
+    hk = F.md5(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    t = docs.select("doc_id", hk.alias("_hk")).withColumn(
+        "_bucket", F.substring("_hk", 1, bucket_hex_chars)
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("_hk", "doc_id")
+    local = t.withColumn("_local_rank", F.row_number().over(w_local))
+    # exclusive prefix over the bucket-count table: ≤ 16^bucket_hex_chars
+    # rows regardless of corpus size, so the unpartitioned window is safe.
+    w_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        t.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).alias("_off"),
+        )
+    )
+    pos = (F.col("_off") + F.col("_local_rank") - 1).cast("long")
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            pos.alias("global_pos"),
+            F.floor(pos / shard_rows).cast("long").alias("shard_id"),
+            (pos % shard_rows).cast("long").alias("pos_in_shard"),
+        )
     )

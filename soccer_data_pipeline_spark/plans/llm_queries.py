@@ -1883,3 +1883,132 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", "n_rows", "exact_median", (err <= 0.01).alias("within_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle [beyond-ref]: reproducible global training
+# order — the "shuffle once, then stream shards in order" step between
+# cleaning and serialization. Plan body in operators/corpus.shuffle_order
+# (two-phase hash-prefix prefix sum; no corpus-sized window partition —
+# the same scale discipline as pack_sequences). The oracle is the naive
+# single-window ROW_NUMBER form, so the distributed rank is differentially
+# checked against the definitional one.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARD_ROWS = 1024
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents
+),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS global_pos FROM h
+)
+SELECT doc_id, CAST(global_pos AS BIGINT) AS global_pos,
+       CAST(global_pos // {_SHUFFLE_SHARD_ROWS} AS BIGINT) AS shard_id,
+       CAST(global_pos % {_SHUFFLE_SHARD_ROWS} AS BIGINT) AS pos_in_shard
+FROM r
+""",
+    doc=(
+        "[beyond-ref] deterministic corpus shuffle: seeded-hash global "
+        "training order + shard slot via two-phase prefix sum — no "
+        "corpus-sized window partition (SURVEY §2.10 training-data tier)"
+    ),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_order(docs, seed="42", shard_rows=_SHUFFLE_SHARD_ROWS)
+
+
+# ---------------------------------------------------------------------------
+# SemDedup-style consolidation [beyond-ref]: embedding near-dup pairs →
+# connected components → one keeper per semantic cluster (Abbas et al.
+# 2023 keep-one-per-cluster semantics, with min-id as the deterministic
+# representative). The pair tier here is the EXACT cosine join over the
+# audit-sampled label blocks (label % 4 = 0 — the same bounded-quadratic
+# sample as embedding_near_dup_banded) so the whole chain is hash-checked
+# against a recursive-CTE transitive closure; at 100 TB the pair input is
+# near_dup_pairs_banded's bucket-bounded output feeding the identical
+# consolidation (dup_clusters — the three-tier CC of dedup_connected_
+# clusters, shared code path).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label % 4 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.35
+),
+und AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+),
+labels AS (
+  SELECT n.u AS vec_id, LEAST(n.u, MIN(r.v)) AS cluster_id
+  FROM (SELECT DISTINCT u FROM und) n JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+)
+SELECT l.vec_id, l.cluster_id, CAST(s.cs AS BIGINT) AS cluster_size,
+       l.vec_id = l.cluster_id AS is_keeper
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cs FROM labels GROUP BY cluster_id) s
+  ON s.cluster_id = l.cluster_id
+""",
+    doc=(
+        "[beyond-ref] SemDedup-style semantic dedup: embedding near-dup "
+        "pairs -> connected components -> one keeper per cluster, "
+        "hash-checked vs recursive-CTE closure on the audit-sampled "
+        "label blocks (SURVEY §2.10)"
+    ),
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dup_clusters
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = emb.where(F.col("label") % 4 == 0).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    sampled = sampled.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    return dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_keeper"
+    )

@@ -156,8 +156,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # corpus with the O(label²) exact join bounded to an audit sample of
 # label blocks; the full-exact form stays local-oracle-covered).
 # Round 6: no swaps — the round's new queries (salted broadcast join,
-# BM25) slot next to in-window family representatives (broadcast join,
-# tfidf_tokens) and take local oracle + bench coverage.
+# BM25, corpus_shuffle_order, embedding_dedup_clusters, the incremental
+# dedup pair) slot next to in-window family representatives (broadcast
+# join, tfidf_tokens, pack_sequences' prefix-sum family, the CC/near-dup
+# families) and take local oracle + bench coverage.
 
 
 def _ordered_names() -> list[str]:

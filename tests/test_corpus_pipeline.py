@@ -72,3 +72,50 @@ def test_cli_corpus_subcommand(spark, tmp_path):
     assert corpus.count() == decisions.where("decision = 'keep'").count()
     assert sum(r.n_docs for r in manifest.collect()) == corpus.count()
     assert corpus.select("shard_id").distinct().count() <= 4
+
+
+def test_shuffle_order_is_the_global_rank(spark):
+    """Two-phase prefix-sum rank == the definitional single-window
+    ROW_NUMBER over ORDER BY (hash, doc_id), and the positions are a
+    permutation of 0..n-1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.corpus import shuffle_order
+
+    docs = _docs(spark)
+    got = {r.doc_id: r.global_pos for r in shuffle_order(docs).collect()}
+    hk = F.md5(
+        F.concat(F.lit("42:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    naive = {
+        r.doc_id: r.pos
+        for r in docs.select("doc_id", hk.alias("hk"))
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("hk", "doc_id")) - 1
+        )
+        .collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_shuffle_order_bucket_width_invariant(spark):
+    """The bucket fan-out (256 vs 4096 buckets) is a pure parallelism
+    knob: output is identical, so widening for a bigger cluster is safe."""
+    from soccer_data_pipeline_spark.operators.corpus import shuffle_order
+
+    docs = _docs(spark)
+    narrow = {(r.doc_id, r.global_pos) for r in shuffle_order(docs, bucket_hex_chars=1).collect()}
+    wide = {(r.doc_id, r.global_pos) for r in shuffle_order(docs, bucket_hex_chars=3).collect()}
+    assert narrow == wide
+
+
+def test_shuffle_order_seed_reshuffles(spark):
+    """A different seed yields a different permutation (same id set)."""
+    from soccer_data_pipeline_spark.operators.corpus import shuffle_order
+
+    docs = _docs(spark)
+    a = {r.doc_id: r.global_pos for r in shuffle_order(docs, seed="42").collect()}
+    b = {r.doc_id: r.global_pos for r in shuffle_order(docs, seed="43").collect()}
+    assert set(a) == set(b) and a != b
