@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_clean_decisions",
     "corpus_shuffle_order",
     "embedding_dedup_clusters",
+    "split_drift_tvd",
 ]
 
 

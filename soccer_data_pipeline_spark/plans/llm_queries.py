@@ -2012,3 +2012,119 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_keeper"
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-drift gate [beyond-ref]: total-variation distance between the
+# train and val token distributions, per language — the distribution-
+# shift audit a training pipeline runs after splitting (a skewed split
+# silently biases validation loss). TVD instead of KL because it is
+# cross-engine exact: each per-token |p − q| is built from correctly-
+# rounded IEEE ops on identical integer operands (no transcendentals,
+# whose last-bit behavior differs between libm implementations), scaled
+# to an integer, and summed exactly — float addition order can never
+# flip the hash.
+#
+# Scale shape: one token explode → one (lang, token) shuffle with
+# map-side partial aggregation (conditional counts for both splits in
+# the same pass); per-lang totals are a lang-count-sized aggregate
+# broadcast back; the term sum is a second pass over the same hash
+# partitioning. No corpus-sized window, no driver materialization.
+#
+# Threshold provenance (house discipline): the 80/10 split of a
+# near-uniform synthetic corpus measures TVD (max over langs)
+# 0.1677 @sf0.001, 0.1659 @sf0.01, 0.0413 @sf0.1 — split-sampling
+# noise shrinks ~1/sqrt(corpus), so the bound must cover the SMALLEST
+# sf the driver checks. Bound 0.35 → margins ≥ 0.18 everywhere
+# (deterministic per corpus+hash; a flip means the split actually
+# drifted, which is what the gate is for).
+# ---------------------------------------------------------------------------
+
+_DRIFT_SCALE = 1_000_000_000_000  # 1e12: term quantum; max s = 2e12 << 2^53
+_DRIFT_BOUND = 0.35
+
+
+@register(
+    "split_drift_tvd",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, text,
+         CASE WHEN {_SPLIT_HASH_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_HASH_DUCK} < 90 THEN 'val' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT lang, split,
+         UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+  FROM d WHERE split IS NOT NULL
+),
+c AS (
+  SELECT lang, token,
+         COUNT(*) FILTER (WHERE split = 'train') AS ct,
+         COUNT(*) FILTER (WHERE split = 'val') AS cv
+  FROM tok GROUP BY lang, token
+),
+t AS (SELECT lang, SUM(ct) AS tt, SUM(cv) AS tv FROM c GROUP BY lang),
+terms AS (
+  SELECT c.lang, c.ct, c.cv,
+         CAST(ROUND(ABS(CAST(c.ct AS DOUBLE) / CAST(t.tt AS DOUBLE)
+                      - CAST(c.cv AS DOUBLE) / CAST(t.tv AS DOUBLE))
+                    * {_DRIFT_SCALE}) AS BIGINT) AS term
+  FROM c JOIN t USING (lang)
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(ct) AS BIGINT) AS n_train_tokens,
+         CAST(SUM(cv) AS BIGINT) AS n_val_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         SUM(term) AS s
+  FROM terms GROUP BY lang
+)
+SELECT lang, n_train_tokens, n_val_tokens, vocab_size,
+       CAST(s AS DOUBLE) / {2 * _DRIFT_SCALE} AS tvd,
+       TRUE AS drift_ok
+FROM agg
+""",
+    doc=(
+        "[beyond-ref] split-drift gate: per-lang total-variation distance "
+        "between train and val token distributions, integer-exact term "
+        "sum, bound asserted in-plan (SURVEY §2.10 training-data tier)"
+    ),
+)
+def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_SPARK)
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = docs.select(
+        "lang", split.alias("split"), F.explode(toks).alias("token")
+    ).where(F.col("split").isNotNull())
+    c = t.groupBy("lang", "token").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("ct"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("cv"),
+    )
+    tot = c.groupBy("lang").agg(
+        F.sum("ct").alias("tt"), F.sum("cv").alias("tv")
+    )
+    p = F.col("ct").cast("double") / F.col("tt").cast("double")
+    q = F.col("cv").cast("double") / F.col("tv").cast("double")
+    term = F.round(F.abs(p - q) * _DRIFT_SCALE).cast("long")
+    agg = (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("ct").cast("long").alias("n_train_tokens"),
+            F.sum("cv").cast("long").alias("n_val_tokens"),
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum(term).alias("s"),
+        )
+    )
+    tvd = F.col("s").cast("double") / (2 * _DRIFT_SCALE)
+    return agg.select(
+        "lang",
+        "n_train_tokens",
+        "n_val_tokens",
+        "vocab_size",
+        tvd.alias("tvd"),
+        (tvd <= _DRIFT_BOUND).alias("drift_ok"),
+    )
