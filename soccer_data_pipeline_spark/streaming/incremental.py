@@ -235,3 +235,86 @@ def _read_latest_snapshot(spark: SparkSession, warehouse_path: str, schema):
     return spark.read.schema(schema).parquet(
         f"{warehouse_path}/v={max(versions)}"
     )
+
+
+def _sketch_store_schema(source_schema, key: str):
+    from pyspark.sql import types as T
+
+    key_field = next(f for f in source_schema.fields if f.name == key)
+    return T.StructType([key_field, T.StructField("sk", T.BinaryType())])
+
+
+def run_incremental_sketch_store(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    store_path: str,
+    checkpoint_path: str,
+    key: str,
+    value_col: str,
+) -> int:
+    """Streaming → mergeable-sketch store: each AvailableNow micro-batch
+    folds its rows into per-key HLL sketches and UNIONs them into a
+    versioned snapshot — distinct-counting over an unbounded stream
+    with O(keys) state and no history re-scan (the streaming twin of
+    the ``sketch_merge_distinct`` gate query).
+
+    Exactly-once comes cheaper than the MERGE sink's recipe: HLL
+    register-merge is max-based, so sketch union is IDEMPOTENT as well
+    as commutative/associative — re-unioning a replayed batch's sketch
+    is a value-level no-op — and the epoch-id snapshot overwrite
+    (v=<batch_id>) de-duplicates the file level exactly as in
+    ``run_incremental_merge``. At 100 TB each batch ships one sketch
+    row per touched key (~1.5 KB at lgConfigK=12), never raw history.
+    """
+    store_schema = _sketch_store_schema(schema, key)
+    batches = {"n": 0}
+
+    def process(batch_df, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(key).agg(
+            F.hll_sketch_agg(value_col).alias("sk")
+        )
+        current = _read_latest_snapshot(bspark, store_path, store_schema)
+        if current is None:
+            merged = batch_sk
+        else:
+            t, s = current.alias("t"), batch_sk.alias("s")
+            joined = t.join(
+                s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+            )
+            both = F.col("t.sk").isNotNull() & F.col("s.sk").isNotNull()
+            merged = joined.select(
+                F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key),
+                F.when(both, F.hll_union(F.col("t.sk"), F.col("s.sk")))
+                .otherwise(F.coalesce(F.col("s.sk"), F.col("t.sk")))
+                .alias("sk"),
+            )
+        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        batches["n"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]
+
+
+def read_sketch_estimates(
+    spark: SparkSession, store_path: str, schema, key: str
+) -> DataFrame | None:
+    """Current distinct-count estimates from the sketch store's latest
+    snapshot: (key, n_estimate). None if no snapshot exists yet."""
+    current = _read_latest_snapshot(
+        spark, store_path, _sketch_store_schema(schema, key)
+    )
+    if current is None:
+        return None
+    return current.select(
+        key, F.hll_sketch_estimate("sk").cast("long").alias("n_estimate")
+    )

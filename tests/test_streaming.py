@@ -469,3 +469,66 @@ def test_merge_upsert_batch_ignores_stale_batches(spark):
     }
     # key 1 keeps the newer value; key 3 (genuinely new) inserts
     assert out == {1: (150, 2), 2: (200, 2), 3: (300, 1)}
+
+
+def test_incremental_sketch_store(spark, tmp_path):
+    """HLL sketch store: per-batch sketches union into a versioned
+    snapshot; estimates equal exact distincts at this cardinality, and
+    a full checkpoint-lost replay converges to the identical estimates
+    (sketch union is idempotent — the redelivery worst case is a
+    value-level no-op)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from soccer_data_pipeline_spark.streaming import (
+        read_sketch_estimates,
+        run_incremental_sketch_store,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def estimates():
+        df = read_sketch_estimates(spark, store, schema, key="event_type")
+        return {r.event_type: r.n_estimate for r in df.collect()}
+
+    spark.createDataFrame(
+        [("view", u) for u in range(50)] + [("click", u) for u in range(10)],
+        schema,
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    n1 = run_incremental_sketch_store(
+        spark, f"{src}/*", schema, store, ckpt, key="event_type", value_col="user_id"
+    )
+    assert n1 == 1 and estimates() == {"view": 50, "click": 10}
+
+    # second batch: 25 repeat viewers + 25 new, clicks unchanged
+    spark.createDataFrame(
+        [("view", u) for u in range(25, 100)], schema
+    ).coalesce(1).write.parquet(f"{src}/f2")
+    n2 = run_incremental_sketch_store(
+        spark, f"{src}/*", schema, store, ckpt, key="event_type", value_col="user_id"
+    )
+    assert n2 == 1 and estimates() == {"view": 100, "click": 10}
+
+    # no new files → no batch, store untouched
+    n3 = run_incremental_sketch_store(
+        spark, f"{src}/*", schema, store, ckpt, key="event_type", value_col="user_id"
+    )
+    assert n3 == 0 and estimates() == {"view": 100, "click": 10}
+
+    # redelivery worst case: checkpoint lost, every file replays in one
+    # batch against the already-populated store — union idempotence
+    # leaves the estimates unchanged
+    shutil.rmtree(ckpt)
+    n4 = run_incremental_sketch_store(
+        spark, f"{src}/*", schema, store, ckpt, key="event_type", value_col="user_id"
+    )
+    assert n4 == 1 and estimates() == {"view": 100, "click": 10}
