@@ -98,7 +98,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_sliding_windows",
     # text analysis
     "lang_id_heuristic",
-    "quality_score",
     "token_count_bpe",
     "tfidf_tokens",
     "rolling_hash_fingerprint",
@@ -118,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_binary_stats",
     # training-data tier
     "train_val_test_split",
+    "split_drift_tvd",
     "benchmark_contamination",
     "pack_sequences",
     "pii_scrub",
@@ -155,11 +155,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # the window form now runs the production banded path over the full
 # corpus with the O(label²) exact join bounded to an audit sample of
 # label blocks; the full-exact form stays local-oracle-covered).
-# Round 6: no swaps — the round's new queries (salted broadcast join,
-# BM25, corpus_shuffle_order, embedding_dedup_clusters, the incremental
-# dedup pair) slot next to in-window family representatives (broadcast
-# join, tfidf_tokens, pack_sequences' prefix-sum family, the CC/near-dup
-# families) and take local oracle + bench coverage.
+# Round 6: one swap — quality_score ceded (per-row text scoring whose
+# quality-gate semantics are superset-exercised inside in-window
+# corpus_clean_decisions; stays local-oracle + benched) for
+# split_drift_tvd (distribution-drift audit, a NEW family with no
+# window twin; integer-exact TVD, margins ≥ 0.18 at every sf). The
+# round's other new queries (salted broadcast join, BM25,
+# corpus_shuffle_order, embedding_dedup_clusters, sketch_merge_distinct,
+# the incremental dedup pair) slot next to in-window family
+# representatives (broadcast join, tfidf_tokens, pack_sequences'
+# prefix-sum family, the CC/near-dup families, approx_distinct_gate)
+# and take local oracle + bench coverage.
 
 
 def _ordered_names() -> list[str]:
