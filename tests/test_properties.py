@@ -170,3 +170,31 @@ def test_merge_upsert_batch_matches_reference(spark, target_rows, source_rows):
     out = merge_upsert_batch(target, source, "key", seq_col="seq")
     got = {r.key: r.value for r in out.collect()}
     assert got == ref
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    st.text(alphabet="abc123", min_size=1, max_size=6),
+)
+def test_shuffle_order_permutation_property(spark, ids, seed):
+    """For ANY id set and seed: positions are a permutation of 0..n-1
+    and agree with the definitional global ROW_NUMBER rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.corpus import shuffle_order
+
+    docs = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id: long")
+    got = {r.doc_id: r.global_pos for r in shuffle_order(docs, seed=seed).collect()}
+    assert sorted(got.values()) == list(range(len(ids)))
+    hk = F.md5(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    naive = {
+        r.doc_id: r.pos
+        for r in docs.select("doc_id", hk.alias("hk"))
+        .withColumn("pos", F.row_number().over(Window.orderBy("hk", "doc_id")) - 1)
+        .collect()
+    }
+    assert got == naive
