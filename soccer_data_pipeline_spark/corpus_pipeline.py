@@ -51,6 +51,7 @@ def run_corpus_build(
     n_shards: int = 16,
     train_pct: int = 80,
     val_pct: int = 10,
+    order_seed: str | None = None,
     **clean_kwargs,
 ) -> CorpusBuildOutputs:
     """Build the full corpus-assembly plan (lazy — caller writes).
@@ -58,8 +59,15 @@ def run_corpus_build(
     ``docs`` needs (doc_id, text, n_chars); ``clean_kwargs`` pass
     through to :func:`operators.corpus.clean_decisions` (minhash
     config, quality thresholds).
+
+    ``order_seed`` (optional) adds a ``train_order`` column — the
+    kept-corpus-wide deterministic shuffle position from
+    :func:`operators.corpus.shuffle_order` — so a training loader
+    streams each shard ORDER BY train_order and the epoch order is
+    reproducible on any cluster (re-seeding re-shuffles; sharding
+    stays put, so only the read order changes between experiments).
     """
-    from .operators.corpus import clean_decisions
+    from .operators.corpus import clean_decisions, shuffle_order
 
     decisions = clean_decisions(docs, **clean_kwargs)
     kept = docs.join(
@@ -74,6 +82,11 @@ def run_corpus_build(
         .alias("split"),
         md5_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
     )
+    if order_seed is not None:
+        order = shuffle_order(kept, seed=order_seed).select(
+            "doc_id", F.col("global_pos").alias("train_order")
+        )
+        corpus = corpus.join(order, "doc_id")
     manifest = corpus.groupBy("split", "shard_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),

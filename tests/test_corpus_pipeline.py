@@ -119,3 +119,24 @@ def test_shuffle_order_seed_reshuffles(spark):
     a = {r.doc_id: r.global_pos for r in shuffle_order(docs, seed="42").collect()}
     b = {r.doc_id: r.global_pos for r in shuffle_order(docs, seed="43").collect()}
     assert set(a) == set(b) and a != b
+
+
+def test_corpus_build_train_order(spark):
+    """order_seed adds a train_order column that (a) matches
+    shuffle_order over exactly the kept docs and (b) is a permutation
+    of 0..n_kept-1 — so shard streams ordered by it reproduce the
+    epoch order."""
+    from soccer_data_pipeline_spark.operators.corpus import shuffle_order
+
+    out = run_corpus_build(_docs(spark), order_seed="7")
+    rows = out.corpus.select("doc_id", "train_order").collect()
+    got = {r.doc_id: r.train_order for r in rows}
+    assert sorted(got.values()) == list(range(len(got)))
+    kept = _docs(spark).join(
+        out.decisions.where("decision = 'keep'"), "doc_id", "left_semi"
+    )
+    ref = {
+        r.doc_id: r.global_pos
+        for r in shuffle_order(kept, seed="7").collect()
+    }
+    assert got == ref
