@@ -181,3 +181,48 @@ def test_segment_audio_windowed_rms(spark):
         assert abs(segs[i].rms - 0.2 / math.sqrt(2)) < 5e-3
     for i in (2, 3):
         assert abs(segs[i].rms - 0.8 / math.sqrt(2)) < 5e-3
+
+
+def test_spectral_features_find_the_sine(spark):
+    """A pure 440 Hz sine's dominant FFT bin and spectral centroid both
+    land on 440 Hz (±1 bin); a 1200 Hz tone lands on 1200. Stereo mixes
+    before the transform, so a same-tone stereo clip matches mono."""
+    from soccer_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    def meta():
+        return ("audio", "wav", None, None, 500)
+
+    rows = [
+        (1, bytearray(sine_wav(freq_hz=440.0)), meta()),
+        (2, bytearray(sine_wav(freq_hz=1200.0)), meta()),
+        (3, bytearray(sine_wav(freq_hz=440.0, channels=2)), meta()),
+        (4, None, meta()),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_spectral_features(media).collect()}
+    assert set(out) == {1, 2, 3}  # null payload emits no row
+    bin_hz = 8000 / (8000 * 0.5)  # rate / n_samples = 2 Hz resolution
+    for mid, want in ((1, 440.0), (2, 1200.0), (3, 440.0)):
+        assert abs(out[mid].dominant_freq_hz - want) <= bin_hz
+        # a pure tone's centroid sits near its frequency (spectral
+        # leakage pulls it slightly, well inside 5%)
+        assert abs(out[mid].spectral_centroid_hz - want) / want < 0.05
+    assert out[1].sample_rate_hz == 8000 and out[1].n_frames == 4000
+
+
+def test_spectral_features_non_wav_boundary(spark):
+    from soccer_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01notwav"), ("audio", "mp3", None, None, 10))],
+        MEDIA_SCHEMA,
+    )
+    try:
+        audio_spectral_features(media).collect()
+        assert False, "expected the NotImplementedError boundary"
+    except Exception as exc:
+        assert "NotImplementedError" in str(type(exc)) or "libav" in str(exc)
