@@ -94,6 +94,7 @@ HEADLINE = [
     "embedding_dedup_clusters",
     "split_drift_tvd",
     "sketch_merge_distinct",
+    "weighted_sample_docs",
 ]
 
 

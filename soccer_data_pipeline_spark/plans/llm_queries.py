@@ -2180,3 +2180,61 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "n_batches", "n_exact", (err <= 0.05).alias("within_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling [beyond-ref]: Efraimidis–Spirakis weighted
+# reservoir sampling made integer-exact — a doc with weight w gets
+# priority = MIN of w seeded hashes, so P(priority < t) = 1-(1-t)^w,
+# the ES u^(1/w) key discretized WITHOUT transcendentals (POW/LN are
+# not correctly-rounded cross-engine; md5 and MIN are bit-identical
+# everywhere). Select = global top-k by priority.
+#
+# Scale shape: the per-doc priority is a NARROW in-row array_min over a
+# ≤ w_max-element transform — no explode, no groupBy, no shuffle — and
+# the final top-k is Spark's TakeOrdered (per-partition heap + driver
+# merge of k·n_partitions rows), never a full sort. Weight here is a
+# length bucket (1 + n_chars/64, capped at 8): longer docs sample
+# proportionally more, the bounded cap keeps the in-row array small.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 200
+_WSAMPLE_CAP = 8
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+SELECT doc_id, CAST(least({_WSAMPLE_CAP}, 1 + n_chars // 64) AS BIGINT) AS weight,
+       list_min(list_transform(range(1, 1 + least({_WSAMPLE_CAP}, 1 + n_chars // 64)),
+                               c -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)))) AS pri
+FROM documents
+ORDER BY pri, doc_id LIMIT {_WSAMPLE_K}
+""",
+    doc=(
+        "[beyond-ref] weighted sampling: Efraimidis-Spirakis via "
+        "integer-exact min-of-w-hashes priority (no transcendentals), "
+        "zero-shuffle per-doc key + TakeOrdered top-k (SURVEY §2.10 "
+        "training-data tier)"
+    ),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(_WSAMPLE_CAP), 1 + F.floor(F.col("n_chars") / 64)).cast(
+        "long"
+    )
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda c: F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), c.cast("string")
+                ).cast("binary")
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", w.alias("weight"), pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(_WSAMPLE_K)
+    )

@@ -123,3 +123,26 @@ def test_bm25_single_token_explode(spark):
     plan = _plan(spark, "bm25_scores")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_zero_shuffle_topk(spark):
+    """The ES weighted sampler must stay narrow: per-doc priority is an
+    in-row array_min (no explode/groupBy) and the selection is
+    TakeOrdered (per-partition heap), never a global sort Exchange."""
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_shuffle_order_no_corpus_window(spark):
+    """corpus_shuffle_order's only unpartitioned window runs over the
+    bucket-count table (≤256 rows), never the corpus: the corpus-side
+    window must carry the bucket partition key."""
+    plan = _plan(spark, "corpus_shuffle_order")
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # at least one Window partitioned by the bucket; the unpartitioned
+    # one (offsets) is fed by a HashAggregate, i.e. bucket-count-sized
+    assert any("_bucket" in w for w in windows)
