@@ -95,6 +95,7 @@ HEADLINE = [
     "split_drift_tvd",
     "sketch_merge_distinct",
     "weighted_sample_docs",
+    "vocab_growth",
 ]
 
 

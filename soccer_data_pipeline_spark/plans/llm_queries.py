@@ -2238,3 +2238,77 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pri", "doc_id")
         .limit(_WSAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth [beyond-ref]: per ingest batch, how many 3-gram
+# shingles the batch contributes that NO earlier batch contained — the
+# incremental novelty curve a crawl pipeline watches to decide when a
+# source is exhausted (new-shingle yield per batch → stop crawling when
+# it flattens). first-seen = MIN(batch_id) per shingle, so the whole
+# curve is one explode + one shingle-keyed aggregate; the per-batch
+# distinct count rides the same exploded frame. doc_id % 5 stands in
+# for the batch id, as in the incremental dedup pair queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id % 5 AS batch_id,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT batch_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i) WHERE LEN(t) >= 3
+),
+first_seen AS (SELECT shingle, MIN(batch_id) AS fb FROM sh GROUP BY shingle),
+new_per_batch AS (
+  SELECT fb AS batch_id, COUNT(*) AS n_new_shingles FROM first_seen GROUP BY fb
+),
+seen_per_batch AS (
+  SELECT batch_id, COUNT(DISTINCT shingle) AS n_distinct_shingles
+  FROM sh GROUP BY batch_id
+)
+SELECT s.batch_id, CAST(s.n_distinct_shingles AS BIGINT) AS n_distinct_shingles,
+       CAST(COALESCE(n.n_new_shingles, 0) AS BIGINT) AS n_new_shingles
+FROM seen_per_batch s LEFT JOIN new_per_batch n ON n.batch_id = s.batch_id
+""",
+    doc=(
+        "[beyond-ref] vocabulary growth: first-seen 3-gram shingles per "
+        "ingest batch (crawl-novelty curve) + per-batch distinct count "
+        "off one exploded frame (SURVEY §2.10 incremental tier)"
+    ),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + j + 1) for j in range(3)]
+    )
+    sh = (
+        docs.select((F.col("doc_id") % 5).alias("batch_id"), toks.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "batch_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.size("t") - 3), gram)
+            ).alias("shingle"),
+        )
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("batch_id").alias("fb"))
+    new_per_batch = first_seen.groupBy(F.col("fb").alias("batch_id")).agg(
+        F.count("*").alias("n_new_shingles")
+    )
+    seen_per_batch = sh.groupBy("batch_id").agg(
+        F.countDistinct("shingle").cast("long").alias("n_distinct_shingles")
+    )
+    return seen_per_batch.join(new_per_batch, "batch_id", "left").select(
+        "batch_id",
+        "n_distinct_shingles",
+        F.coalesce(F.col("n_new_shingles"), F.lit(0))
+        .cast("long")
+        .alias("n_new_shingles"),
+    )
