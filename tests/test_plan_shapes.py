@@ -146,3 +146,14 @@ def test_shuffle_order_no_corpus_window(spark):
     # at least one Window partitioned by the bucket; the unpartitioned
     # one (offsets) is fed by a HashAggregate, i.e. bucket-count-sized
     assert any("_bucket" in w for w in windows)
+
+
+def test_drift_and_sketch_gates_broadcast_small_sides(spark):
+    """The per-lang totals (split_drift_tvd) and exact-side join
+    (sketch_merge_distinct) are tiny aggregates: they must broadcast,
+    and neither gate may introduce a window or cartesian product."""
+    for name in ("split_drift_tvd", "sketch_merge_distinct"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, name
