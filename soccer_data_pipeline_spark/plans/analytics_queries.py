@@ -1,0 +1,522 @@
+"""[beyond-ref] Distribution, sequence, and corpus-analytics operators
+(round-6 widening of SURVEY §2.10).
+
+Families with no prior registry twin, each designed 100-TB-first:
+
+- ``doc_length_histogram`` — fixed-width binned length distribution per
+  language (the corpus-profiling histogram every data audit starts
+  with). One hash agg with map-side combine; the per-language share is
+  a window over the ALREADY-AGGREGATED frame (≤ langs × bins rows), so
+  nothing corpus-sized ever reaches a window.
+- ``event_transition_matrix`` — first-order Markov transition counts +
+  probabilities over per-user event sequences. One shuffle on user_id
+  for the lag, then a hash agg on (prev, next) whose cardinality is
+  |event_type|² — constant in corpus size.
+- ``event_gapfill_daily`` — calendar resample with zero-fill: the raw
+  table is aggregated FIRST (daily counts), and the dense day×type
+  grid is built from two 1-row/τ-row frames (sequence-explode over the
+  min/max span crossed with distinct types) — the gap-fill join runs
+  on post-agg cardinalities only, broadcast-sized at any corpus scale.
+- ``char_entropy_quality`` — per-document Shannon entropy of the
+  character distribution (a quality signal orthogonal to the ratio
+  gates in quality_score: low entropy ⇒ boilerplate/repetition). Fully
+  NARROW: sort the char array per row and fold run-lengths in one
+  ``F.aggregate`` pass — zero explode, zero shuffle. Cross-engine
+  determinism: both engines add the n·ln(n) terms in char-sorted
+  order (Spark: fold over the sorted array; DuckDB: ``LIST_SUM`` over
+  ``LIST(... ORDER BY c)``), so the float sums are bit-identical.
+- ``heavy_hitter_tokens`` — exact global heavy hitters (tokens with
+  ≥ 0.5% share). The explode feeds a hash agg whose map-side partial
+  combine reduces each task's output to its DISTINCT tokens (Zipf ⇒
+  ≪ token occurrences), and the threshold is evaluated integer-exact
+  (``n*200 >= total``) so both engines select identical rows. The
+  sketch-tier analog for one-pass streaming is approx_distinct_gate's
+  family; this is the exact batch form.
+- ``bpe_pair_counts`` — one BPE-induction step: global adjacent
+  character-pair frequencies with a deterministic top-20 (count desc,
+  pair asc). Pair generation is narrow per-token (`transform` over a
+  `sequence`); the global rank runs on the post-agg pair table
+  (≤ |alphabet|² rows), not on the corpus.
+- ``triangle_count_suppliers`` — graph-analytics widening beyond
+  connected components: triangles in the supplier co-purchase graph
+  (edge = two suppliers sharing a part). The classic three-way
+  self-join with u<v<w orientation (each triangle counted once), with
+  a hot-part cap (parts with ≤ 16 distinct suppliers) so the per-part
+  pair expansion is bounded at any scale — the same hot-bucket-cap
+  discipline as the LSH band joins in operators/dedup.py.
+- ``contrastive_pairs`` — deterministic negative sampling for
+  embedding-training pair assembly: k pseudo-random negatives per
+  anchor via a Knuth-hash index into the corpus, realized as an
+  equi-join (no random(), no driver sampling) so the pair set is
+  reproducible and shardable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling: binned length histogram per language.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+WITH b AS (
+  SELECT lang,
+         CAST(LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 9) AS BIGINT) AS len_bin
+  FROM documents
+)
+SELECT lang, len_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+FROM b
+GROUP BY lang, len_bin
+""",
+    doc="[beyond-ref] fixed-width length histogram per language (corpus profiling)",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned document-length distribution per language.
+
+    Scale shape: ONE hash agg (map-side combined) over the corpus; the
+    share window runs on the aggregated frame only (langs × 10 rows).
+    The bin id is integer-exact in both engines (floor of a small
+    double, capped), so the differential is bit-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    len_bin = F.least(
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long"), F.lit(9).cast("long")
+    ).alias("len_bin")
+    counts = docs.groupBy("lang", len_bin).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "len_bin",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "lang_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence analytics: first-order Markov transition matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(n_trans AS DOUBLE)
+         / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
+FROM c
+""",
+    doc="[beyond-ref] Markov event-type transition counts + row-normalized probabilities",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences.
+
+    Scale shape: one shuffle on user_id for the lag (deterministic
+    (ts, event_id) sequence order), then a hash agg whose output
+    cardinality is |event_type|² — constant in corpus size, so the
+    normalizing window is free. The probability is a single double
+    division of two exact longs — bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wp).cast("double")
+        ).alias("p_trans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample: dense daily grid with zero-fill.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_gapfill_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, d.day, CAST(COALESCE(x.n_events, 0) AS BIGINT) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+""",
+    doc="[beyond-ref] calendar gap-fill resample: dense day x type grid, zero-filled",
+)
+def event_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts on a DENSE calendar (missing days → 0).
+
+    Scale shape: the corpus-sized table is reduced FIRST (daily hash
+    agg); the dense grid is sequence-exploded from a 1-row min/max
+    span crossed with the distinct event types, and the gap-fill left
+    join runs post-agg (days × types rows on the build side — always
+    broadcast-sized, regardless of corpus scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    return grid.join(F.broadcast(daily), ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality: per-document character-distribution Shannon entropy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '')) AS c FROM documents
+),
+cc AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+ag AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+         LIST_SUM(
+           LIST_TRANSFORM(LIST(cnt ORDER BY c), x -> x * LN(CAST(x AS DOUBLE)))
+         ) AS s
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted,
+       ROUND(LN(CAST(n_chars_counted AS DOUBLE)) - s / n_chars_counted, 6)
+         AS char_entropy_nats
+FROM ag
+""",
+    doc="[beyond-ref] per-doc char-distribution Shannon entropy (boilerplate signal), zero-shuffle",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's character distribution.
+
+    Low entropy flags repetitive/boilerplate text — a quality signal
+    orthogonal to quality_score's ratio gates (a doc of 'aaaa…' has
+    perfect length/punct ratios but entropy ≈ 0).
+
+    Scale shape: fully NARROW — per row, sort the char array and fold
+    run-lengths in ONE ``F.aggregate`` pass (a run boundary in the
+    sorted array closes one distinct char's count); no explode, no
+    shuffle, nothing leaves the scan task. H = ln(N) − Σ nᵢ·ln(nᵢ)/N.
+
+    Cross-engine float determinism: both engines accumulate the
+    nᵢ·ln(nᵢ) terms in char-sorted order (fold here, ordered LIST_SUM
+    in the oracle), so the sums see identical operands in identical
+    order and the rounded result is bit-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.array_sort(F.filter(F.split("text", ""), lambda x: x != ""))
+    term = lambda run: F.when(  # noqa: E731
+        run > 0, run.cast("double") * F.log(run.cast("double"))
+    ).otherwise(F.lit(0.0))
+    folded = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == acc["prev"], acc["s"]).otherwise(acc["s"] + term(acc["run"])).alias("s"),
+        ),
+        lambda acc: acc["s"] + term(acc["run"]),
+    )
+    n = F.size(chars).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_counted"),
+        F.round(F.log(n.cast("double")) - folded / n.cast("double"), 6).alias(
+            "char_entropy_nats"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters over the token stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+f AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM f)
+SELECT token, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS token_share
+FROM f, tot
+WHERE n * 200 >= total
+""",
+    doc="[beyond-ref] exact global heavy hitters: tokens with >= 0.5% share, integer-exact threshold",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens holding ≥ 0.5% of all token occurrences, with exact share.
+
+    Scale shape: explode → hash agg with map-side partial combine —
+    each task emits its DISTINCT tokens (Zipf ⇒ far fewer than its
+    occurrences), so the shuffle carries the vocabulary, not the
+    corpus. The global total rides a 1-row broadcast cross join (no
+    driver action), and the threshold compares integers (n·200 ≥
+    total) so both engines select exactly the same rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * 200 >= F.col("_total"))
+        .select(
+            "token",
+            "n",
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE induction step: global adjacent character-pair frequencies.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH tk AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+tk2 AS (SELECT token FROM tk WHERE LENGTH(token) >= 2),
+bg AS (
+  SELECT SUBSTRING(token, CAST(i AS INTEGER), 2) AS pair
+  FROM tk2, UNNEST(generate_series(1, LENGTH(token) - 1)) AS u(i)
+),
+c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY pair),
+r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM c)
+SELECT pair, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+""",
+    doc="[beyond-ref] one BPE-induction step: top-20 adjacent char pairs, deterministic rank",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global adjacent character-pair frequencies — the counting step of
+    one BPE vocabulary-induction merge (the pair a tokenizer trainer
+    would merge next is rk=1).
+
+    Scale shape: pair generation is NARROW per token (`transform` over
+    a `sequence` of offsets — no join against an index table); the
+    explode feeds a map-side-combined hash agg whose output is at most
+    |alphabet|² rows, and the deterministic global rank (count desc,
+    pair asc) runs on that constant-size frame — the single-partition
+    window is post-agg, never corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") >= 2
+    )
+    bigrams = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = bigrams.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.select("pair", "n", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: triangle counting in the supplier co-purchase graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "triangle_count_suppliers",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT l_partkey FROM ps GROUP BY l_partkey
+  HAVING COUNT(*) <= 16
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  JOIN ok ON ok.l_partkey = a.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM tri
+""",
+    doc="[beyond-ref] triangle count in the supplier co-purchase graph, hot-part cap 16",
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the graph where suppliers are adjacent iff they ship
+    the same part — graph analytics beyond the connected-components
+    tier (operators/graph.py).
+
+    Scale shape: (1) project + distinct BEFORE any join (only
+    (partkey, suppkey) pairs shuffle); (2) hot-part cap — parts with
+    > 16 distinct suppliers are excluded. The cap does double duty:
+    it bounds the per-part pair expansion at C(16,2) (the same
+    hot-bucket-cap discipline as the LSH band joins in
+    operators/dedup.py:244) AND it keeps the edge set sparse — the
+    uncapped graph saturates to near-complete (measured 499,483 of
+    499,500 possible edges at sf0.1, which drove the e1⋈e2 wedge
+    expansion to ~2.5×10⁸ rows and 129 s; cap 16 → 11,377 edges,
+    sub-second); (3) u<v<w orientation counts each triangle exactly
+    once and halves every join's build side. The three-way self-join
+    shuffles only the capped edge set.
+
+    The edge frame is consumed FOUR times (three triangle aliases +
+    the edge count); an eager localCheckpoint (operators/cache.py
+    discipline — the edge set is small by the cap's construction)
+    executes the scan→distinct→cap chain once instead of four times
+    (measured 15.7 s → ~4 s at sf0.1).
+    """
+    from ..operators.cache import materialize_owned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ok = ps.groupBy("l_partkey").agg(F.count("*").alias("_ns")).where(
+        F.col("_ns") <= 16
+    ).select("l_partkey")
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = materialize_owned(
+        a.join(F.broadcast(ok), "l_partkey")
+        .join(b, "l_partkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(F.broadcast(n_edges)).select(
+        "n_edges", "n_triangles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pair assembly: deterministic negative sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contrastive_pairs",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+anc AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 29 = 0),
+cand AS (
+  SELECT anchor_id, CAST(j AS BIGINT) AS neg_idx,
+         (anchor_id * 2654435761 + CAST(j AS BIGINT) * 40503) % n.n_docs AS neg_id
+  FROM anc, n, UNNEST(generate_series(1, 4)) AS s(j)
+)
+SELECT c.anchor_id, c.neg_idx, c.neg_id, d.lang AS neg_lang
+FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+WHERE c.neg_id <> c.anchor_id
+""",
+    doc="[beyond-ref] deterministic negative sampling: k hash-indexed negatives per anchor",
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 pseudo-random negatives per anchor document, fully
+    deterministic (Knuth multiplicative hash of (anchor, j) mod corpus
+    size) — the pair-assembly step of contrastive embedding training.
+
+    Scale shape: no random(), no driver-side sampling — the negative
+    index is a computed column realized by an equi-join on doc_id, so
+    the plan is a plain shuffle-or-broadcast hash join and the output
+    is reproducible (and therefore shardable/resumable) at any scale.
+    The corpus size rides a 1-row broadcast cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("_n_docs"))
+    anchors = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("neg_idx"),
+            "_n_docs",
+        )
+        .select(
+            "anchor_id",
+            F.col("neg_idx").cast("long").alias("neg_idx"),
+            (
+                (F.col("anchor_id") * F.lit(2654435761) + F.col("neg_idx") * 40503)
+                % F.col("_n_docs")
+            ).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    return cand.join(
+        docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")),
+        "neg_id",
+    ).select("anchor_id", "neg_idx", "neg_id", "neg_lang")
