@@ -96,6 +96,15 @@ HEADLINE = [
     "sketch_merge_distinct",
     "weighted_sample_docs",
     "vocab_growth",
+    # distribution / sequence / graph analytics (round-6b additions)
+    "doc_length_histogram",
+    "event_transition_matrix",
+    "event_gapfill_daily",
+    "char_entropy_quality",
+    "heavy_hitter_tokens",
+    "bpe_pair_counts",
+    "triangle_count_suppliers",
+    "contrastive_pairs",
 ]
 
 

@@ -93,14 +93,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_join_latest_order",
     "range_join_close_events",
     "pivot_event_counts",
-    # event-time windows (tumbling stays local — sliding supersets it)
+    # event-time windows (sessionize carries the hard rows; sliding +
+    # tumbling stay local) + sequence analytics (Markov transitions)
     "sessionize_events",
-    "event_sliding_windows",
-    # text analysis
+    "event_transition_matrix",
+    # text analysis (char entropy carries the quality family's hard
+    # rows since quality_score ceded in r6a; fingerprints stay local)
     "lang_id_heuristic",
     "token_count_bpe",
     "tfidf_tokens",
-    "rolling_hash_fingerprint",
+    "char_entropy_quality",
     # dedup tiers (exact, MinHash+LSH, clusters, SimHash, n-gram
     # Jaccard, character edit-distance)
     "dedup_exact_documents",
@@ -166,6 +168,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # representatives (broadcast join, tfidf_tokens, pack_sequences'
 # prefix-sum family, the CC/near-dup families, approx_distinct_gate)
 # and take local oracle + bench coverage.
+# Round 6b: two swaps adding NEW families to the hard-signal window —
+# event_sliding_windows ceded (event-time family keeps sessionize_events
+# in-window; sliding + tumbling stay local-oracle + benched) for
+# event_transition_matrix (sequence analytics / Markov family, no window
+# twin); rolling_hash_fingerprint ceded (fingerprint mechanics also
+# exercised by local doc_fingerprint and the in-window minhash tier) for
+# char_entropy_quality (restores an in-window rep for the text-quality
+# family after quality_score ceded in r6a). The round's other new
+# analytics families (histogram, gap-fill, heavy hitters, BPE pairs,
+# triangles, negative sampling) take local oracle + bench coverage next
+# to their nearest in-window relatives.
 
 
 def _ordered_names() -> list[str]:

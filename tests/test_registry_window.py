@@ -28,9 +28,14 @@ FAMILY_REPRESENTATIVES = {
     "range_join": "range_join_close_events",
     "pivot": "pivot_event_counts",
     "session_window": "sessionize_events",
-    "sliding_window": "event_sliding_windows",
+    # r6b: event_sliding_windows ceded its slot — the event-time family's
+    # hard rows ride sessionize_events; sliding + tumbling stay local
+    "sliding_window": "sessionize_events",
+    "sequence_markov": "event_transition_matrix",
     "lang_id": "lang_id_heuristic",
     "tfidf": "tfidf_tokens",
+    # r6b: restores the in-window text-quality rep (quality_score ceded r6a)
+    "text_quality": "char_entropy_quality",
     "dedup_exact": "dedup_exact_documents",
     "dedup_lsh": "dedup_minhash_lsh_pairs",
     "dedup_cc": "dedup_connected_clusters",
