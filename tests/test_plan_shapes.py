@@ -157,3 +157,56 @@ def test_drift_and_sketch_gates_broadcast_small_sides(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "Window" not in plan, name
+
+
+def test_char_entropy_is_narrow(spark):
+    """Per-doc char entropy must stay a zero-shuffle narrow plan (sorted
+    char array + one fold), never the explode+groupBy-per-char shape
+    (which would shuffle one row per character — corpus-size × doc-len
+    rows at scale)."""
+    plan = _plan(spark, "char_entropy_quality")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_gapfill_joins_are_broadcast_post_agg(spark):
+    """The gap-fill grid join runs on POST-aggregation cardinalities:
+    the daily-counts side is broadcast into the dense grid, and no
+    corpus-sized frame reaches a nested-loop or cartesian join (the
+    single-row span cross joins are broadcast by construction)."""
+    plan = _plan(spark, "event_gapfill_daily")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_partial_agg_before_shuffle(spark):
+    """The token-count agg must map-side combine (partial_count below
+    the Exchange) so the shuffle carries the vocabulary, not the token
+    stream; the global total rides a broadcast, not a driver collect."""
+    plan = _plan(spark, "heavy_hitter_tokens")
+    pre_shuffle = plan.split("Exchange hashpartitioning(token")[1:]
+    assert pre_shuffle, "expected a token-keyed exchange"
+    assert "partial_count" in pre_shuffle[0] or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The Markov lag partitions on user_id once; the normalizing
+    window runs on the post-agg |event_type|^2 frame (prev_type
+    partition), never on the raw event stream."""
+    plan = _plan(spark, "event_transition_matrix")
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("user_id" in w for w in windows)
+    assert any("prev_type" in w for w in windows)
+
+
+def test_triangle_edges_checkpointed_and_broadcast(spark):
+    """The triangle query's 3-way self-join must consume the
+    CHECKPOINTED edge frame (scan->distinct->cap chain executed once,
+    visible as ExistingRDD scans), with the capped-part filter joined
+    broadcast upstream; no cartesian products anywhere."""
+    plan = _plan(spark, "triangle_count_suppliers")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
