@@ -105,6 +105,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "triangle_count_suppliers",
     "contrastive_pairs",
+    "unigram_cross_entropy",
+    "conversion_attribution",
 ]
 
 

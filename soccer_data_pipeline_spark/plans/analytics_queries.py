@@ -520,3 +520,144 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")),
         "neg_id",
     ).select("anchor_id", "neg_idx", "neg_id", "neg_lang")
+
+
+# ---------------------------------------------------------------------------
+# LM-quality scoring: per-document unigram cross-entropy vs the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_cross_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+gf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS gf FROM tf GROUP BY token),
+tot AS (SELECT CAST(SUM(gf) AS BIGINT) AS t FROM gf),
+j AS (SELECT tf.doc_id, tf.token, tf.tf, gf.gf FROM tf JOIN gf USING (token)),
+ag AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         LIST_SUM(
+           LIST_TRANSFORM(
+             LIST(struct_pack(tf := tf, gf := gf) ORDER BY token),
+             r -> r.tf * LN(CAST(r.gf AS DOUBLE))
+           )
+         ) AS s
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(LN(CAST(tot.t AS DOUBLE)) - s / n_tokens, 6) AS unigram_xent_nats
+FROM ag, tot
+""",
+    doc="[beyond-ref] per-doc unigram cross-entropy vs corpus (CCNet-style LM quality filter)",
+)
+def unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy of each document under the corpus unigram model —
+    the CCNet/RedPajama-style language-model quality filter: unusually
+    low cross-entropy ⇒ boilerplate, unusually high ⇒ noise/garble.
+
+    H(doc) = −Σ_t (tf_t/N) · ln(gf_t/T) = ln(T) − Σ_t tf_t·ln(gf_t)/N.
+
+    Scale shape: tf is one (doc,token)-keyed hash agg; gf is a
+    vocabulary-sized agg OF tf (never re-touches the corpus); the
+    tf⋈gf join is vocabulary-keyed; the per-doc reduce shuffles one
+    row per distinct (doc, token). The corpus total rides a 1-row
+    broadcast cross join.
+
+    Cross-engine float determinism: the per-doc Σ tf·ln(gf) terms are
+    summed IN TOKEN ORDER on both engines — Spark folds a sorted
+    collect_list, DuckDB LIST_SUMs a LIST(... ORDER BY token) — so
+    both see identical operands in identical order (same discipline as
+    char_entropy_quality).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    gf = tf.groupBy("token").agg(F.sum("tf").alias("gf"))
+    tot = gf.agg(F.sum("gf").alias("_t"))
+    j = tf.join(gf, "token")
+    ag = j.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "tf", "gf"))),
+            F.lit(0.0),
+            lambda acc, r: acc
+            + r["tf"].cast("double") * F.log(r["gf"].cast("double")),
+        ).alias("s"),
+    )
+    return ag.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("_t").cast("double"))
+            - F.col("s") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("unigram_xent_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style attribution: first-touch / last-touch per conversion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         FIRST_VALUE(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events
+)
+SELECT first_touch, COALESCE(last_touch, 'none') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY first_touch, COALESCE(last_touch, 'none')
+""",
+    doc="[beyond-ref] first-touch/last-touch conversion attribution over user event sequences",
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution table: for every conversion ('purchase'), credit the
+    user's FIRST event type ever (first touch) and the latest
+    non-conversion event type strictly before it (last touch).
+
+    Scale shape: one shuffle on user_id feeds both window passes
+    (identical partitioning + (ts, event_id) sort, so Spark stacks
+    them on a single Exchange/Sort); the conversion filter then
+    reduces to a hash agg whose output is |event_type|² — constant in
+    corpus size. Ties are broken by event_id, so both engines see the
+    same sequence order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = ev.select(
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(wprev)
+        .alias("last_touch"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "first_touch", F.coalesce("last_touch", F.lit("none")).alias("last_touch")
+        )
+        .agg(F.count("*").alias("n_conversions"))
+    )

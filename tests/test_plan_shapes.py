@@ -210,3 +210,51 @@ def test_triangle_edges_checkpointed_and_broadcast(spark):
     plan = _plan(spark, "triangle_count_suppliers")
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_windows_share_one_exchange(spark):
+    """first_touch and last_touch partition and sort identically, so
+    the whole attribution build must plan ONE user_id Exchange (plus
+    the post-agg hash-partition) — never one shuffle per window."""
+    plan = _plan(spark, "conversion_attribution")
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """At the 100 TB design point a selective dim-side predicate should
+    inject a runtime bloom filter into the fact scan
+    (spark.sql.optimizer.runtime.bloomFilter, on by default). The
+    application-side threshold is 10 GB precisely so it engages on
+    real fact scans and not on toy ones — scale it to the test data to
+    assert the machinery fires, then restore."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter did not inject"
+        assert j.count() >= 1  # and the filtered join still returns rows
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
