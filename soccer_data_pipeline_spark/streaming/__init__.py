@@ -5,7 +5,7 @@ from .incremental import (
     run_incremental_merge,
     run_incremental_sketch_store,
 )
-from .joins import streaming_interval_join
+from .joins import stream_static_enrich, streaming_interval_join
 from .windows import streaming_dedup, streaming_session_agg, streaming_tumbling_agg
 
 __all__ = [
@@ -17,4 +17,6 @@ __all__ = [
     "streaming_tumbling_agg",
     "streaming_session_agg",
     "streaming_dedup",
+    "streaming_interval_join",
+    "stream_static_enrich",
 ]

@@ -66,3 +66,28 @@ def streaming_interval_join(
         "l_ts",
         "r_ts",
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Enrich an event stream with a STATIC dimension (broadcast
+    stream-static join) — the zero-state streaming join shape.
+
+    Unlike a stream-stream join, a stream-static join keeps NO
+    streaming state: each micro-batch plans a plain batch join against
+    the dimension, so no watermark is required and nothing accumulates.
+    The dimension is broadcast-hinted — at 100 TB/day of stream the
+    dim lookup must never become a per-batch shuffle; if the dimension
+    outgrows broadcast, pre-bucket it on the key instead.
+
+    For file/table-backed dimensions Spark re-resolves the static side
+    per micro-batch, so slowly-changing dims are picked up on batch
+    boundaries without restarting the query (the lookup-refresh
+    pattern; the exactly-once MERGE sink in incremental.py is the
+    write-side twin).
+    """
+    return stream.join(F.broadcast(dim), on=key, how=how)

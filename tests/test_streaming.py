@@ -532,3 +532,47 @@ def test_incremental_sketch_store(spark, tmp_path):
         spark, f"{src}/*", schema, store, ckpt, key="event_type", value_col="user_id"
     )
     assert n4 == 1 and estimates() == {"view": 100, "click": 10}
+
+
+def test_stream_static_enrich_matches_batch_and_is_stateless(spark, tmp_path):
+    """Stream-static broadcast enrichment must emit exactly the batch
+    left-join result under AvailableNow, with ZERO streaming state
+    (stateful operators would show up in lastProgress.stateOperators)."""
+    from soccer_data_pipeline_spark.sources import load_table
+    from soccer_data_pipeline_spark.streaming import stream_static_enrich
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    edir = str(tmp_path / "events")
+    events.write.parquet(edir)
+    # static dim: per-user segment label derived once, batch-side
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_ev"))
+        .select("user_id", (F.col("n_ev") >= 10).alias("power_user"))
+    )
+
+    schema = spark.read.parquet(edir).schema
+    se = spark.readStream.schema(schema).parquet(edir)
+    q = (
+        stream_static_enrich(se.select("event_id", "user_id"), dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sse_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert not (progress.get("stateOperators") or []), "stream-static join must be stateless"
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sse_out").collect()}
+    want = {
+        tuple(r)
+        for r in events.select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .select("user_id", "event_id", "power_user")
+        .collect()
+    }
+    assert want and got == want
