@@ -107,6 +107,8 @@ HEADLINE = [
     "contrastive_pairs",
     "unigram_cross_entropy",
     "conversion_attribution",
+    "pagerank_suppliers",
+    "mad_outlier_audit",
 ]
 
 

@@ -385,14 +385,16 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Graph analytics: triangle counting in the supplier co-purchase graph.
+# Graph analytics: triangle counting + PageRank on the supplier
+# co-purchase graph. Both queries share one edge construction: suppliers
+# are adjacent iff they ship the same part, with a hot-part cap of 16
+# distinct suppliers (bounds per-part pair expansion at C(16,2) AND
+# keeps the edge set sparse — uncapped, the graph saturates to
+# near-complete: 499,483 of 499,500 possible edges at sf0.1).
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "triangle_count_suppliers",
-    oracle="""
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+_SUPPLIER_EDGE_CTES = """
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 ok AS (
   SELECT l_partkey FROM ps GROUP BY l_partkey
   HAVING COUNT(*) <= 16
@@ -401,7 +403,39 @@ e AS (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
   JOIN ok ON ok.l_partkey = a.l_partkey
-),
+)"""
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (u < v) supplier co-purchase edge set — the Spark
+    twin of ``_SUPPLIER_EDGE_CTES``. Eagerly materialized
+    (operators/cache.py discipline): every consumer self-joins it
+    several times, and the edge set is small by the cap's construction
+    while the scan→distinct→cap chain upstream is not."""
+    from ..operators.cache import materialize_owned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ok = (
+        ps.groupBy("l_partkey")
+        .agg(F.count("*").alias("_ns"))
+        .where(F.col("_ns") <= 16)
+        .select("l_partkey")
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return materialize_owned(
+        a.join(F.broadcast(ok), "l_partkey")
+        .join(b, "l_partkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "triangle_count_suppliers",
+    oracle=f"""
+WITH {_SUPPLIER_EDGE_CTES},
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
@@ -428,29 +462,11 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion to ~2.5×10⁸ rows and 129 s; cap 16 → 11,377 edges,
     sub-second); (3) u<v<w orientation counts each triangle exactly
     once and halves every join's build side. The three-way self-join
-    shuffles only the capped edge set.
-
-    The edge frame is consumed FOUR times (three triangle aliases +
-    the edge count); an eager localCheckpoint (operators/cache.py
-    discipline — the edge set is small by the cap's construction)
-    executes the scan→distinct→cap chain once instead of four times
-    (measured 15.7 s → ~4 s at sf0.1).
+    shuffles only the capped edge set (checkpointed once via
+    ``_supplier_edges`` — consumed four times below; the boundary cut
+    the query from 15.7 s to ~4 s at sf0.1).
     """
-    from ..operators.cache import materialize_owned
-
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    ok = ps.groupBy("l_partkey").agg(F.count("*").alias("_ns")).where(
-        F.col("_ns") <= 16
-    ).select("l_partkey")
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = materialize_owned(
-        a.join(F.broadcast(ok), "l_partkey")
-        .join(b, "l_partkey")
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
-    )
+    edges = _supplier_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -660,4 +676,177 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_touch", F.coalesce("last_touch", F.lit("none")).alias("last_touch")
         )
         .agg(F.count("*").alias("n_conversions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality: PageRank (3 fixed power iterations) on the supplier
+# co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITER = """
+r{k} AS (
+  SELECT und.v AS u,
+         CAST(0.15 AS DOUBLE) / CAST(n.n AS DOUBLE)
+         + CAST(0.85 AS DOUBLE) * LIST_SUM(
+             LIST_TRANSFORM(
+               LIST(struct_pack(u := und.u, c := r{p}.r / CAST(deg.od AS DOUBLE))
+                    ORDER BY und.u),
+               x -> x.c
+             )
+           ) AS r
+  FROM und
+  JOIN r{p} ON r{p}.u = und.u
+  JOIN deg ON deg.u = und.u
+  CROSS JOIN n
+  GROUP BY und.v, n.n
+)"""
+
+
+@register(
+    "pagerank_suppliers",
+    oracle=f"""
+WITH {_SUPPLIER_EDGE_CTES},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM und GROUP BY u),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / CAST(n.n AS DOUBLE) AS r FROM deg CROSS JOIN n),
+{_PR_ITER.format(k=1, p=0)},
+{_PR_ITER.format(k=2, p=1)},
+{_PR_ITER.format(k=3, p=2)},
+top AS (SELECT u, r, ROW_NUMBER() OVER (ORDER BY r DESC, u) AS rk FROM r3)
+SELECT CAST(u AS BIGINT) AS supplier, ROUND(r, 8) AS pagerank, CAST(rk AS BIGINT) AS rk
+FROM top WHERE rk <= 10
+""",
+    doc="[beyond-ref] PageRank (3 power iterations, d=0.85) on the supplier co-purchase graph",
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by PageRank after three fixed power iterations
+    (damping 0.85) over the undirected (mirrored) capped co-purchase
+    graph — the centrality tier of the graph family (components:
+    operators/graph.py; triangles: above).
+
+    Scale shape: the per-iteration step is one edge⋈rank⋈degree join
+    and one destination-keyed agg over the (capped, sparse) edge set —
+    never the corpus. Fixed iteration count keeps the plan static; a
+    production variant would loop with the per-round checkpoint
+    discipline of operators/graph.py:connected_components.
+
+    Cross-engine float determinism: every per-node contribution sum is
+    folded in contributor order on both engines (sorted collect_list
+    fold vs LIST_SUM over LIST(... ORDER BY u)), and the damping
+    arithmetic uses identical double literals — so the rank doubles
+    are bit-identical and the final (r DESC, u) ordering agrees.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("od"))
+    n = deg.agg(F.count("*").alias("_n"))
+    r = deg.crossJoin(F.broadcast(n)).select(
+        "u", (F.lit(1.0) / F.col("_n").cast("double")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            und.join(r, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.col("u"),
+                (F.col("r") / F.col("od").cast("double")).alias("c"),
+            )
+        )
+        agg = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("u", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        r = agg.crossJoin(F.broadcast(n)).select(
+            F.col("node").alias("u"),
+            (
+                F.lit(0.15) / F.col("_n").cast("double") + F.lit(0.85) * F.col("s")
+            ).alias("r"),
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("u"))
+    return (
+        r.select(
+            F.col("u").alias("supplier"),
+            F.round("r", 8).alias("pagerank"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median-absolute-deviation outlier audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_audit",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 2 AS hc
+  FROM lineitem
+),
+med AS (SELECT flag, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY hc) AS med FROM c GROUP BY flag),
+dev AS (
+  SELECT c.flag, med.med, ABS(c.hc - med.med) AS dev
+  FROM c JOIN med ON med.flag = c.flag
+),
+mad AS (SELECT flag, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY dev) AS mad FROM dev GROUP BY flag)
+SELECT d.flag AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(d.med) / 200.0 AS median_price,
+       MAX(m.mad) / 200.0 AS mad_price,
+       CAST(SUM(CASE WHEN d.dev > 4.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.flag = d.flag
+GROUP BY d.flag
+""",
+    doc="[beyond-ref] robust outlier audit: per-group median/MAD with 4.5-MAD outlier counts",
+)
+def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust dispersion audit: exact median and median
+    absolute deviation of extended price, and how many rows sit more
+    than 4.5 MADs from the median (the robust outlier rule — immune to
+    the outliers it is hunting, unlike mean/stddev).
+
+    Numeric discipline: prices become integer HALF-cents (cents × 2)
+    so both medians interpolate on exact integers — midpoints land on
+    .5 steps that are exactly representable, deviations are exact
+    halves, and the 4.5 multiplier is a dyadic rational, so the
+    outlier comparison is bit-deterministic in both engines. Division
+    by 200 back to currency happens only at output.
+
+    Scale shape: two grouped exact percentiles (sort-based agg per
+    group) with the 3-row median/MAD frames broadcast back onto the
+    fact rows. Exact grouped percentiles buffer per group — the
+    sketch-tier alternative for wide groups is approx_percentile
+    (demonstrated by approx_quantile_gate); this is the exact batch
+    form, per-group-bounded rather than corpus-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.round(F.col("l_extendedprice") * 100).cast("long") * 2).alias("hc"),
+    )
+    med = c.groupBy("flag").agg(F.percentile("hc", F.lit(0.5)).alias("med"))
+    dev = c.join(F.broadcast(med), "flag").select(
+        "flag", "med", F.abs(F.col("hc") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("flag").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.max(F.col("med")) / F.lit(200.0)).alias("median_price"),
+            (F.max(F.col("mad")) / F.lit(200.0)).alias("mad_price"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(4.5) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
     )
