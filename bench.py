@@ -109,6 +109,9 @@ HEADLINE = [
     "conversion_attribution",
     "pagerank_suppliers",
     "mad_outlier_audit",
+    "scd2_as_of",
+    "ols_price_by_quantity",
+    "chi_square_independence",
 ]
 
 

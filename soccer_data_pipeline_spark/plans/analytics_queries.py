@@ -850,3 +850,222 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC family completion: point-in-time reconstruction over SCD2 history.
+# ---------------------------------------------------------------------------
+
+# 1998-07-01T00:00:00Z — mid-range of the orders change log.
+_AS_OF_US = 899_251_200_000_000
+
+
+def _scd2_oracle() -> str:
+    from .registry import ORACLES
+
+    return ORACLES["scd2_history"]
+
+
+@register(
+    "scd2_as_of",
+    oracle=f"""
+WITH hist AS ({_scd2_oracle()})
+SELECT custkey, version, priority, valid_from_us
+FROM hist
+WHERE valid_from_us <= {_AS_OF_US}
+  AND (valid_to_us IS NULL OR valid_to_us > {_AS_OF_US})
+""",
+    doc="[beyond-ref] point-in-time (AS OF) reconstruction over the SCD2 history",
+)
+def scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct every customer's tracked attribute AS OF a fixed
+    instant from the SCD2 history — the read-side completion of the
+    CDC tier (scd2_history builds versions; this answers 'what did the
+    dimension look like at time T?').
+
+    Scale shape: inherits scd2_history's single-Exchange build; the
+    AS OF predicate is a per-row filter on the version bounds
+    ([valid_from, valid_to) half-open, so exactly one version matches
+    per key), adding zero shuffles.
+    """
+    from .curation_queries import scd2_history
+
+    hist = scd2_history(spark, sf_dir)
+    t = F.lit(_AS_OF_US)
+    return hist.where(
+        (F.col("valid_from_us") <= t)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
+    ).select("custkey", "version", "priority", "valid_from_us")
+
+
+# ---------------------------------------------------------------------------
+# Regression analytics: closed-form per-group OLS from exact moments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_price_by_quantity",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6) AS slope_per_unit,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept_price
+FROM m
+""",
+    doc="[beyond-ref] per-group closed-form OLS (price ~ quantity) from exact integer moments",
+)
+def ols_price_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope/intercept of extended price on quantity per
+    returnflag, computed from EXACT integer moment sums (n, Σx, Σy,
+    Σxy, Σx²) — the group-wise regression tier.
+
+    Numeric discipline: quantities and prices are integral (units /
+    cents), so every moment is an exact BIGINT (Σxy ≈ 3×10¹⁴ at sf0.1
+    — far inside int64; at larger corpora promote the moments to
+    DECIMAL). Only the final slope/intercept arithmetic runs in
+    doubles, with an identical expression tree in both engines —
+    deterministic even where not exact. Built-in ``regr_slope`` is the
+    convenience form; this construction pins cross-engine bits.
+
+    Scale shape: one map-side-combined hash agg (5 moments per group),
+    then per-group scalar math on a 3-row frame. The canonical
+    'reduce to sufficient statistics' pattern — nothing but the
+    moments ever leaves the scan stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * sx / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_per_unit"),
+        F.round(intercept / 100.0, 6).alias("intercept_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution testing: chi-square independence gate (source vs lang).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY source),
+ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY lang),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.source, c.lang,
+         (CAST(c.o AS DOUBLE)
+          - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE)) AS d,
+         CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+  FROM cells c JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+)
+SELECT ROUND(LIST_SUM(
+         LIST_TRANSFORM(
+           LIST(struct_pack(k := source || '|' || lang, t := d * d / e)
+                ORDER BY source, lang),
+           x -> x.t)), 6) AS chi2,
+       CAST((SELECT (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
+             FROM cells) AS BIGINT) AS dof,
+       CAST((SELECT n FROM n) AS BIGINT) AS n_rows
+FROM terms
+""",
+    doc="[beyond-ref] chi-square independence gate: source x lang contingency audit",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for 'is document language
+    independent of source?' — the contingency-table sibling of the
+    split-drift TVD gate (a skewed source⇄lang association is a
+    corpus-mix red flag).
+
+    Scale shape: the corpus collapses to |source|×|lang| cells at the
+    FIRST hash agg; row/column totals and the grand total are
+    aggregates of that tiny frame, broadcast back in. The χ² sum folds
+    the per-cell terms in (source, lang) order on both engines (sorted
+    collect_list fold vs ordered LIST_SUM), so the statistic is
+    bit-exact cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("_n"))
+    terms = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            (
+                F.col("o").cast("double")
+                - F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("_n").cast("double")
+            ).alias("d"),
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("_n").cast("double")
+            ).alias("e"),
+        )
+    )
+    dof = cells.agg(
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).alias("dof")
+    )
+    chi2 = terms.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.concat_ws("|", "source", "lang").alias("k"),
+                            (F.col("d") * F.col("d") / F.col("e")).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("chi2")
+    )
+    return (
+        chi2.crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(n))
+        .select("chi2", F.col("dof").cast("long").alias("dof"), F.col("_n").alias("n_rows"))
+    )
