@@ -380,3 +380,92 @@ def dup_clusters(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> Da
         "cluster_size",
         "is_keeper",
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """→ 1-row (n_edges, n_triangles) for an undirected simple graph
+    given as ORIENTED edges (src < dst, deduplicated — the caller's
+    contract; orientation counts each triangle exactly once and halves
+    every join's build side).
+
+    The classic three-way self-join: wedges a<b<c from e(a,b)⋈e(b,c),
+    closed by e(a,c). The input should be small/sparse by construction
+    (cap hot keys upstream — see plans/analytics_queries.py:
+    _supplier_edges) and MATERIALIZED (cached or checkpointed): it is
+    consumed four times here.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.u") == F.col("e1.v")).join(
+        e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_edges", "n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float | None = None,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """→ (node, rank) after ``iters`` fixed power iterations over the
+    UNDIRECTED graph given as oriented (src < dst) edges — mirrored
+    internally, so every node has degree ≥ 1 and the dangling-mass
+    term vanishes.
+
+    Determinism contract (shared with the DuckDB oracle in
+    plans/analytics_queries.py:pagerank_suppliers): each node's
+    contribution sum folds in contributor order (sorted collect_list),
+    so reruns and cross-engine replays are bit-identical.
+
+    Scale shape: per iteration one edge⋈rank⋈degree join + one
+    dst-keyed agg over the edge set. Static plan for fixed ``iters``;
+    for diameter-scale iteration counts, add the per-round
+    localCheckpoint discipline of :func:`connected_components`.
+
+    ``teleport`` pins the (1−d)/N constant exactly: the Python
+    expression ``1.0 - 0.85`` is 0.15000000000000002, a DIFFERENT
+    double from the parsed literal ``0.15`` an oracle SQL text uses —
+    callers that hash-compare against SQL must pass the same literal
+    (default None computes ``1.0 - damping``).
+    """
+    tp = (1.0 - damping) if teleport is None else teleport
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("od"))
+    n = deg.agg(F.count("*").alias("_n"))
+    r = deg.crossJoin(F.broadcast(n)).select(
+        "u", (F.lit(1.0) / F.col("_n").cast("double")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            und.join(r, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.col("u"),
+                (F.col("r") / F.col("od").cast("double")).alias("c"),
+            )
+        )
+        agg = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("u", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        r = agg.crossJoin(F.broadcast(n)).select(
+            F.col("node").alias("u"),
+            (
+                F.lit(tp) / F.col("_n").cast("double")
+                + F.lit(damping) * F.col("s")
+            ).alias("r"),
+        )
+    return r.select(F.col("u").alias("node"), "r")

@@ -466,16 +466,9 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_supplier_edges`` — consumed four times below; the boundary cut
     the query from 15.7 s to ~4 s at sf0.1).
     """
-    edges = _supplier_edges(spark, sf_dir)
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-    )
-    n_edges = edges.agg(F.count("*").alias("n_edges"))
-    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(F.broadcast(n_edges)).select(
-        "n_edges", "n_triangles"
-    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_supplier_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -738,40 +731,15 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic uses identical double literals — so the rank doubles
     are bit-identical and the final (r DESC, u) ordering agrees.
     """
-    edges = _supplier_edges(spark, sf_dir)
-    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count("*").alias("od"))
-    n = deg.agg(F.count("*").alias("_n"))
-    r = deg.crossJoin(F.broadcast(n)).select(
-        "u", (F.lit(1.0) / F.col("_n").cast("double")).alias("r")
-    )
-    for _ in range(3):
-        contrib = (
-            und.join(r, "u")
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("node"),
-                F.col("u"),
-                (F.col("r") / F.col("od").cast("double")).alias("c"),
-            )
-        )
-        agg = contrib.groupBy("node").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("u", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("s")
-        )
-        r = agg.crossJoin(F.broadcast(n)).select(
-            F.col("node").alias("u"),
-            (
-                F.lit(0.15) / F.col("_n").cast("double") + F.lit(0.85) * F.col("s")
-            ).alias("r"),
-        )
-    w = Window.orderBy(F.desc("r"), F.asc("u"))
+    from ..operators.graph import pagerank
+
+    # teleport=0.15 pinned as the literal the oracle SQL parses — NOT
+    # 1.0-0.85, which is a different double (see operators/graph.py).
+    r = pagerank(_supplier_edges(spark, sf_dir), iters=3, damping=0.85, teleport=0.15)
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
     return (
         r.select(
-            F.col("u").alias("supplier"),
+            F.col("node").alias("supplier"),
             F.round("r", 8).alias("pagerank"),
             F.row_number().over(w).cast("long").alias("rk"),
         )

@@ -126,3 +126,34 @@ def test_disjoint_cliques_and_keeper(spark):
     }
     assert out[1].cluster_size == 3 and out[10].cluster_size == 2 and out[23].cluster_size == 4
     assert [d for d, r in sorted(out.items()) if r.is_keeper] == [1, 10, 20]
+
+
+def test_triangle_count_known_graphs(spark):
+    """K5 has C(5,3)=10 triangles; a path graph has none; K5 plus a
+    disjoint path changes nothing but the edge count."""
+    from soccer_data_pipeline_spark.operators.graph import triangle_count
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(k5 + path, "u long, v long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_edges == len(k5) + len(path)
+    assert row.n_triangles == 10
+    df2 = spark.createDataFrame(path, "u long, v long")
+    assert triangle_count(df2).collect()[0].n_triangles == 0
+
+
+def test_pagerank_star_and_invariants(spark):
+    """On an undirected star graph the hub outranks every leaf, leaves
+    tie exactly (identical ordered contribution folds), and total rank
+    mass stays ~1 (power iteration preserves mass up to teleport
+    rounding)."""
+    from soccer_data_pipeline_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(star, "u long, v long")
+    ranks = {r.node: r.r for r in pagerank(df, iters=5).collect()}
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 7)]
+    assert hub > max(leaves)
+    assert len(set(leaves)) == 1  # bit-identical, not just close
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
