@@ -96,3 +96,21 @@ def test_every_family_has_a_window_slot():
 def test_oracle_map_order_matches_query_fns():
     qnames = [n for n in query_fns() if n in oracle_map()]
     assert list(oracle_map()) == qnames
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE name must be a registered query — a typo
+    here silently becomes a per-round bench failure in the driver's
+    artifact (bench.py skips-and-records unknown names as failures)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"bench HEADLINE names not registered: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
