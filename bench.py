@@ -112,6 +112,8 @@ HEADLINE = [
     "scd2_as_of",
     "ols_price_by_quantity",
     "chi_square_independence",
+    "market_basket_lift",
+    "revenue_concentration",
 ]
 
 

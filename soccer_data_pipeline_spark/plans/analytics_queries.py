@@ -1037,3 +1037,168 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("chi2", F.col("dof").cast("long").alias("dof"), F.col("_n").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: event-type co-occurrence lift (market-basket lite).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM d),
+na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na FROM d GROUP BY event_type),
+ab AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT ab.type_a, ab.type_b, ab.n_ab,
+       ROUND(CAST(ab.n_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+             / (CAST(x.na AS DOUBLE) * CAST(y.na AS DOUBLE)), 6) AS lift
+FROM ab
+JOIN na x ON x.event_type = ab.type_a
+JOIN na y ON y.event_type = ab.type_b
+CROSS JOIN n
+""",
+    doc="[beyond-ref] association-rule lift over per-user event-type baskets",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence lift between event types across user
+    baskets — lift > 1 means the pair co-occurs more than independent
+    attachment rates predict (the association-rules tier, pruned to
+    pairs).
+
+    Scale shape: each user collapses to a SORTED distinct-type set at
+    the first agg (bounded by |event_type|); the candidate pairs are
+    generated IN-ROW from that set (nested transform + flatten — no
+    self-join of the distinct table, which at 100 TB would shuffle the
+    user×type frame twice), then one hash agg on the pair key. The
+    attachment counts and user total are |event_type|-sized broadcasts.
+    Every lift is one double expression over exact longs, identical in
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                        lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    ab = pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_ab"))
+    singles = baskets.select(F.explode("types").alias("event_type"))
+    na = singles.groupBy("event_type").agg(F.count("*").alias("na"))
+    n = baskets.agg(F.count("*").alias("_n"))
+    return (
+        ab.join(
+            F.broadcast(na.select(F.col("event_type").alias("type_a"), F.col("na").alias("na_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(na.select(F.col("event_type").alias("type_b"), F.col("na").alias("na_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("_n").cast("double")
+                / (F.col("na_a").cast("double") * F.col("na_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration analytics: revenue Gini coefficient + top-decile share.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT custkey, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev, custkey) AS BIGINT) AS i
+  FROM rev
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS BIGINT) AS tot,
+         CAST(SUM(i * rev) AS BIGINT) AS irev,
+         CAST(SUM(CASE WHEN i * 10 > 9 * (SELECT COUNT(*) FROM ranked) THEN rev ELSE 0 END) AS BIGINT) AS top10
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(CAST(tot AS DOUBLE) / 100.0, 2) AS total_revenue,
+       ROUND(2.0 * CAST(irev AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+       ROUND(CAST(top10 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_decile_share
+FROM agg
+""",
+    doc="[beyond-ref] revenue concentration: exact Gini coefficient + top-decile share",
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is revenue across customers? Exact Gini
+    coefficient (G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending-sorted
+    revenues) plus the share held by the top decile — the 80/20 audit.
+
+    Numeric discipline: revenues are exact cent longs; rank·revenue
+    products stay integer (Σi·x ≈ 2×10¹⁷ at sf0.1 — inside int64;
+    promote to DECIMAL for dim tables beyond ~10⁸ rows); doubles enter
+    only in the final 1-row division, with an identical expression
+    tree in both engines. The top-decile cut is integer-exact
+    (i·10 > 9·n). Ties order by (rev, custkey) on both engines.
+
+    Scale shape: the fact table collapses to one row per customer at
+    the first agg; the global rank window runs on that dim-sized
+    frame. For dim tables too large for one window partition, the
+    two-phase hash-prefix prefix-sum of corpus_shuffle_order is the
+    drop-in upgrade.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("rev", "custkey")
+    ranked = rev.select("custkey", "rev", F.row_number().over(w).cast("long").alias("i"))
+    n1 = ranked.agg(F.count("*").alias("_n"))
+    agg = ranked.crossJoin(F.broadcast(n1)).agg(
+        F.max("_n").alias("n"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("i") * F.col("rev")).alias("irev"),
+        F.sum(
+            F.when(F.col("i") * 10 > 9 * F.col("_n"), F.col("rev")).otherwise(0)
+        ).alias("top10"),
+    )
+    n, tot, irev, top10 = (
+        F.col(c).cast("double") for c in ("n", "tot", "irev", "top10")
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(tot / 100.0, 2).alias("total_revenue"),
+        F.round(2.0 * irev / (n * tot) - (n + 1.0) / n, 6).alias("gini"),
+        F.round(top10 / tot, 6).alias("top_decile_share"),
+    )
