@@ -114,6 +114,8 @@ HEADLINE = [
     "chi_square_independence",
     "market_basket_lift",
     "revenue_concentration",
+    "daily_value_percentiles",
+    "inter_event_gap_stats",
 ]
 
 

@@ -1202,3 +1202,92 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * irev / (n * tot) - (n + 1.0) / n, 6).alias("gini"),
         F.round(top10 / tot, 6).alias("top_decile_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ops/time-series percentiles: daily value bands and inter-event gaps.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_value_percentiles",
+    oracle="""
+WITH m AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 1000) AS BIGINT) AS mv
+  FROM events
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY mv) / 1000.0 AS p50_value,
+       PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY mv) / 1000.0 AS p95_value
+FROM m GROUP BY day
+""",
+    doc="[beyond-ref] daily P50/P95 value bands (ops-monitoring percentile series)",
+)
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P95 bands over the event value stream — the
+    ops-monitoring percentile series (latency dashboards, SLO burn).
+
+    Numeric discipline: values are scaled to integer milli-units
+    before the exact percentile, so interpolation runs on exact
+    integers and midpoints are dyadic — bit-identical across engines
+    (the same half-cent trick as mad_outlier_audit). Scale shape: one
+    day-keyed sort-based agg; per-group buffers are day-sized. The
+    sketch form for wide groups is approx_percentile
+    (approx_quantile_gate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    return m.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        (F.percentile("mv", F.lit(0.5)) / 1000.0).alias("p50_value"),
+        (F.percentile("mv", F.lit(0.95)) / 1000.0).alias("p95_value"),
+    )
+
+
+@register(
+    "inter_event_gap_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts))
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us) / 1000000.0 AS p50_gap_s,
+       PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_us) / 1000000.0 AS p90_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+    doc="[beyond-ref] inter-event gap distribution per type (recurrence cadence audit)",
+)
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often does each event type recur per user? Median and P90
+    gap between a user's consecutive events of the same type — the
+    cadence audit behind sessionization-gap and watermark-horizon
+    tuning (pick the session gap / late-data bound from the actual
+    recurrence distribution, not a guess).
+
+    Numeric discipline: gaps are exact epoch-µs longs (the repo's
+    cross-engine timestamp encoding), so the percentiles interpolate
+    on integers. Scale shape: one (user_id, event_type)-keyed window
+    shuffle for the lag, then a type-keyed percentile agg — both keys
+    are natural partitions with bounded per-key state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        (F.percentile("gap_us", F.lit(0.5)) / 1000000.0).alias("p50_gap_s"),
+        (F.percentile("gap_us", F.lit(0.9)) / 1000000.0).alias("p90_gap_s"),
+    )
