@@ -98,3 +98,81 @@ def user_running_stats(events: DataFrame, evict_idle_ms: int = 0) -> DataFrame:
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def sharded_heavy_hitters(
+    tokens: DataFrame, capacity: int = 8, shard_col: str = "shard"
+) -> DataFrame:
+    """tokens(shard, token) stream → per-shard Misra–Gries heavy-hitter
+    summaries, one row per tracked token per batch.
+
+    The scale-correct streaming heavy-hitter shape: the token stream is
+    pre-sharded (``shard = pmod(hash(token), n_shards)`` upstream, so a
+    token's occurrences all land in one shard), each shard maintains a
+    Misra–Gries summary of at most ``capacity`` counters, and the
+    cross-shard union of emitted rows is the candidate set. Total state
+    is n_shards × capacity entries — INDEPENDENT of stream length and
+    vocabulary size, unlike the exact batch form
+    (plans/analytics_queries.heavy_hitter_tokens) whose agg carries the
+    whole vocabulary. MG guarantee per shard: any token with true count
+    > n_seen/(capacity+1) is present, and estimates undercount by at
+    most n_seen/(capacity+1).
+    """
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):
+        (shard,) = key
+        if state.exists:
+            toks, counts, n_seen = state.get
+            summary = dict(zip(list(toks), list(counts)))
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                tok = str(tok)
+                n_seen += 1
+                if tok in summary:
+                    summary[tok] += 1
+                elif len(summary) < capacity:
+                    summary[tok] = 1
+                else:
+                    # decrement-all step: drop every counter by one,
+                    # evicting zeros — the classic MG space bound
+                    summary = {t: c - 1 for t, c in summary.items() if c > 1}
+        items = sorted(summary.items())
+        state.update((list(t for t, _ in items), list(c for _, c in items), n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "token": [t for t, _ in items],
+                "est_count": [c for _, c in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return tokens.groupBy(shard_col).applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

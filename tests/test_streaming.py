@@ -576,3 +576,55 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(spark, tmp_path):
         .collect()
     }
     assert want and got == want
+
+
+def test_sharded_heavy_hitters_misra_gries(spark, tmp_path):
+    """The streaming MG summary must (a) surface every token whose true
+    count exceeds the n/(k+1) bound, (b) never overcount, and (c) keep
+    per-shard state within capacity."""
+    import pyspark.sql.functions as F
+    from soccer_data_pipeline_spark.streaming.stateful import sharded_heavy_hitters
+
+    # synthetic skewed stream: 'hot' x 60, 'warm' x 20, 30 singletons
+    rows = [("hot",)] * 60 + [("warm",)] * 20 + [(f"t{i}",) for i in range(30)]
+    src = str(tmp_path / "tok")
+    spark.createDataFrame(rows, "token string").repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("token", F.pmod(F.xxhash64("token"), F.lit(4)).alias("shard"))
+    )
+    capacity = 8
+    q = (
+        sharded_heavy_hitters(stream, capacity=capacity)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per (shard, token) = final summary state
+    out = spark.sql(
+        """SELECT shard, token, est_count, n_seen FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY shard, token
+                                          ORDER BY n_seen DESC) AS rk
+             FROM hh_out) WHERE rk = 1"""
+    ).collect()
+    est = {r.token: r.est_count for r in out}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    # (c) capacity bound per shard
+    assert all(len(v) <= capacity for v in by_shard.values())
+    # (a) the hot token MUST survive: its shard saw at most all 110 rows,
+    # and 60 > 110/(8+1) ≈ 12.2
+    assert "hot" in est
+    # (b) MG never overcounts, and undercounts by at most n_seen/(k+1)
+    n_hot_shard = next(r.n_seen for r in out if r.token == "hot")
+    assert est["hot"] <= 60
+    assert est["hot"] >= 60 - n_hot_shard / (capacity + 1)
+    if "warm" in est:
+        assert est["warm"] <= 20
