@@ -116,6 +116,7 @@ HEADLINE = [
     "revenue_concentration",
     "daily_value_percentiles",
     "inter_event_gap_stats",
+    "join_key_skew_audit",
 ]
 
 

@@ -486,3 +486,83 @@ def resize_images(
         ]
     )
     return media.mapInPandas(run, schema)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def _ahash_impl(payload: bytes) -> int:
+    """64-bit average hash of a PNG payload: decode (stdlib codec),
+    luminance, block-mean downsample to 8×8, threshold at the mean.
+    Pure integer arithmetic end-to-end — deterministic across
+    platforms (no float resize kernels)."""
+    from ..functions.png_codec import decode_png, is_png
+
+    if not payload or not is_png(bytes(payload)):
+        raise NotImplementedError("average hash implemented for PNG payloads only")
+    w, h, ch, px = decode_png(bytes(payload))
+    # integer luminance per pixel (ITU-R 601 weights scaled by 1000)
+    lum = [0] * (w * h)
+    for i in range(w * h):
+        o = i * ch
+        if ch >= 3:
+            lum[i] = 299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]
+        else:
+            lum[i] = 1000 * px[o]
+    # 8x8 block means (integer): block (bx, by) covers its pixel span
+    bits = 0
+    sums = [[0, 0] for _ in range(64)]  # [total, npx]
+    for y in range(h):
+        by = y * 8 // h
+        for x in range(w):
+            bx = x * 8 // w
+            cell = sums[by * 8 + bx]
+            cell[0] += lum[y * w + x]
+            cell[1] += 1
+    # scale to a common denominator: mean comparison via cross-multiply
+    # (cell_total * total_npx) vs (grand_total * cell_npx) — integers only
+    grand_total = sum(c[0] for c in sums)
+    total_npx = sum(c[1] for c in sums)
+    for i, (ct, cn) in enumerate(sums):
+        if cn and ct * total_npx > grand_total * cn:
+            bits |= 1 << i
+    # keep within signed int64 for the Spark LongType column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_average_hash(media: DataFrame) -> DataFrame:
+    """media(media_id, content: binary) → (media_id, ahash) — the image
+    near-dup fingerprint tier: payloads whose hashes agree (or sit
+    within a small Hamming radius) are visual near-duplicates, the
+    image analog of SimHash over tokens (operators/dedup.simhash).
+
+    Runs in the Arrow `mapInPandas` path like every codec operator
+    here: bytes never leave the executor, one Python batch per Arrow
+    batch. The hash itself is integer-only (block means compared by
+    cross-multiplication), so the fingerprint is bit-stable across
+    platforms — safe to persist and join against across runs.
+    Non-PNG payloads raise the documented ``NotImplementedError``
+    boundary; null payloads emit a null hash.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c in pdf["content"]:
+                hashes.append(None if c is None else _ahash_impl(bytes(c)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, AHASH_SCHEMA)
+
+
+def hamming64(a, b):
+    """Column expr: Hamming distance between two 64-bit fingerprints
+    (JVM-side bit_count over xor — no Python)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

@@ -1291,3 +1291,69 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile("gap_us", F.lit(0.5)) / 1000000.0).alias("p50_gap_s"),
         (F.percentile("gap_us", F.lit(0.9)) / 1000000.0).alias("p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit: measure before you salt.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_key_skew_audit",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY cnt) AS p50_cnt,
+         PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY cnt) AS p99_cnt
+  FROM k
+)
+SELECT n_keys, n_rows, max_cnt,
+       ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 6) AS skew_factor,
+       ROUND(p99_cnt / p50_cnt, 6) AS p99_over_p50
+FROM a
+""",
+    doc="[beyond-ref] join-key skew audit: max/avg and p99/p50 key-frequency ratios",
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for a prospective join/agg key: the max-key
+    load relative to the mean (how much one task would overload under
+    plain hash partitioning) and the p99/p50 frequency ratio.
+
+    This is the MEASURE step the skew toolkit (operators/skew.py:
+    salted_agg, broadcast_salted_join) acts on — salt when skew_factor
+    says a straggler is coming, not by guesswork.
+
+    Scale shape: the fact table collapses to one row per key at the
+    first map-side-combined agg; everything after runs on the key
+    frame. Key counts are exact longs; the two ratios are single
+    double divisions (p50/p99 interpolate on integer counts — dyadic
+    midpoints, bit-exact cross-engine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("cnt"))
+    a = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+    )
+    return a.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("skew_factor"),
+        F.round(F.col("p99_cnt") / F.col("p50_cnt"), 6).alias("p99_over_p50"),
+    )

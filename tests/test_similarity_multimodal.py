@@ -219,3 +219,51 @@ def test_resize_plumbing(media):
     assert len(out[1].content) == 64 * 64 // 64
     assert (out[1].width, out[1].height) == (64, 64)
     assert out[3].content is None and out[3].width is None
+
+
+def test_image_average_hash_groups_near_dups(spark):
+    """aHash must be identical for an exact duplicate, within a small
+    Hamming radius for a lightly-perturbed copy, and far for a
+    structurally different image; non-PNG payloads raise the
+    documented boundary."""
+    import pyspark.sql.functions as F
+    import pytest
+    from soccer_data_pipeline_spark.functions.png_codec import encode_png
+    from soccer_data_pipeline_spark.operators.multimodal import (
+        _ahash_impl,
+        hamming64,
+        image_average_hash,
+    )
+
+    w, h = 24, 16
+    grad = bytes(((x * 9 + y * 5) % 256) for y in range(h) for x in range(w) for _ in range(3))
+    # perturb a handful of pixels slightly
+    pert = bytearray(grad)
+    for i in range(0, 30, 3):
+        pert[i] = min(255, pert[i] + 4)
+    checker = bytes(
+        (255 if ((x // 4 + y // 4) % 2) else 0)
+        for y in range(h)
+        for x in range(w)
+        for _ in range(3)
+    )
+    rows = [
+        (1, encode_png(w, h, 3, grad)),
+        (2, encode_png(w, h, 3, grad)),         # exact dup
+        (3, encode_png(w, h, 3, bytes(pert))),  # near dup
+        (4, encode_png(w, h, 3, checker)),      # different
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = {r.media_id: r.ahash for r in image_average_hash(df).collect()}
+    assert hashes[1] == hashes[2]
+    j = (
+        spark.createDataFrame([(hashes[1], hashes[3]), (hashes[1], hashes[4])], "a long, b long")
+        .select(hamming64("a", "b").alias("d"))
+        .collect()
+    )
+    near, far = j[0].d, j[1].d
+    assert near <= 8, f"near-dup hamming {near} too large"
+    assert far > near, f"different image ({far}) not farther than near-dup ({near})"
+
+    with pytest.raises(NotImplementedError):
+        _ahash_impl(b"\xff\xd8\xffJPEGISH")
