@@ -117,6 +117,7 @@ HEADLINE = [
     "daily_value_percentiles",
     "inter_event_gap_stats",
     "join_key_skew_audit",
+    "shingle_containment_pairs",
 ]
 
 

@@ -388,23 +388,18 @@ def minhash_near_dup_pairs(
     return out
 
 
-def ngram_jaccard(
+def _shingle_pair_counts(
     docs: DataFrame,
-    n: int = 3,
-    block_col: str = "lang",
-    threshold: float = 0.2,
-    max_df: int | None = None,
-    text_col: str = "text",
-) -> DataFrame:
-    """Pairwise n-gram Jaccard near-dup, blocked by ``block_col``.
-
-    ``max_df`` drops shingles whose document frequency (within a block)
-    exceeds the cap BEFORE the pair join — a boilerplate trigram in 10⁶
-    docs would emit ~10¹² pairs on one join key while carrying no
-    near-dup signal. Jaccard is then over the DF-filtered shingle space
-    (numerator and denominator), the standard web-scale formulation.
-    The hot-shingle list is tiny by construction → broadcast anti-join.
-    """
+    n: int,
+    block_col: str,
+    max_df: int | None,
+    text_col: str,
+):
+    """Shared pair-production pipeline for the shingle-overlap dedup
+    family (Jaccard + containment): per-doc-distinct n-gram shingles,
+    DF-capped within each block, self-joined block-locally →
+    ((doc_a, doc_b, n_common), per-doc counts, the persisted shingle
+    table the caller must release via materialize_owned)."""
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
     with_toks = docs.select("doc_id", block_col, toks.alias("toks")).where(
         F.size("toks") >= n
@@ -451,6 +446,29 @@ def ngram_jaccard(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    return pairs, counts, shingled
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    n: int = 3,
+    block_col: str = "lang",
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard near-dup, blocked by ``block_col``.
+
+    ``max_df`` drops shingles whose document frequency (within a block)
+    exceeds the cap BEFORE the pair join — a boilerplate trigram in 10⁶
+    docs would emit ~10¹² pairs on one join key while carrying no
+    near-dup signal. Jaccard is then over the DF-filtered shingle space
+    (numerator and denominator), the standard web-scale formulation.
+    The hot-shingle list is tiny by construction → broadcast anti-join.
+    """
+    from .cache import materialize_owned
+
+    pairs, counts, shingled = _shingle_pair_counts(docs, n, block_col, max_df, text_col)
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
@@ -462,6 +480,51 @@ def ngram_jaccard(
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return materialize_owned(out, shingled)
+
+
+def shingle_containment(
+    docs: DataFrame,
+    n: int = 3,
+    block_col: str = "lang",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC shingle overlap: containment(A in B) = |A∩B|/|A|.
+
+    Catches what Jaccard structurally cannot — a short document quoted
+    wholesale inside a long one has tiny Jaccard (the union is
+    long-document-sized) but containment ≈ 1 for the short side. The
+    standard quote/subset-inclusion dedup signal for training corpora.
+    Emits the pair once with BOTH directions (containment_a = share of
+    A's shingles found in B, containment_b symmetric); the gate keeps
+    pairs where EITHER direction clears ``threshold``.
+
+    Shares the DF-capped block-local pair pipeline (and its cache
+    ownership) with :func:`ngram_jaccard`.
+    """
+    from .cache import materialize_owned
+
+    pairs, counts, shingled = _shingle_pair_counts(docs, n, block_col, max_df, text_col)
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    out = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("containment_a", cont_a)
+        .withColumn("containment_b", cont_b)
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select(
+            "doc_a", "doc_b", "n_common", "n_a", "n_b",
+            "containment_a", "containment_b",
+        )
     )
     return materialize_owned(out, shingled)
 

@@ -1357,3 +1357,66 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_factor"),
         F.round(F.col("p99_cnt") / F.col("p50_cnt"), 6).alias("p99_over_p50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric near-dup: shingle containment (quote/subset inclusion).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MAX_DF = 100
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+all_shingles AS (
+  SELECT DISTINCT doc_id, lang,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS t(i)
+  WHERE LEN(toks) >= 3
+),
+shingles AS (
+  SELECT s.* FROM all_shingles s
+  JOIN (SELECT lang, shingle FROM all_shingles
+        GROUP BY lang, shingle HAVING COUNT(*) <= {_CONTAIN_MAX_DF}) d
+    ON s.lang = d.lang AND s.shingle = d.shingle
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       ca.n_shingles AS n_a, cb.n_shingles AS n_b,
+       CAST(p.n_common AS DOUBLE) / CAST(ca.n_shingles AS DOUBLE) AS containment_a,
+       CAST(p.n_common AS DOUBLE) / CAST(cb.n_shingles AS DOUBLE) AS containment_b
+FROM pairs p
+JOIN counts ca ON p.doc_a = ca.doc_id
+JOIN counts cb ON p.doc_b = cb.doc_id
+WHERE CAST(p.n_common AS DOUBLE) / CAST(ca.n_shingles AS DOUBLE) >= 0.5
+   OR CAST(p.n_common AS DOUBLE) / CAST(cb.n_shingles AS DOUBLE) >= 0.5
+""",
+    doc="[beyond-ref] asymmetric shingle containment pairs (quote/subset-inclusion dedup)",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs where either side's shingles are ≥ 50% contained
+    in the other — the quote/subset-inclusion signal Jaccard
+    structurally misses (a short doc quoted inside a long one has tiny
+    Jaccard but containment ≈ 1 on the short side).
+
+    Delegates to operators/dedup.shingle_containment, which shares the
+    DF-capped block-local pair pipeline (and its cache-ownership
+    discipline) with the Jaccard tier.
+    """
+    from ..operators.dedup import shingle_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_containment(
+        docs, n=3, block_col="lang", threshold=0.5, max_df=_CONTAIN_MAX_DF
+    )
