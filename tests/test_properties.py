@@ -198,3 +198,61 @@ def test_shuffle_order_permutation_property(spark, ids, seed):
         .collect()
     }
     assert got == naive
+
+
+def test_analytics_output_invariants(spark):
+    """Cross-cutting invariants the oracle differential can't express:
+    probability rows sum to 1, grids are dense, concentration stats
+    stay in range. Cheap (sf0.001) and independent of DuckDB."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    # transition probabilities: each prev_type's row sums to 1 exactly
+    # (shares of an exact integer partition)
+    tm = QUERIES["event_transition_matrix"].fn(spark, sf)
+    sums = tm.groupBy("prev_type").agg(F.sum("p_trans").alias("s")).collect()
+    assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+    # histogram shares: sum to 1 per language
+    h = QUERIES["doc_length_histogram"].fn(spark, sf)
+    hs = h.groupBy("lang").agg(F.sum("lang_share").alias("s")).collect()
+    assert hs and all(abs(r.s - 1.0) < 1e-9 for r in hs)
+
+    # gap-fill: exactly days x types rows, zero-filled counts sum to
+    # the raw event count
+    g = QUERIES["event_gapfill_daily"].fn(spark, sf)
+    n_days = g.select("day").distinct().count()
+    n_types = g.select("event_type").distinct().count()
+    assert g.count() == n_days * n_types
+    from soccer_data_pipeline_spark.sources import load_table
+
+    assert (
+        g.agg(F.sum("n_events")).collect()[0][0]
+        == load_table(spark, sf, "events").count()
+    )
+
+    # concentration: Gini in [0, 1), top decile holds at least its
+    # uniform share
+    rc = QUERIES["revenue_concentration"].fn(spark, sf).collect()[0]
+    assert 0.0 <= rc.gini < 1.0
+    assert rc.top_decile_share >= 0.1
+
+    # chi-square: statistic non-negative, dof matches the 20x5 grid
+    cs = QUERIES["chi_square_independence"].fn(spark, sf).collect()[0]
+    assert cs.chi2 >= 0.0 and cs.dof == (20 - 1) * (5 - 1)
+
+    # containment: every direction in (0, 1], gate respected
+    cp = QUERIES["shingle_containment_pairs"].fn(spark, sf)
+    bad = cp.where(
+        (F.col("containment_a") <= 0)
+        | (F.col("containment_a") > 1.0000001)
+        | (F.col("containment_b") <= 0)
+        | (F.col("containment_b") > 1.0000001)
+        | (
+            (F.col("containment_a") < 0.5) & (F.col("containment_b") < 0.5)
+        )
+    ).count()
+    assert bad == 0
