@@ -118,6 +118,7 @@ HEADLINE = [
     "inter_event_gap_stats",
     "join_key_skew_audit",
     "shingle_containment_pairs",
+    "kcore_peel_suppliers",
 ]
 
 

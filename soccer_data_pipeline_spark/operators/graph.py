@@ -469,3 +469,43 @@ def pagerank(
             ).alias("r"),
         )
     return r.select(F.col("u").alias("node"), "r")
+
+
+def kcore_peel_profile(
+    edges: DataFrame, k: int = 3, rounds: int = 3, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """→ (round, n_removed, n_remaining): how fast the graph erodes
+    under k-core peeling — each round removes every node of degree < k
+    (with all incident edges), for a FIXED number of rounds.
+
+    Bounded-round by design so the plan is static and the semantics
+    are oracle-expressible (full k-core = run to fixpoint; the last
+    round's n_removed = 0 certifies convergence). n_remaining counts
+    the distinct endpoints of the surviving edge set (isolated nodes
+    are gone by definition).
+
+    Scale shape: per round one degree agg + two broadcast anti-joins
+    against the (shrinking) removal set — the removal frame is small
+    by construction on any graph worth peeling. Input contract matches
+    :func:`triangle_count`: oriented (src < dst) deduplicated edges,
+    materialized by the caller.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    profile = []
+    for r in range(1, rounds + 1):
+        deg = und.groupBy("u").agg(F.count("*").alias("_d"))
+        removed = deg.where(F.col("_d") < k).select("u")
+        und = und.join(F.broadcast(removed), "u", "left_anti").join(
+            F.broadcast(removed.select(F.col("u").alias("v"))), "v", "left_anti"
+        )
+        # one action per round: materialize the survivor edge set once,
+        # reuse it for this round's counts AND the next round's peel
+        und = und.localCheckpoint(eager=True)
+        n_removed = removed.count()
+        n_remaining = und.select("u").distinct().count()
+        profile.append((r, n_removed, n_remaining))
+    return spark.createDataFrame(
+        profile, "round long, n_removed long, n_remaining long"
+    )

@@ -1420,3 +1420,52 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_containment(
         docs, n=3, block_col="lang", threshold=0.5, max_df=_CONTAIN_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph decomposition: k-core peel profile.
+# ---------------------------------------------------------------------------
+
+_PEEL_ROUND = """
+deg{r} AS (SELECT u, COUNT(*) AS d FROM und{p} GROUP BY u),
+rm{r} AS (SELECT u FROM deg{r} WHERE d < 3),
+und{r} AS (
+  SELECT e.u, e.v FROM und{p} e
+  WHERE e.u NOT IN (SELECT u FROM rm{r}) AND e.v NOT IN (SELECT u FROM rm{r})
+)"""
+
+
+@register(
+    "kcore_peel_suppliers",
+    oracle=f"""
+WITH {_SUPPLIER_EDGE_CTES},
+und0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_PEEL_ROUND.format(r=1, p=0)},
+{_PEEL_ROUND.format(r=2, p=1)},
+{_PEEL_ROUND.format(r=3, p=2)}
+SELECT CAST(1 AS BIGINT) AS round,
+       CAST((SELECT COUNT(*) FROM rm1) AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(DISTINCT u) FROM und1) AS BIGINT) AS n_remaining
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM rm2) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT u) FROM und2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM rm3) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT u) FROM und3) AS BIGINT)
+""",
+    doc="[beyond-ref] 3-round 3-core peel profile of the supplier co-purchase graph",
+)
+def kcore_peel_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast the supplier co-purchase graph erodes under 3-core
+    peeling (three bounded rounds) — the decomposition tier of the
+    graph family (components → triangles → centrality → cores). A
+    last-round n_removed of 0 certifies the 3-core was reached.
+
+    Delegates to operators/graph.kcore_peel_profile over the shared
+    capped edge construction.
+    """
+    from ..operators.graph import kcore_peel_profile
+
+    return kcore_peel_profile(_supplier_edges(spark, sf_dir), k=3, rounds=3)

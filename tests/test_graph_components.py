@@ -157,3 +157,20 @@ def test_pagerank_star_and_invariants(spark):
     assert hub > max(leaves)
     assert len(set(leaves)) == 1  # bit-identical, not just close
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_kcore_peel_profile_known_graph(spark):
+    """K5 survives 3-core peeling untouched; a pendant path is stripped
+    one layer per round (classic peel cascade)."""
+    from soccer_data_pipeline_spark.operators.graph import kcore_peel_profile
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    # pendant chain hanging off node 0: 0-10, 10-11, 11-12
+    chain = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, "u long, v long")
+    prof = {r.round: (r.n_removed, r.n_remaining) for r in kcore_peel_profile(df, k=3, rounds=3).collect()}
+    # removal is simultaneous per round on the CURRENT graph: deg(10)=2,
+    # deg(11)=2, deg(12)=1 — all < 3, so the whole chain peels in round 1
+    assert prof[1] == (3, 5)
+    # rounds 2-3: K5 is a 4-core; nothing else peels
+    assert prof[2] == (0, 5) and prof[3] == (0, 5)
