@@ -119,6 +119,8 @@ HEADLINE = [
     "join_key_skew_audit",
     "shingle_containment_pairs",
     "kcore_peel_suppliers",
+    "lang_id_confusion",
+    "referential_integrity_audit",
 ]
 
 

@@ -1469,3 +1469,132 @@ def kcore_peel_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel_profile
 
     return kcore_peel_profile(_supplier_edges(spark, sf_dir), k=3, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: confusion matrix for the lang-ID heuristic.
+# ---------------------------------------------------------------------------
+
+
+def _lang_id_oracle() -> str:
+    from .registry import ORACLES
+
+    return ORACLES["lang_id_heuristic"]
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH pred AS ({_lang_id_oracle()})
+SELECT d.lang AS true_lang,
+       COALESCE(p.predicted_lang, 'unknown') AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE) AS recall_share
+FROM documents d
+LEFT JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, COALESCE(p.predicted_lang, 'unknown')
+""",
+    doc="[beyond-ref] confusion matrix + per-class recall for the lang-ID heuristic",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the marker-voting language identifier:
+    true lang × predicted lang counts with per-true-class recall
+    shares (docs with no marker hits land in 'unknown') — the
+    classifier-evaluation tier, composed over the production lang-ID
+    query exactly as its oracle composes over the lang-ID oracle.
+
+    Scale shape: the prediction subplan is the audited lang-ID plan;
+    the confusion matrix adds one doc-keyed left join and a hash agg
+    whose output is |lang|² — the recall window runs post-agg.
+    """
+    from .llm_queries import lang_id_heuristic
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(spark, sf_dir)
+    j = docs.join(pred, "doc_id", "left").select(
+        F.col("lang").alias("true_lang"),
+        F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
+    )
+    counts = j.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")
+        ).alias("recall_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraints: referential-integrity audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+SELECT
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+       AS BIGINT) AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+       AS BIGINT) AS childless_orders,
+  CAST((SELECT COUNT(*) FROM
+          (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+       AS BIGINT) AS dup_orderkeys,
+  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS null_custkeys,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       AS BIGINT) AS dangling_custkeys
+""",
+    doc="[beyond-ref] dbt-style referential-integrity and uniqueness audit across the star schema",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star schema: orphaned fact rows,
+    childless orders, duplicate and dangling keys, null foreign keys —
+    the dbt-test tier every warehouse load gates on.
+
+    Scale shape: every constraint is an anti-join (LeftAnti — one
+    shuffle each, dims broadcast where small) or a key-grouped count;
+    the seven scalars assemble via 1-row broadcast cross joins, so the
+    audit is one lazy plan with no driver-side checks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    okeys = orders.select("o_orderkey")
+    lkeys = li.select("l_orderkey").distinct()
+    scalars = [
+        orders.agg(F.count("*").alias("n_orders")),
+        li.agg(F.count("*").alias("n_lineitems")),
+        li.join(
+            okeys, li.l_orderkey == okeys.o_orderkey, "left_anti"
+        ).agg(F.count("*").alias("orphan_lineitems")),
+        orders.join(
+            lkeys, orders.o_orderkey == lkeys.l_orderkey, "left_anti"
+        ).agg(F.count("*").alias("childless_orders")),
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .agg(F.count("*").alias("dup_orderkeys")),
+        orders.where(F.col("o_custkey").isNull()).agg(
+            F.count("*").alias("null_custkeys")
+        ),
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("dangling_custkeys")),
+    ]
+    out = scalars[0]
+    for s in scalars[1:]:
+        out = out.crossJoin(F.broadcast(s))
+    return out
