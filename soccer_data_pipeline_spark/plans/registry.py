@@ -176,9 +176,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # exercised by local doc_fingerprint and the in-window minhash tier) for
 # char_entropy_quality (restores an in-window rep for the text-quality
 # family after quality_score ceded in r6a). The round's other new
-# analytics families (histogram, gap-fill, heavy hitters, BPE pairs,
-# triangles, negative sampling) take local oracle + bench coverage next
-# to their nearest in-window relatives.
+# analytics families — histogram, gap-fill, heavy hitters, BPE pairs,
+# graph tier (triangles / PageRank / k-core), negative sampling,
+# unigram cross-entropy, attribution, MAD audit, SCD2 as-of, OLS,
+# chi-square, market-basket lift, revenue Gini, percentile series,
+# gap cadence, skew audit, shingle containment, lang-ID confusion,
+# referential integrity, PQ+rerank recall — take local oracle + bench
+# coverage next to their nearest in-window relatives.
 
 
 def _ordered_names() -> list[str]:
