@@ -122,6 +122,8 @@ HEADLINE = [
     "kcore_peel_suppliers",
     "lang_id_confusion",
     "referential_integrity_audit",
+    "incremental_agg_maintenance",
+    "gdpr_delete_audit",
 ]
 
 

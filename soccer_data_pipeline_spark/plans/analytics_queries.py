@@ -1598,3 +1598,148 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in scalars[1:]:
         out = out.crossJoin(F.broadcast(s))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view maintenance: merge algebraic partials, no recompute.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 <> 0
+  GROUP BY o_orderpriority
+),
+delta AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 = 0
+  GROUP BY o_orderpriority
+),
+merged AS (
+  SELECT COALESCE(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+         COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_orders,
+         COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents
+  FROM base b FULL OUTER JOIN delta d ON d.o_orderpriority = b.o_orderpriority
+)
+SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS total_price,
+       ROUND(CAST(cents AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 6) AS avg_price
+FROM merged
+""",
+    doc="[beyond-ref] materialized-view maintenance: merge algebraic partials (count/sum/avg) without recompute",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-priority revenue rollup from a BASE snapshot plus
+    a DELTA batch by merging algebraic partials (count, cent-sum) —
+    AVG derives from the merged partials, never from re-reading the
+    base rows. The batch twin of the streaming HLL sketch store: any
+    aggregate expressible as a commutative monoid (count/sum/min/max,
+    HLL, quantile sketches) maintains this way at 100 TB — the delta
+    is the only thing scanned per refresh.
+
+    The query computes base and delta partials from disjoint halves of
+    ``orders`` and merges via ONE full-outer join on the group key
+    (both sides post-agg, broadcast-sized) — value-identical to the
+    full recompute, which is exactly what the oracle checks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(pred):
+        return (
+            orders.where(pred)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+        )
+
+    base = partial(F.col("o_orderkey") % 10 != 0)
+    delta = partial(F.col("o_orderkey") % 10 == 0)
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.o_orderpriority") == F.col("d.o_orderpriority"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("b.cents"), F.lit(0))
+            + F.coalesce(F.col("d.cents"), F.lit(0))
+        ).alias("cents"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("total_price"),
+        F.round(
+            F.col("cents").cast("double") / F.col("n_orders").cast("double") / 100.0, 6
+        ).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compliance: right-to-be-forgotten deletion impact audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gdpr_delete_audit",
+    oracle="""
+WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_to_delete,
+         CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows_total
+  FROM events e JOIN del ON del.user_id = e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_subjects,
+       rows_to_delete,
+       rows_total,
+       CAST(rows_total - rows_to_delete AS BIGINT) AS rows_after,
+       ROUND(CAST(rows_to_delete AS DOUBLE) / CAST(rows_total AS DOUBLE), 6)
+         AS delete_fraction
+FROM ev
+""",
+    doc="[beyond-ref] right-to-be-forgotten impact audit: per-request deletion footprint",
+)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-impact audit for a right-to-be-forgotten batch (every
+    97th user as the stand-in request list): how many fact rows the
+    purge touches and what survives — the report a compliance job
+    emits BEFORE rewriting files. The purge itself is the left_anti
+    twin of this semi join; on a partitioned/Z-ordered lake the
+    deletion list prunes to the files that contain those keys
+    (zorder_layout_keys is the layout half of this story).
+
+    Scale shape: the subject list is a broadcast semi join against the
+    fact table — one scan; counts assemble via 1-row broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    subjects = ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    hit = ev.join(F.broadcast(subjects), "user_id", "left_semi")
+    n_subj = subjects.agg(F.count("*").alias("n_subjects"))
+    n_hit = hit.agg(F.count("*").alias("rows_to_delete"))
+    n_tot = ev.agg(F.count("*").alias("rows_total"))
+    return (
+        n_subj.crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_subjects",
+            "rows_to_delete",
+            "rows_total",
+            (F.col("rows_total") - F.col("rows_to_delete")).alias("rows_after"),
+            F.round(
+                F.col("rows_to_delete").cast("double")
+                / F.col("rows_total").cast("double"),
+                6,
+            ).alias("delete_fraction"),
+        )
+    )
