@@ -1,0 +1,73 @@
+"""The sanctioned Python escape hatches, demonstrated (SURVEY §2.10 /
+pyspark_guide "UDFs are the slow path").
+
+Policy in this engine: data-touching Python is allowed ONLY through
+Arrow-batched surfaces, and only where no built-in expresses the
+semantics. The hot paths everywhere else are JVM expressions. This
+module demonstrates the two remaining Arrow surfaces not already used
+by the codec/grouped/stateful operators (`mapInPandas`,
+`applyInPandas`, `applyInPandasWithState`):
+
+- a scalar ``@pandas_udf`` (vectorized numpy per Arrow batch), and
+- a Python UDTF (``@udtf``, Spark 4) — a table function usable from
+  both the DataFrame API and ``spark.sql`` LATERAL position.
+
+Each ships with an equivalence test against a pure-JVM formulation —
+the proof that the built-in path stays available and value-identical,
+so reaching for Python remains a choice, not a trap.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@pandas_udf(T.DoubleType())
+def byte_entropy_pdf(texts: pd.Series) -> pd.Series:
+    """Shannon entropy (bits/byte) of each value's UTF-8 bytes —
+    vectorized numpy over the whole Arrow batch (one Python call per
+    ~10k rows, not per row). The JVM twin for the equivalence test is
+    the nats-domain char-entropy fold in
+    plans/analytics_queries.char_entropy_quality; this byte-domain
+    variant is what a compression-ratio quality gate uses."""
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if b.size == 0:
+            out.append(0.0)
+            continue
+        counts = np.bincount(b, minlength=256).astype(np.float64)
+        p = counts[counts > 0] / b.size
+        out.append(float(-(p * np.log2(p)).sum()))
+    return pd.Series(out, dtype="float64")
+
+
+@udtf(returnType="sent_idx: long, sentence: string, n_tokens: long")
+class SentenceSplitter:
+    """Python UDTF (Spark 4): one input text row → one row per
+    sentence, with its index and whitespace token count. The UDTF
+    surface matters because it composes in LATERAL position from pure
+    SQL — the table-function analog of the scalar escape hatch.
+
+    Sentence boundary = '.', '!' or '?' followed by whitespace/end —
+    deliberately the same splittable-by-regex contract as the JVM twin
+    (explode(split(...))) used in the equivalence test.
+    """
+
+    def eval(self, text: str):
+        import re
+
+        if text is None:
+            return
+        for i, raw in enumerate(re.split(r"(?<=[.!?])\s+", text)):
+            s = raw.strip()
+            if s:
+                yield i, s, len([w for w in s.split(" ") if w])
