@@ -124,6 +124,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "incremental_agg_maintenance",
     "gdpr_delete_audit",
+    "daily_anomaly_flags",
 ]
 
 

@@ -1743,3 +1743,116 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delete_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly detection: trailing z-score + integer-exact CUSUM.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_anomaly_flags",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(n) AS BIGINT) AS total FROM daily
+),
+w AS (
+  SELECT day, n,
+         CAST(COUNT(n) OVER tw AS BIGINT) AS wn,
+         CAST(SUM(n) OVER tw AS BIGINT) AS ws,
+         CAST(SUM(n * n) OVER tw AS BIGINT) AS wss,
+         CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_sum,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT w.day, w.n,
+       CASE WHEN w.wn >= 3 THEN ROUND(CAST(w.ws AS DOUBLE) / CAST(w.wn AS DOUBLE), 6) END
+         AS roll_mean,
+       CASE WHEN w.wn >= 3 AND
+                 (CAST(w.wss AS DOUBLE) - CAST(w.ws AS DOUBLE) * CAST(w.ws AS DOUBLE)
+                  / CAST(w.wn AS DOUBLE)) / (CAST(w.wn AS DOUBLE) - 1.0) > 0.0
+            THEN ROUND((CAST(w.n AS DOUBLE) - CAST(w.ws AS DOUBLE) / CAST(w.wn AS DOUBLE))
+                 / SQRT((CAST(w.wss AS DOUBLE) - CAST(w.ws AS DOUBLE) * CAST(w.ws AS DOUBLE)
+                         / CAST(w.wn AS DOUBLE)) / (CAST(w.wn AS DOUBLE) - 1.0)), 6)
+       END AS z_score,
+       COALESCE(ABS((CAST(w.n AS DOUBLE) - CAST(w.ws AS DOUBLE) / CAST(w.wn AS DOUBLE)))
+                > 2.0 * SQRT((CAST(w.wss AS DOUBLE) - CAST(w.ws AS DOUBLE) * CAST(w.ws AS DOUBLE)
+                              / CAST(w.wn AS DOUBLE)) / (CAST(w.wn AS DOUBLE) - 1.0))
+                AND w.wn >= 3, FALSE) AS z_flag,
+       ROUND((CAST(w.run_sum AS DOUBLE) * CAST(tot.n_days AS DOUBLE)
+              - CAST(w.i AS DOUBLE) * CAST(tot.total AS DOUBLE))
+             / CAST(tot.n_days AS DOUBLE), 6) AS cusum
+FROM w CROSS JOIN tot
+""",
+    doc="[beyond-ref] time-series anomaly audit: trailing z-score + integer-exact CUSUM over the daily series",
+)
+def daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly audit: each day scored against its
+    TRAILING 7-day baseline (leak-free — the frame excludes the
+    current day) plus a CUSUM drift track against the global mean.
+
+    Numeric discipline: the rolling mean/variance derive from exact
+    integer window sums (Σn, Σn² over counts — longs, association-
+    free), so the only float math is the final identical expression in
+    both engines. CUSUM is computed in the INTEGER domain first
+    (run_sum·n_days − i·total — exact), divided once at the end: a
+    float running sum would accumulate in engine-specific order.
+
+    Scale shape: the corpus collapses to one row per day at the first
+    agg; every window runs on that calendar-sized frame (the two-phase
+    prefix-sum of corpus_shuffle_order is the upgrade path if the
+    'calendar' were ever corpus-sized).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    tot = daily.agg(
+        F.count("*").alias("_n_days"), F.sum("n").alias("_total")
+    )
+    wt = Window.orderBy("day").rowsBetween(-7, -1)
+    wr = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("day")
+    w = daily.select(
+        "day",
+        "n",
+        F.count("n").over(wt).alias("wn"),
+        F.sum("n").over(wt).alias("ws"),
+        F.sum(F.col("n") * F.col("n")).over(wt).alias("wss"),
+        F.sum("n").over(wr).alias("run_sum"),
+        F.row_number().over(wi).cast("long").alias("i"),
+    )
+    nD, ws, wss = (
+        F.col("n").cast("double"),
+        F.coalesce(F.col("ws"), F.lit(0)).cast("double"),
+        F.coalesce(F.col("wss"), F.lit(0)).cast("double"),
+    )
+    # ANSI mode evaluates BOTH branches of a CASE, so zero-count rows
+    # must see a nonzero divisor; the `have` guard nulls their output
+    wn = F.greatest(F.col("wn"), F.lit(1)).cast("double")
+    wn1 = F.greatest(F.col("wn") - 1, F.lit(1)).cast("double")
+    var = (wss - ws * ws / wn) / wn1
+    mean = ws / wn
+    have = F.col("wn") >= 3
+    z = (nD - mean) / F.sqrt(var)
+    return w.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.when(have, F.round(mean, 6)).alias("roll_mean"),
+        F.when(have & (var > 0.0), F.round(z, 6)).alias("z_score"),
+        F.coalesce(
+            (F.abs(nD - mean) > F.lit(2.0) * F.sqrt(var)) & have, F.lit(False)
+        ).alias("z_flag"),
+        F.round(
+            (
+                F.col("run_sum").cast("double") * F.col("_n_days").cast("double")
+                - F.col("i").cast("double") * F.col("_total").cast("double")
+            )
+            / F.col("_n_days").cast("double"),
+            6,
+        ).alias("cusum"),
+    )
