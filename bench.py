@@ -125,6 +125,7 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "gdpr_delete_audit",
     "daily_anomaly_flags",
+    "daily_ewma_forecast",
 ]
 
 

@@ -1,54 +1,42 @@
-"""[beyond-ref] Distribution, sequence, and corpus-analytics operators
-(round-6 widening of SURVEY §2.10).
+"""[beyond-ref] Distribution, sequence, graph, and corpus-analytics
+operators (the round-6 widening of SURVEY §2.10).
 
-Families with no prior registry twin, each designed 100-TB-first:
+Every family here is new to the registry this round, designed
+100-TB-first and mirrored by a DuckDB oracle. The shared disciplines:
 
-- ``doc_length_histogram`` — fixed-width binned length distribution per
-  language (the corpus-profiling histogram every data audit starts
-  with). One hash agg with map-side combine; the per-language share is
-  a window over the ALREADY-AGGREGATED frame (≤ langs × bins rows), so
-  nothing corpus-sized ever reaches a window.
-- ``event_transition_matrix`` — first-order Markov transition counts +
-  probabilities over per-user event sequences. One shuffle on user_id
-  for the lag, then a hash agg on (prev, next) whose cardinality is
-  |event_type|² — constant in corpus size.
-- ``event_gapfill_daily`` — calendar resample with zero-fill: the raw
-  table is aggregated FIRST (daily counts), and the dense day×type
-  grid is built from two 1-row/τ-row frames (sequence-explode over the
-  min/max span crossed with distinct types) — the gap-fill join runs
-  on post-agg cardinalities only, broadcast-sized at any corpus scale.
-- ``char_entropy_quality`` — per-document Shannon entropy of the
-  character distribution (a quality signal orthogonal to the ratio
-  gates in quality_score: low entropy ⇒ boilerplate/repetition). Fully
-  NARROW: sort the char array per row and fold run-lengths in one
-  ``F.aggregate`` pass — zero explode, zero shuffle. Cross-engine
-  determinism: both engines add the n·ln(n) terms in char-sorted
-  order (Spark: fold over the sorted array; DuckDB: ``LIST_SUM`` over
-  ``LIST(... ORDER BY c)``), so the float sums are bit-identical.
-- ``heavy_hitter_tokens`` — exact global heavy hitters (tokens with
-  ≥ 0.5% share). The explode feeds a hash agg whose map-side partial
-  combine reduces each task's output to its DISTINCT tokens (Zipf ⇒
-  ≪ token occurrences), and the threshold is evaluated integer-exact
-  (``n*200 >= total``) so both engines select identical rows. The
-  sketch-tier analog for one-pass streaming is approx_distinct_gate's
-  family; this is the exact batch form.
-- ``bpe_pair_counts`` — one BPE-induction step: global adjacent
-  character-pair frequencies with a deterministic top-20 (count desc,
-  pair asc). Pair generation is narrow per-token (`transform` over a
-  `sequence`); the global rank runs on the post-agg pair table
-  (≤ |alphabet|² rows), not on the corpus.
-- ``triangle_count_suppliers`` — graph-analytics widening beyond
-  connected components: triangles in the supplier co-purchase graph
-  (edge = two suppliers sharing a part). The classic three-way
-  self-join with u<v<w orientation (each triangle counted once), with
-  a hot-part cap (parts with ≤ 16 distinct suppliers) so the per-part
-  pair expansion is bounded at any scale — the same hot-bucket-cap
-  discipline as the LSH band joins in operators/dedup.py.
-- ``contrastive_pairs`` — deterministic negative sampling for
-  embedding-training pair assembly: k pseudo-random negatives per
-  anchor via a Knuth-hash index into the corpus, realized as an
-  equi-join (no random(), no driver sampling) so the pair set is
-  reproducible and shardable.
+- **Post-agg-first**: windows, grids, ranks, and normalizations run on
+  frames the first hash agg has already collapsed to constant or
+  dim-sized cardinality (langs × bins, |event_type|², calendar days,
+  vocabulary, contingency cells) — never on corpus rows.
+- **Integer-exact where hashes demand it**: thresholds compare integers
+  (heavy hitters), medians interpolate on scaled integers (MAD,
+  percentile bands, gaps), moments/CUSUM/Gini accumulate as longs, and
+  probability/share columns are single double divisions of exact longs.
+- **Ordered folds for transcendental sums**: entropy, cross-entropy,
+  PageRank, and χ² sum their float terms in an explicit key order on
+  BOTH engines (sorted collect_list fold vs LIST_SUM over an ordered
+  LIST), making the results bit-identical — rounding alone cannot fix
+  association-order divergence.
+- **Hot-key caps** on anything quadratic: the supplier co-purchase
+  graph (triangles / PageRank / k-core) caps parts at 16 distinct
+  suppliers — bounding per-part pair expansion AND keeping the edge
+  set sparse (uncapped it saturates to 499k of 500k possible edges at
+  sf0.1).
+
+Families, grouped: corpus profiling (``doc_length_histogram``,
+``char_entropy_quality``, ``heavy_hitter_tokens``, ``bpe_pair_counts``,
+``unigram_cross_entropy``, ``shingle_containment_pairs``); sequence
+analytics (``event_transition_matrix``, ``conversion_attribution``,
+``inter_event_gap_stats``, ``market_basket_lift``); time series
+(``event_gapfill_daily``, ``daily_value_percentiles``,
+``daily_anomaly_flags``); graph (``triangle_count_suppliers``,
+``pagerank_suppliers``, ``kcore_peel_suppliers``); statistics
+(``mad_outlier_audit``, ``ols_price_by_quantity``,
+``chi_square_independence``, ``revenue_concentration``,
+``join_key_skew_audit``); warehouse/ops (``scd2_as_of``,
+``incremental_agg_maintenance``, ``gdpr_delete_audit``,
+``referential_integrity_audit``); training-pair assembly
+(``contrastive_pairs``).
 """
 
 from __future__ import annotations
@@ -1856,3 +1844,105 @@ def daily_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecasting: EWMA level + one-step-ahead errors over the daily series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_ewma_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+seq AS (
+  SELECT LIST(struct_pack(day := day, n := n) ORDER BY day) AS s FROM daily
+),
+lvl AS (
+  -- sequential EWMA fold in day order: the recursion IS the order
+  SELECT s, LIST_TRANSFORM(
+    RANGE(1, LEN(s) + 1),
+    i -> LIST_REDUCE(
+           LIST_TRANSFORM(s[1:i], x -> CAST(x.n AS DOUBLE)),
+           (acc, x) -> acc + 0.3 * (x - acc)
+         )
+  ) AS levels
+  FROM seq
+)
+SELECT u.day, u.n,
+       ROUND(lv, 6) AS ewma_level,
+       CASE WHEN idx > 1 THEN ROUND(CAST(u.n AS DOUBLE) - prev_lv, 6) END AS forecast_error
+FROM lvl,
+LATERAL (
+  SELECT s[CAST(i AS INTEGER)].day AS day, s[CAST(i AS INTEGER)].n AS n,
+         levels[CAST(i AS INTEGER)] AS lv,
+         CASE WHEN i > 1 THEN levels[CAST(i AS INTEGER) - 1] END AS prev_lv,
+         i AS idx
+  FROM UNNEST(RANGE(1, LEN(s) + 1)) AS t(i)
+) u
+""",
+    doc="[beyond-ref] EWMA (alpha=0.3) level + one-step-ahead forecast error over the daily series",
+)
+def daily_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume with
+    the one-step-ahead forecast error (yesterday's level vs today's
+    actual) — the smoothing/forecasting tier next to the anomaly audit.
+
+    EWMA is inherently RECURSIVE (level_t = level_{t-1} + α·(n_t −
+    level_{t-1})), which no window frame expresses directly; both
+    engines therefore run the SAME sequential fold over the day-ordered
+    series — Spark as one ``F.aggregate`` over a sorted collect_list
+    (accumulating the full level path), DuckDB as an ordered
+    LIST_REDUCE per prefix — so every float sees identical operands in
+    identical order and the differential is bit-exact.
+
+    Scale shape: the corpus collapses to one row per day first; the
+    fold runs on the calendar-sized array (≤ thousands of elements) in
+    a single task. α = 0.3 as the parsed literal ``0.3`` in both
+    engines (same double).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    seq = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
+    )
+    # one pass: fold day-by-day, keeping the whole level path
+    folded = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, x["n"].cast("double")
+                ).otherwise(
+                    F.element_at(acc, -1)
+                    + F.lit(0.3) * (x["n"].cast("double") - F.element_at(acc, -1))
+                )
+            ),
+        ),
+    )
+    rows = seq.select("s", folded.alias("levels")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda i: F.struct(
+                    F.element_at(F.col("s"), i)["day"].alias("day"),
+                    F.element_at(F.col("s"), i)["n"].alias("n"),
+                    F.round(F.element_at(F.col("levels"), i), 6).alias("ewma_level"),
+                    F.when(
+                        i > 1,
+                        F.round(
+                            F.element_at(F.col("s"), i)["n"].cast("double")
+                            - F.element_at(F.col("levels"), i - 1),
+                            6,
+                        ),
+                    ).alias("forecast_error"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.day", "r.n", "r.ewma_level", "r.forecast_error")
