@@ -126,6 +126,8 @@ HEADLINE = [
     "gdpr_delete_audit",
     "daily_anomaly_flags",
     "daily_ewma_forecast",
+    "benford_digit_audit",
+    "readability_scores",
 ]
 
 

@@ -1946,3 +1946,130 @@ def daily_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.day", "r.n", "r.ewma_level", "r.forecast_error")
+
+
+# ---------------------------------------------------------------------------
+# Fraud/quality audits: Benford first-digit test and readability scores.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS observed_p,
+       ROUND(LOG10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)), 6) AS benford_p,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - LOG10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)), 6) AS deviation
+FROM c CROSS JOIN t
+""",
+    doc="[beyond-ref] Benford first-digit audit over order prices (fabrication signal)",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First significant digit of every order price vs Benford's law —
+    the classic fabricated-numbers signal (organic multiplicative data
+    follows log10(1 + 1/d); synthetic uniform data, as here, visibly
+    does not — the audit REPORTS the deviation rather than asserting
+    conformance).
+
+    Numeric discipline: the first digit comes from the integer-cents
+    string (no float log-floor path), counts are exact longs, and the
+    Benford expectation is the identical double expression in both
+    engines. One map-side-combined agg; 9 output rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = (
+        orders.where(F.col("o_totalprice") > 0)
+        .groupBy(digit)
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("_total"))
+    obs = F.col("n").cast("double") / F.col("_total").cast("double")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(ben, 6).alias("benford_p"),
+        F.round(obs - ben, 6).alias("deviation"),
+    )
+
+
+@register(
+    "readability_scores",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '[.!?]+[ ]+'),
+                              x -> TRIM(x) <> '')) AS BIGINT) AS n_sents,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(LEN(REPLACE(text, ' ', '')) AS BIGINT) AS n_letters
+  FROM documents
+)
+SELECT doc_id, n_sents, n_words,
+       CASE WHEN n_sents > 0 AND n_words > 0 THEN
+         ROUND(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+               - 84.6 * ((CAST(n_letters AS DOUBLE) / 3.0) / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch_proxy
+FROM m
+""",
+    doc="[beyond-ref] Flesch-style readability proxy: words/sentence + letters-per-word syllable proxy",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease PROXY per document: the standard formula
+    with letters/3 standing in for syllables (no dictionary in a
+    SQL-expressible engine — documented approximation; ~3 letters per
+    syllable in English). Screens for run-on machine text (very long
+    sentences) and letter-salad (very long 'words') — a readability
+    axis the ratio/entropy gates don't cover.
+
+    Fully narrow: three per-row integer counts (sentence split on
+    '[.!?]+ +' — DuckDB's RE2 has no lookbehind, so the delimiter
+    consumes the punctuation identically in both engines —,
+    token count, letter count), then one fixed double expression —
+    identical literals both engines, no aggregation at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_sents = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+[ ]+"), lambda x: F.trim(x) != ""
+        )
+    ).cast("long")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_letters.alias("n_letters"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (
+            (F.col("n_letters").cast("double") / F.lit(3.0))
+            / F.col("n_words").cast("double")
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        F.when(
+            (F.col("n_sents") > 0) & (F.col("n_words") > 0), F.round(score, 6)
+        ).alias("flesch_proxy"),
+    )
