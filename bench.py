@@ -128,6 +128,7 @@ HEADLINE = [
     "daily_ewma_forecast",
     "benford_digit_audit",
     "readability_scores",
+    "zipf_slope_audit",
 ]
 
 

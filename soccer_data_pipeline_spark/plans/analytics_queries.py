@@ -2073,3 +2073,93 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sents") > 0) & (F.col("n_words") > 0), F.round(score, 6)
         ).alias("flesch_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus linguistics: Zipf-slope fit over the token rank-frequency curve.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_slope_audit",
+    oracle="""
+WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE token <> '' GROUP BY token),
+r AS (
+  SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+  FROM f
+),
+top AS (SELECT rk, n FROM r WHERE rk <= 100),
+s AS (
+  SELECT LIST(struct_pack(rk := rk, n := n) ORDER BY rk) AS l,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM top
+),
+m AS (
+  SELECT cnt,
+         LIST_SUM(LIST_TRANSFORM(l, e -> LN(CAST(e.rk AS DOUBLE)))) AS sx,
+         LIST_SUM(LIST_TRANSFORM(l, e -> LN(CAST(e.n AS DOUBLE)))) AS sy,
+         LIST_SUM(LIST_TRANSFORM(l, e -> LN(CAST(e.rk AS DOUBLE)) * LN(CAST(e.n AS DOUBLE)))) AS sxy,
+         LIST_SUM(LIST_TRANSFORM(l, e -> LN(CAST(e.rk AS DOUBLE)) * LN(CAST(e.rk AS DOUBLE)))) AS sxx
+  FROM s
+)
+SELECT cnt AS n_ranked,
+       ROUND((CAST(cnt AS DOUBLE) * sxy - sx * sy)
+             / (CAST(cnt AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+FROM m
+""",
+    doc="[beyond-ref] Zipf-slope fit (log-log OLS over top-100 token ranks) — corpus-health audit",
+)
+def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope of ln(frequency) against ln(rank) over the top-100 tokens
+    — natural language sits near −1 (Zipf's law); a flat or cliffed
+    slope flags template spam or truncated vocabularies. The corpus-
+    linguistics sibling of the entropy and cross-entropy gates.
+
+    Cross-engine float determinism: the four OLS moment sums run over
+    the RANK-ORDERED top-100 list on both engines (ordered LIST_SUMs
+    vs one sequential fold over a sorted collect_list), so every sum
+    sees identical operands in identical order. Scale shape: the rank
+    window runs on the post-agg vocabulary frame; the fit itself on a
+    100-element array in one task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    f = tok.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = f.select("n", F.row_number().over(w).cast("long").alias("rk")).where(
+        F.col("rk") <= 100
+    )
+    s = top.agg(
+        F.array_sort(F.collect_list(F.struct("rk", "n"))).alias("l"),
+        F.count("*").alias("cnt"),
+    )
+    lx = lambda e: F.log(e["rk"].cast("double"))  # noqa: E731
+    ly = lambda e: F.log(e["n"].cast("double"))  # noqa: E731
+    folded = F.aggregate(
+        F.col("l"),
+        F.struct(
+            F.lit(0.0).alias("sx"),
+            F.lit(0.0).alias("sy"),
+            F.lit(0.0).alias("sxy"),
+            F.lit(0.0).alias("sxx"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["sx"] + lx(e)).alias("sx"),
+            (acc["sy"] + ly(e)).alias("sy"),
+            (acc["sxy"] + lx(e) * ly(e)).alias("sxy"),
+            (acc["sxx"] + lx(e) * lx(e)).alias("sxx"),
+        ),
+    )
+    m = s.select(F.col("cnt"), folded.alias("m"))
+    cnt = F.col("cnt").cast("double")
+    return m.select(
+        F.col("cnt").alias("n_ranked"),
+        F.round(
+            (cnt * F.col("m.sxy") - F.col("m.sx") * F.col("m.sy"))
+            / (cnt * F.col("m.sxx") - F.col("m.sx") * F.col("m.sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
