@@ -258,3 +258,27 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_audit_queries_aggregate_before_windows(spark):
+    """The r6b audit tier must collapse the fact/corpus at the FIRST
+    agg: no corpus-sized window partitions, no cartesian products in
+    any of the distribution/time-series audits."""
+    for name in (
+        "benford_digit_audit",
+        "daily_anomaly_flags",
+        "daily_ewma_forecast",
+        "zipf_slope_audit",
+        "mad_outlier_audit",
+        "revenue_concentration",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_readability_is_narrow(spark):
+    """Three per-row counts and one fixed expression — no shuffle, no
+    explode, whole plan stays in the scan stage."""
+    plan = _plan(spark, "readability_scores")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

@@ -256,3 +256,26 @@ def test_analytics_output_invariants(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_ewma_level_invariants(spark):
+    """EWMA levels are convex combinations: every level lies within
+    [min(n), max(n)] of the prefix seen so far; the first day has no
+    forecast error; errors reconcile with the recursion
+    (level_t = level_{t-1} + alpha * error_t)."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["daily_ewma_forecast"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.day,
+    )
+    assert rows[0].forecast_error is None
+    lo = hi = rows[0].n
+    prev_level = rows[0].ewma_level
+    assert prev_level == float(rows[0].n)
+    for r in rows[1:]:
+        lo, hi = min(lo, r.n), max(hi, r.n)
+        assert lo - 1e-6 <= r.ewma_level <= hi + 1e-6
+        # recursion check (both sides rounded to 6dp, so allow 2e-6)
+        assert abs(r.ewma_level - (prev_level + 0.3 * r.forecast_error)) < 2e-6
+        prev_level = r.ewma_level

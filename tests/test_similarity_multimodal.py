@@ -267,3 +267,20 @@ def test_image_average_hash_groups_near_dups(spark):
 
     with pytest.raises(NotImplementedError):
         _ahash_impl(b"\xff\xd8\xffJPEGISH")
+
+
+def test_image_average_hash_grayscale(spark):
+    """aHash must handle 1-channel PNGs through the luminance fallback;
+    a flat image hashes to all-zero bits (no block exceeds the mean)."""
+    from soccer_data_pipeline_spark.functions.png_codec import encode_png
+    from soccer_data_pipeline_spark.operators.multimodal import image_average_hash
+
+    w, h = 16, 16
+    flat = encode_png(w, h, 1, bytes([128] * (w * h)))
+    grad = encode_png(w, h, 1, bytes((x * 16) % 256 for _ in range(h) for x in range(w)))
+    df = spark.createDataFrame(
+        [(1, flat), (2, grad)], "media_id long, content binary"
+    )
+    hashes = {r.media_id: r.ahash for r in image_average_hash(df).collect()}
+    assert hashes[1] == 0  # strict > mean never fires on a flat image
+    assert hashes[2] != 0  # bright columns set bits
