@@ -129,6 +129,7 @@ HEADLINE = [
     "benford_digit_audit",
     "readability_scores",
     "zipf_slope_audit",
+    "order_price_reconciliation",
 ]
 
 

@@ -2163,3 +2163,70 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric reconciliation: order header totals vs lineitem rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS hdr_cents,
+         li.li_cents
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_joined,
+       CAST(SUM(CASE WHEN hdr_cents = li_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+       CAST(SUM(CASE WHEN ABS(hdr_cents - li_cents) * 100 <= hdr_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_1pct,
+       CAST(MAX(ABS(hdr_cents - li_cents)) AS BIGINT) AS max_abs_diff_cents,
+       ROUND(CAST(SUM(ABS(hdr_cents - li_cents)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS mean_abs_diff
+FROM j
+""",
+    doc="[beyond-ref] header-vs-detail metric reconciliation: order totals against the lineitem rollup",
+)
+def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the order header's total agree with the sum of its line
+    items? The header-vs-detail reconciliation every warehouse load
+    audits (referential_integrity_audit checks KEYS exist; this checks
+    the MONEY adds up). Reports exact-match and within-1% counts, plus
+    the worst and mean absolute discrepancy.
+
+    Numeric discipline: both sides compare as integer cents, and the
+    1% tolerance is evaluated integer-exact (|diff|·100 ≤ header).
+    Scale shape: the detail table collapses to one row per order at
+    the first map-side-combined agg; the reconciliation join is
+    key-co-partitioned; one 5-column scalar row out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_sum = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("li_cents")
+    )
+    j = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("hdr_cents")
+    ).join(li_sum, orders.o_orderkey == li_sum.l_orderkey)
+    diff = F.abs(F.col("hdr_cents") - F.col("li_cents"))
+    return j.agg(
+        F.count("*").alias("n_orders_joined"),
+        F.sum(F.when(F.col("hdr_cents") == F.col("li_cents"), 1).otherwise(0)).alias(
+            "n_exact_match"
+        ),
+        F.sum(F.when(diff * 100 <= F.col("hdr_cents"), 1).otherwise(0)).alias(
+            "n_within_1pct"
+        ),
+        F.max(diff).alias("max_abs_diff_cents"),
+        F.round(
+            F.sum(diff).cast("double") / F.count("*").cast("double") / 100.0, 6
+        ).alias("mean_abs_diff"),
+    )
