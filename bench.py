@@ -130,6 +130,7 @@ HEADLINE = [
     "readability_scores",
     "zipf_slope_audit",
     "order_price_reconciliation",
+    "session_path_counts",
 ]
 
 

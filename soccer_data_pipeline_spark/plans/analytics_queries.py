@@ -2230,3 +2230,88 @@ def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(diff).cast("double") / F.count("*").cast("double") / 100.0, 6
         ).alias("mean_abs_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: top session paths (ordered event-type journeys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_path_counts",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_seq,
+         ARRAY_TO_STRING(LIST(event_type ORDER BY ts, event_id)[1:8], '>') AS path
+  FROM sessions GROUP BY user_id, session_seq
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path),
+r AS (SELECT path, n_sessions,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rk
+      FROM c)
+SELECT path, n_sessions, rk FROM r WHERE rk <= 20
+""",
+    doc="[beyond-ref] sequence mining: top-20 session event-type paths (first 8 steps)",
+)
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common user journeys: each session's ordered event-type
+    path (capped at its first 8 steps so pathological sessions can't
+    mint unbounded-length keys), counted and ranked — the
+    sequence-mining closer over the sessionization the engine already
+    computes (same 30-minute-gap session rule as sessionize_events).
+
+    Scale shape: sessions assemble on the user_id window partition the
+    sessionizer already pays; per-session paths build narrowly from a
+    sorted collect_list (bounded by the 8-step cap); the path agg's
+    cardinality is the distinct-journey count, and the global top-20
+    rank runs on that post-agg frame. Ties break by (count desc, path
+    asc) in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(wc)
+    )
+    paths = sessions.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda e: e["event_type"],
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        c.select("path", "n_sessions", F.row_number().over(wr).cast("long").alias("rk"))
+        .where(F.col("rk") <= 20)
+    )
