@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .topk import exclusive_prefix_offsets
+
 
 def clean_decisions(
     docs: DataFrame,
@@ -113,9 +115,10 @@ def shuffle_order(
        total count of all earlier buckets IS the global rank.
     2. local ``row_number`` per bucket (corpus/256 rows per task, and the
        rows carried are (doc_id, 32-char hash) — text never shuffles);
-       bucket counts → exclusive running offset over the tiny bucket
-       table (≤ 16^bucket_hex_chars rows, the one unpartitioned window,
-       bounded by construction) → broadcast-join back and add.
+       bucket counts → exclusive running offset folded inside ONE
+       array of ≤ 16^bucket_hex_chars structs
+       (:func:`..operators.topk.exclusive_prefix_offsets` — no
+       WindowExec anywhere in the plan) → broadcast-join back and add.
 
     Changing the seed re-shuffles; same seed + corpus reproduces the
     exact training order on any cluster size.
@@ -129,17 +132,11 @@ def shuffle_order(
     w_local = Window.partitionBy("_bucket").orderBy("_hk", "doc_id")
     local = t.withColumn("_local_rank", F.row_number().over(w_local))
     # exclusive prefix over the bucket-count table: ≤ 16^bucket_hex_chars
-    # rows regardless of corpus size, so the unpartitioned window is safe.
-    w_buckets = Window.orderBy("_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        t.groupBy("_bucket")
-        .agg(F.count("*").alias("_n"))
-        .select(
-            "_bucket",
-            F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).alias("_off"),
-        )
+    # rows regardless of corpus size, folded inside one array — zero
+    # WindowExec nodes (the bounded unpartitioned window this replaces
+    # still logged the single-partition warning).
+    offsets = exclusive_prefix_offsets(
+        t.groupBy("_bucket").agg(F.count("*").alias("_n")), "_bucket", "_n"
     )
     pos = (F.col("_off") + F.col("_local_rank") - 1).cast("long")
     return (

@@ -1,0 +1,155 @@
+"""Scale-safe global top-k and global rank primitives.
+
+The naive form of "top-k with rank" — ``row_number()`` over an
+un-partitioned ``Window.orderBy(...)`` — funnels the ENTIRE input frame
+through one task (Spark logs ``WindowExec: No Partition Defined``).
+Fine on a post-agg frame of a few thousand rows; wrong on any frame
+whose cardinality grows with the data (vocabularies, session paths,
+customer dims). These helpers keep the same exact semantics with plans
+that survive a 100× scale-up:
+
+- :func:`bounded_topk` — exact top-k + rank via ``orderBy().limit(k)``
+  (planned as ``TakeOrderedAndProject``: per-task k-row heaps, driver
+  merges k·tasks rows) followed by an in-array rank recovery. No
+  ``WindowExec`` at all.
+- :func:`exclusive_prefix_offsets` — (bucket, count) → (bucket,
+  exclusive running total) folded inside ONE array of ≤ |buckets|
+  structs. Replaces the "tiny un-partitioned window over the bucket
+  table" step of two-phase prefix sums, erasing the warning even there.
+- :func:`value_bucketed_rank` — exact global 1-based rank for EVERY
+  row (not just top-k) via value-range buckets + local rank + bucket
+  offsets; the full-frame companion the Gini/Lorenz family needs.
+
+House rule (SURVEY §2 scale notes): any global ordering must either be
+k-bounded (``bounded_topk``) or two-phase bucketed (``value_bucketed_
+rank`` / the hash-prefix form in ``operators/corpus.shuffle_order``).
+``tests/test_plan_shapes.py::test_no_unpartitioned_windows`` enforces
+this for the audit tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bounded_topk(
+    df: DataFrame,
+    k: int,
+    order: list[Column],
+    encode: list[Column],
+    fields: list[str],
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exact top-``k`` rows of ``df`` under ``order`` (which must be a
+    TOTAL order — break ties fully) with their exact 1-based global
+    rank, without a single-partition window over the input.
+
+    ``orderBy(*order).limit(k)`` plans as ``TakeOrderedAndProject``:
+    every task keeps a local k-row heap and the driver merges
+    k·n_tasks rows — distributed regardless of input cardinality. The
+    rank is then recovered INSIDE one array: the ≤ k survivors
+    collapse to a single ``collect_list``, ``array_sort`` re-orders
+    them, and ``posexplode`` emits the 0-based position.
+
+    ``encode``: aliased columns whose ASCENDING lexicographic struct
+    sort reproduces ``order`` (negate numeric keys that sort DESC),
+    followed by the payload columns. ``fields``: the payload field
+    names to emit, in output order.
+    """
+    top = df.orderBy(*order).limit(k)
+    arr = top.agg(F.array_sort(F.collect_list(F.struct(*encode))).alias("_l"))
+    return arr.select(F.posexplode("_l").alias("_i", "_e")).select(
+        *[F.col(f"_e.{f}").alias(f) for f in fields],
+        (F.col("_i") + 1).cast("long").alias(rank_col),
+    )
+
+
+def exclusive_prefix_offsets(
+    counts: DataFrame,
+    bucket_col: str,
+    count_col: str,
+    out_col: str = "_off",
+) -> DataFrame:
+    """(bucket, count) → (bucket, exclusive prefix total) with NO window.
+
+    The bounded bucket table (≤ a few hundred rows by construction in
+    every caller) collapses into ONE bucket-sorted array; each
+    element's offset is the fold of its predecessors (``slice`` +
+    ``aggregate`` — O(B²) element reads, trivial at B ≤ 4096); the
+    result explodes back to rows. Replaces the un-partitioned
+    ``Window.orderBy(bucket).rowsBetween(unboundedPreceding, -1)``
+    idiom: same values, zero ``WindowExec`` nodes.
+    """
+    arr = counts.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(bucket_col).alias("b"), F.col(count_col).alias("n"))
+            )
+        ).alias("_l")
+    )
+    pref = F.transform(
+        F.col("_l"),
+        lambda e, i: F.struct(
+            e["b"].alias("b"),
+            F.aggregate(
+                F.slice(F.col("_l"), F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["n"],
+            ).alias("o"),
+        ),
+    )
+    return arr.select(F.explode(pref).alias("_e")).select(
+        F.col("_e.b").alias(bucket_col), F.col("_e.o").cast("long").alias(out_col)
+    )
+
+
+def value_bucketed_rank(
+    df: DataFrame,
+    key: str,
+    tiebreak: list[str],
+    n_buckets: int = 64,
+    rank_col: str = "i",
+) -> DataFrame:
+    """Exact global 1-based rank under ``ORDER BY key, *tiebreak`` for
+    EVERY row — the full-frame companion of :func:`bounded_topk` —
+    as a two-phase prefix sum over value-range buckets.
+
+    1. Boundary probe: ``percentile_approx`` of ``key`` yields ≤
+       ``n_buckets - 1`` split points, collected to the driver as a
+       bounded literal list (one extra job at plan-build time). ANY
+       boundary set produces correct ranks — bucket assignment
+       (#boundaries ≤ value) is monotone in the sort key, so bucket
+       order is a prefix of the total order; the probe only balances
+       bucket sizes.
+    2. Local ``row_number`` per bucket (frame = one bucket, ~1/B of
+       the input per task); bucket counts → exclusive offsets via
+       :func:`exclusive_prefix_offsets` (array fold, no window);
+       broadcast-join back; rank = offset + local rank.
+
+    Equal-``key`` rows land in one bucket by construction (ties are
+    never split across buckets), so heavy duplicate keys bound the
+    skew exactly as a global sort's range partitioner would.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(F.percentile_approx(F.col(key).cast("double"), qs, 10000).alias("b"))
+    raw = row.first()["b"] or []
+    bounds = sorted({float(b) for b in raw if b is not None})
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(
+            F.filter(blit, lambda b: b <= F.col(key).cast("double"))
+        ).alias("_b")
+    else:
+        bucket = F.lit(0).alias("_b")
+    t = df.withColumn("_b", bucket)
+    w_local = Window.partitionBy("_b").orderBy(key, *tiebreak)
+    local = t.withColumn("_lr", F.row_number().over(w_local))
+    offsets = exclusive_prefix_offsets(
+        t.groupBy("_b").agg(F.count("*").alias("_n")), "_b", "_n"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_b", "_lr", "_off")
+    )

@@ -349,9 +349,12 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a `sequence` of offsets — no join against an index table); the
     explode feeds a map-side-combined hash agg whose output is at most
     |alphabet|² rows, and the deterministic global rank (count desc,
-    pair asc) runs on that constant-size frame — the single-partition
-    window is post-agg, never corpus-sized.
+    pair asc) is k-bounded: ``bounded_topk`` plans the selection as
+    ``TakeOrderedAndProject`` (per-task 20-row heaps) and recovers the
+    rank inside one 20-element array — no single-partition WindowExec
+    even if the pair alphabet were unicode-sized.
     """
+    from ..operators.topk import bounded_topk
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
         F.length("token") >= 2
@@ -365,10 +368,16 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counts = bigrams.groupBy("pair").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counts.select("pair", "n", F.row_number().over(w).cast("long").alias("rk"))
-        .where(F.col("rk") <= 20)
+    return bounded_topk(
+        counts,
+        20,
+        [F.desc("n"), F.asc("pair")],
+        [
+            (-F.col("n")).alias("_s0"),
+            F.col("pair").alias("pair"),
+            F.col("n").alias("n"),
+        ],
+        ["pair", "n"],
     )
 
 
@@ -711,7 +720,10 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one destination-keyed agg over the (capped, sparse) edge set —
     never the corpus. Fixed iteration count keeps the plan static; a
     production variant would loop with the per-round checkpoint
-    discipline of operators/graph.py:connected_components.
+    discipline of operators/graph.py:connected_components. The top-10
+    selection is k-bounded (``bounded_topk`` → TakeOrderedAndProject +
+    in-array rank): the rank frame is node-sized, which grows with the
+    graph, so no single-partition WindowExec over it.
 
     Cross-engine float determinism: every per-node contribution sum is
     folded in contributor order on both engines (sorted collect_list
@@ -720,18 +732,22 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-identical and the final (r DESC, u) ordering agrees.
     """
     from ..operators.graph import pagerank
+    from ..operators.topk import bounded_topk
 
     # teleport=0.15 pinned as the literal the oracle SQL parses — NOT
     # 1.0-0.85, which is a different double (see operators/graph.py).
     r = pagerank(_supplier_edges(spark, sf_dir), iters=3, damping=0.85, teleport=0.15)
-    w = Window.orderBy(F.desc("r"), F.asc("node"))
-    return (
-        r.select(
-            F.col("node").alias("supplier"),
+    t = r.select(F.col("node").alias("supplier"), "r")
+    return bounded_topk(
+        t,
+        10,
+        [F.desc("r"), F.asc("supplier")],
+        [
+            (-F.col("r")).alias("_s0"),
+            F.col("supplier").alias("supplier"),
             F.round("r", 8).alias("pagerank"),
-            F.row_number().over(w).cast("long").alias("rk"),
-        )
-        .where(F.col("rk") <= 10)
+        ],
+        ["supplier", "pagerank"],
     )
 
 
@@ -1161,17 +1177,21 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i·10 > 9·n). Ties order by (rev, custkey) on both engines.
 
     Scale shape: the fact table collapses to one row per customer at
-    the first agg; the global rank window runs on that dim-sized
-    frame. For dim tables too large for one window partition, the
-    two-phase hash-prefix prefix-sum of corpus_shuffle_order is the
-    drop-in upgrade.
+    the first agg; the Gini rank is then EXACT-global but never
+    single-partition — ``value_bucketed_rank`` range-buckets the
+    revenue (percentile-probe boundaries; any boundary set gives
+    correct ranks), ranks locally per bucket, and adds the exclusive
+    bucket-offset prefix folded inside one ≤64-element array. Customer
+    dims grow with the data, so the naive dim-sized global window is
+    exactly the plan this avoids.
     """
+    from ..operators.topk import value_bucketed_rank
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
-    w = Window.orderBy("rev", "custkey")
-    ranked = rev.select("custkey", "rev", F.row_number().over(w).cast("long").alias("i"))
+    ranked = value_bucketed_rank(rev, "rev", ["custkey"], n_buckets=64, rank_col="i")
     n1 = ranked.agg(F.count("*").alias("_n"))
     agg = ranked.crossJoin(F.broadcast(n1)).agg(
         F.max("_n").alias("n"),
@@ -2119,22 +2139,37 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine float determinism: the four OLS moment sums run over
     the RANK-ORDERED top-100 list on both engines (ordered LIST_SUMs
     vs one sequential fold over a sorted collect_list), so every sum
-    sees identical operands in identical order. Scale shape: the rank
-    window runs on the post-agg vocabulary frame; the fit itself on a
-    100-element array in one task.
+    sees identical operands in identical order. Scale shape: the
+    top-100 selection is k-bounded — ``orderBy().limit(100)`` plans as
+    ``TakeOrderedAndProject`` (per-task heaps over the vocabulary
+    frame, driver merges 100·tasks rows), so no vocabulary-sized
+    single-partition WindowExec exists anywhere in the plan; ranks are
+    recovered as positions in the one sorted 100-element array the fit
+    already needed.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
         F.col("token") != ""
     )
     f = tok.groupBy("token").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    top = f.select("n", F.row_number().over(w).cast("long").alias("rk")).where(
-        F.col("rk") <= 100
+    top = f.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    sorted_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("n")).alias("_s0"),
+                F.col("token").alias("t"),
+                F.col("n").alias("n"),
+            )
+        )
     )
-    s = top.agg(
-        F.array_sort(F.collect_list(F.struct("rk", "n"))).alias("l"),
-        F.count("*").alias("cnt"),
+    s = top.agg(sorted_arr.alias("l0"), F.count("*").alias("cnt")).select(
+        F.transform(
+            F.col("l0"),
+            lambda e, i: F.struct(
+                (i + F.lit(1)).cast("long").alias("rk"), e["n"].alias("n")
+            ),
+        ).alias("l"),
+        F.col("cnt"),
     )
     lx = lambda e: F.log(e["rk"].cast("double"))  # noqa: E731
     ly = lambda e: F.log(e["n"].cast("double"))  # noqa: E731
@@ -2277,9 +2312,13 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizer already pays; per-session paths build narrowly from a
     sorted collect_list (bounded by the 8-step cap); the path agg's
     cardinality is the distinct-journey count, and the global top-20
-    rank runs on that post-agg frame. Ties break by (count desc, path
-    asc) in both engines.
+    selection is k-bounded (``bounded_topk`` → TakeOrderedAndProject +
+    in-array rank) — distinct-journey cardinality grows with the data,
+    so no journey-sized single-partition WindowExec may exist. Ties
+    break by (count desc, path asc) in both engines.
     """
+    from ..operators.topk import bounded_topk
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
@@ -2310,8 +2349,14 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     c = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
-    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        c.select("path", "n_sessions", F.row_number().over(wr).cast("long").alias("rk"))
-        .where(F.col("rk") <= 20)
+    return bounded_topk(
+        c,
+        20,
+        [F.desc("n_sessions"), F.asc("path")],
+        [
+            (-F.col("n_sessions")).alias("_s0"),
+            F.col("path").alias("path"),
+            F.col("n_sessions").alias("n_sessions"),
+        ],
+        ["path", "n_sessions"],
     )

@@ -260,20 +260,76 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 conf.set(k, v)
 
 
+def _unpartitioned_window_lines(plan):
+    """Physical ``Window`` nodes with an EMPTY partition spec — exactly
+    the nodes WindowExec logs 'No Partition Defined' for. A partitioned
+    node prints three top-level bracket groups ([windowExprs],
+    [partitionSpec], [orderSpec]); a global one prints two."""
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        depth = n = 0
+        for ch in line:
+            if ch == "[":
+                if depth == 0:
+                    n += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if n == 2:
+            out.append(line.strip())
+    return out
+
+
+def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
+    """The global-rank family must carry ZERO un-partitioned Window
+    nodes: their rank frames (token vocabulary, session journeys,
+    graph nodes, customer dim, the corpus itself) all grow with the
+    data, so any 'No Partition Defined' window is the single-task
+    funnel VERDICT r6 flagged. Reverting bounded_topk /
+    value_bucketed_rank / the array-folded prefix offsets
+    (operators/topk.py) makes this fail."""
+    for name in (
+        "zipf_slope_audit",
+        "session_path_counts",
+        "bpe_pair_counts",
+        "pagerank_suppliers",
+        "revenue_concentration",
+        "corpus_shuffle_order",
+        "pack_sequences",
+    ):
+        bad = _unpartitioned_window_lines(_plan(spark, name))
+        assert not bad, (name, bad)
+
+
 def test_audit_queries_aggregate_before_windows(spark):
     """The r6b audit tier must collapse the fact/corpus at the FIRST
-    agg: no corpus-sized window partitions, no cartesian products in
-    any of the distribution/time-series audits."""
+    agg: any un-partitioned window must sit ABOVE an aggregate (so its
+    frame is the post-agg calendar/digit-sized one, bounded by the key
+    domain — never the corpus), and no cartesian products anywhere.
+    The plan tree prints top-down, so 'window above an aggregate' =
+    some Aggregate line BELOW the window line (a window fed straight
+    by the scan has no aggregate below it and fails)."""
     for name in (
         "benford_digit_audit",
         "daily_anomaly_flags",
         "daily_ewma_forecast",
-        "zipf_slope_audit",
         "mad_outlier_audit",
-        "revenue_concentration",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+        lines = plan.splitlines()
+        agg_idx = [
+            i
+            for i, l in enumerate(lines)
+            if "HashAggregate" in l or "SortAggregate" in l
+        ]
+        for i, l in enumerate(lines):
+            if "Window [" in l and not _unpartitioned_window_lines(l):
+                continue
+            if "Window [" in l:
+                assert any(j > i for j in agg_idx), (name, l.strip())
 
 
 def test_readability_is_narrow(spark):
