@@ -47,7 +47,10 @@ def byte_entropy_pdf(texts: pd.Series) -> pd.Series:
         counts = np.bincount(b, minlength=256).astype(np.float64)
         p = counts[counts > 0] / b.size
         out.append(float(-(p * np.log2(p)).sum()))
-    return pd.Series(out, dtype="float64")
+    # nullable dtype: None must reach Spark as NULL, not NaN — plain
+    # float64 coerces None→NaN, which Spark treats as a VALUE (ADVICE
+    # r6; same discipline as image_average_hash's Int64).
+    return pd.Series(pd.array(out, dtype="Float64"))
 
 
 @udtf(returnType="sent_idx: long, sentence: string, n_tokens: long")

@@ -78,7 +78,7 @@ def _pillow():
         return None
 
 
-def _decode_media_impl(payload: bytes) -> list[float]:
+def _decode_media_impl(payload: bytes, media_type: str | None = None) -> list[float]:
     """Real decode for PNG (stdlib codec), WAV (stdlib codec) and, when
     Pillow is importable, any Pillow-supported image format (JPEG,
     WebP, ...); other payloads raise ``NotImplementedError``.
@@ -93,7 +93,11 @@ def _decode_media_impl(payload: bytes) -> list[float]:
     payload must never reach the image library. Pillow failures
     (unidentified or truncated payloads) re-raise as
     ``NotImplementedError`` so the stub contract holds with Pillow
-    installed too (ADVICE r5).
+    installed too (ADVICE r5). The Pillow fallback additionally gates
+    on the DECLARED ``media_type`` when the caller has one: a payload
+    declared audio/video that happens to parse as an image must not
+    silently yield a bogus image feature (ADVICE r6) — only
+    ``media_type in (None, 'image')`` may enter the Pillow branch.
     """
     from ..functions.png_codec import decode_png, is_png, luminance_histogram
     from ..functions.wav_codec import amplitude_histogram, decode_wav, is_wav
@@ -105,7 +109,7 @@ def _decode_media_impl(payload: bytes) -> list[float]:
     if is_wav(payload):
         _ch, _rate, _n, samples = decode_wav(payload)
         return amplitude_histogram(samples)
-    Image = _pillow()
+    Image = _pillow() if media_type in (None, "image") else None
     if Image is not None:
         import io
 
@@ -150,12 +154,22 @@ def extract_media_features(media: DataFrame, fake_decode: bool = False) -> DataF
     maxRecordsPerBatch`` (tune down for large payloads: ~100 MB of
     payload per batch is the sweet spot at scale).
     """
-    decode = _fake_decode if fake_decode else _decode_media_impl
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
+            metas = pdf["meta"] if "meta" in pdf.columns else None
+            feats = []
+            for i, c in enumerate(pdf["content"]):
+                if fake_decode:
+                    feats.append(_fake_decode(c))
+                    continue
+                mt = None
+                if metas is not None:
+                    mm = metas.iloc[i]
+                    if isinstance(mm, dict):
+                        mt = mm.get("media_type")
+                feats.append(_decode_media_impl(c, mt))
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -166,7 +180,7 @@ def extract_media_features(media: DataFrame, fake_decode: bool = False) -> DataF
                         hashlib.md5(c).hexdigest() if c is not None else None
                         for c in pdf["content"]
                     ],
-                    "feature": [decode(c) for c in pdf["content"]],
+                    "feature": feats,
                 }
             )
             yield out

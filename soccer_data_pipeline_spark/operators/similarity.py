@@ -591,9 +591,20 @@ def pq_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim_probe = len(
-        candidates.select(_as_double(F.col(vec_col)).alias("v")).first()["v"]
-    )
+    if models is not None:
+        # prefit models carry the dimension (m subspaces of `sub` dims
+        # each) — no eager probe job against the candidate frame
+        # (ADVICE r6: first() cost a driver job per call AND raised
+        # TypeError on an empty frame).
+        dim_probe = len(models[0].clusterCenters()[0]) * m
+    else:
+        probe = candidates.select(_as_double(F.col(vec_col)).alias("v")).first()
+        if probe is None:
+            raise ValueError(
+                "pq_topk: candidate frame is empty — cannot fit PQ "
+                "codebooks; pass prefit `models` or a non-empty corpus"
+            )
+        dim_probe = len(probe["v"])
     sub = dim_probe // m
     assert sub * m == dim_probe, f"dim {dim_probe} not divisible by m={m}"
 

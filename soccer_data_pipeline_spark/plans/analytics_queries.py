@@ -263,12 +263,18 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc["s"] + term(acc["run"]),
     )
     n = F.size(chars).cast("long")
-    return docs.select(
-        "doc_id",
-        n.alias("n_chars_counted"),
-        F.round(F.log(n.cast("double")) - folded / n.cast("double"), 6).alias(
-            "char_entropy_nats"
-        ),
+    # Empty/null text drops out (size -1 or 0): the oracle's UNNEST
+    # emits no rows for it, so Spark must not emit a 0-char row with
+    # log(0)/0-division entropy either (ADVICE r6).
+    return (
+        docs.where(F.size(chars) > 0)
+        .select(
+            "doc_id",
+            n.alias("n_chars_counted"),
+            F.round(F.log(n.cast("double")) - folded / n.cast("double"), 6).alias(
+                "char_entropy_nats"
+            ),
+        )
     )
 
 
@@ -480,7 +486,7 @@ WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
 anc AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 29 = 0),
 cand AS (
   SELECT anchor_id, CAST(j AS BIGINT) AS neg_idx,
-         (anchor_id * 2654435761 + CAST(j AS BIGINT) * 40503) % n.n_docs AS neg_id
+         ((anchor_id % 1000003) * 2654435761 + CAST(j AS BIGINT) * 40503) % n.n_docs AS neg_id
   FROM anc, n, UNNEST(generate_series(1, 4)) AS s(j)
 )
 SELECT c.anchor_id, c.neg_idx, c.neg_id, d.lang AS neg_lang
@@ -515,8 +521,15 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "anchor_id",
             F.col("neg_idx").cast("long").alias("neg_idx"),
+            # anchor_id is reduced mod the prime 1_000_003 BEFORE the
+            # Knuth multiply: max product ≈ 2.7e15, safely inside int64
+            # for any doc_id (the unreduced form overflows ANSI int64
+            # arithmetic past doc_id ≈ 3.5e9 — ADVICE r6).
             (
-                (F.col("anchor_id") * F.lit(2654435761) + F.col("neg_idx") * 40503)
+                (
+                    (F.col("anchor_id") % 1000003) * F.lit(2654435761)
+                    + F.col("neg_idx") * 40503
+                )
                 % F.col("_n_docs")
             ).alias("neg_id"),
         )

@@ -98,3 +98,18 @@ def test_sentence_splitter_udtf_dataframe_and_sql(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_byte_entropy_null_survives_as_null(spark):
+    """ADVICE r6: None must reach Spark as NULL, not NaN — plain
+    float64 pd.Series coerces None→NaN and Spark treats NaN as a
+    value, so a null-text doc would silently get a numeric score."""
+    from soccer_data_pipeline_spark.functions.python_udfs import byte_entropy_pdf
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, None), (3, "")], "id long, text string"
+    )
+    rows = {r.id: r.e for r in df.select("id", byte_entropy_pdf("text").alias("e")).collect()}
+    assert rows[2] is None
+    assert rows[3] == 0.0
+    assert rows[1] == 1.0  # two symbols, uniform → 1 bit/byte

@@ -43,3 +43,38 @@ def test_queries_not_trivially_empty(spark):
         if spec.fn(spark, sf).limit(1).count() == 0
     ]
     assert not empties, f"queries with empty results: {empties}"
+
+
+def test_char_entropy_drops_empty_and_null_text(spark, tmp_path):
+    """ADVICE r6 (medium): the oracle's UNNEST emits no rows for a doc
+    whose text is '' or NULL, so the Spark side must drop those docs
+    too instead of emitting n_chars_counted=0 rows with log(0)/0-div
+    entropy. The stock testdata has no empty docs, so this runs the
+    full driver-style differential on a fixture that plants both."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf_empty_text"
+    sf.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        os.symlink(f"{src}/{t}.parquet", sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          UNION ALL SELECT 900001, '', 'xx', 'synthetic', 0
+          UNION ALL SELECT 900002, NULL, 'xx', 'synthetic', NULL
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    spec = QUERIES["char_entropy_quality"]
+    df = spec.fn(spark, str(sf))
+    planted = df.where("doc_id >= 900001").count()
+    assert planted == 0, "empty/null-text docs must drop out"
+    ok, msg = compare(df, spec.oracle, str(sf))
+    assert ok, msg

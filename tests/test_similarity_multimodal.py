@@ -284,3 +284,44 @@ def test_image_average_hash_grayscale(spark):
     hashes = {r.media_id: r.ahash for r in image_average_hash(df).collect()}
     assert hashes[1] == 0  # strict > mean never fires on a flat image
     assert hashes[2] != 0  # bright columns set bits
+
+
+def test_decode_gate_skips_pillow_for_declared_non_image(monkeypatch):
+    """ADVICE r6: a payload DECLARED audio/video must never enter the
+    Pillow branch, even when it would parse as an image — a bogus
+    luminance histogram for an mp3 is worse than the clean boundary.
+    Only media_type in (None, 'image') may probe Pillow."""
+    from soccer_data_pipeline_spark.operators import multimodal as mm
+
+    payload = b"\x01\x02 neither wav nor png"
+
+    def boom():
+        raise AssertionError("Pillow probed for a declared non-image payload")
+
+    monkeypatch.setattr(mm, "_pillow", boom)
+    for mt in ("audio", "video"):
+        with pytest.raises(NotImplementedError):
+            mm._decode_media_impl(payload, mt)
+    # declared image (or undeclared) still reaches the feature-detect
+    # probe — with Pillow absent it stays the documented boundary
+    monkeypatch.setattr(mm, "_pillow", lambda: None)
+    for mt in ("image", None):
+        with pytest.raises(NotImplementedError):
+            mm._decode_media_impl(payload, mt)
+
+
+def test_pq_topk_empty_candidates_and_prefit_dim(spark, emb):
+    """ADVICE r6: pq_topk must fail loudly (not TypeError) on an empty
+    candidate frame, and with prefit models must derive the dimension
+    from the codebooks instead of firing an eager probe job."""
+    from soccer_data_pipeline_spark.operators.similarity import pq_topk
+
+    empty = emb.where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        pq_topk(emb.limit(2), empty, k=2, m=4, n_codes=4)
+
+    # fit once on the real frame, then reuse: the prefit call must not
+    # probe candidates with first() (works even on an empty frame)
+    _, models = pq_topk(emb.limit(2), emb, k=2, m=4, n_codes=4)
+    out, _ = pq_topk(emb.limit(2), empty, k=2, m=4, n_codes=4, models=models)
+    assert out.count() == 0
