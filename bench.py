@@ -275,6 +275,22 @@ def main() -> None:
             print(f"# canary[{phase}] {cname}: {r:.2f}x vs {prev_name}", file=sys.stderr)
         return ratios
 
+    # Suite-level heavy warmup (VERDICT r6 #3/#5): the first heavy
+    # query of a fresh JVM pays broadcast-join/agg codegen JIT that no
+    # later query pays — r6's only flagged regression
+    # (flagship_top_customers, 1.39x) was this cold-start artifact
+    # (cold ~6.7 s vs warm ~1.5 s on an idle session). One DISCARDED
+    # execution of the heaviest star-schema shape warms those paths
+    # before anything is timed; per-query warmups inside _time_query
+    # still handle query-specific compilation.
+    heavy_warm = QUERIES.get("flagship_top_customers")
+    if heavy_warm is not None:
+        try:
+            heavy_warm.fn(spark, sf_dir).count()
+        except Exception:
+            pass
+        release_session_blocks(spark, gc=True)
+
     pre_ratios = canary_ratios("pre")
 
     for name in HEADLINE:

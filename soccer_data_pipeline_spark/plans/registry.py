@@ -78,7 +78,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "champion_per_segment",
     "rolling_avg_events",
     "lag_prev_order",
-    "set_ops_nations",
     "latest_version_per_key",
     "filter_project_lineitem",
     "explode_tokens",
@@ -97,6 +96,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tumbling stay local) + sequence analytics (Markov transitions)
     "sessionize_events",
     "event_transition_matrix",
+    # graph analytics (r7: PageRank carries the tier's hard rows —
+    # iterated join+agg with ordered-fold float determinism AND the
+    # bounded_topk rank path; triangles/k-core stay local)
+    "pagerank_suppliers",
     # text analysis (char entropy carries the quality family's hard
     # rows since quality_score ceded in r6a; fingerprints stay local)
     "lang_id_heuristic",
@@ -168,6 +171,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # representatives (broadcast join, tfidf_tokens, pack_sequences'
 # prefix-sum family, the CC/near-dup families, approx_distinct_gate)
 # and take local oracle + bench coverage.
+# Round 7: one swap — set_ops_nations ceded (UNION/INTERSECT/EXCEPT
+# physical set-ops are also exercised by snapshot_diff's anti/semi
+# composition in-window and stay local-oracle + benched) for
+# pagerank_suppliers (graph-analytics tier's first hard-signal rep —
+# VERDICT r6 #7: triangles/PageRank/k-core were all local-only; the
+# PageRank plan now also carries the bounded_topk rank path, so the
+# driver hash-checks both the iterated-join float determinism and the
+# scale-safe top-k rewrite).
 # Round 6b: two swaps adding NEW families to the hard-signal window —
 # event_sliding_windows ceded (event-time family keeps sessionize_events
 # in-window; sliding + tumbling stay local-oracle + benched) for

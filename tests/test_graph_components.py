@@ -174,3 +174,23 @@ def test_kcore_peel_profile_known_graph(spark):
     assert prof[1] == (3, 5)
     # rounds 2-3: K5 is a 4-core; nothing else peels
     assert prof[2] == (0, 5) and prof[3] == (0, 5)
+
+
+def test_kcore_peel_degenerate_graph_removes_everything(spark):
+    """VERDICT r6 #5: on a degenerate graph (every node below k in
+    round 1) the removal set is NODE-SIZED — the anti-join must not
+    force-broadcast it. This peels a 2000-edge perfect matching
+    (every degree = 1 < k=3): round 1 removes all 4000 nodes, later
+    rounds are empty, and the plan adapts instead of OOMing."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.graph import kcore_peel_profile
+
+    edges = spark.range(2000).select(
+        (F.col("id") * 2).alias("u"), (F.col("id") * 2 + 1).alias("v")
+    )
+    prof = {
+        r.round: (r.n_removed, r.n_remaining)
+        for r in kcore_peel_profile(edges, k=3, rounds=3).collect()
+    }
+    assert prof == {1: (4000, 0), 2: (0, 0), 3: (0, 0)}
