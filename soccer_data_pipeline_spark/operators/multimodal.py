@@ -20,9 +20,16 @@ tier is split by format:
   ``struct`` (``functions/wav_codec.py``, same trick as PNG) — decode,
   channels / sample-rate / duration / RMS, amplitude-histogram
   feature.
-- **compressed audio / video: stubbed.** Their codecs genuinely
-  require external libraries (libav et al.); payloads raise
-  ``NotImplementedError``.
+- **compressed audio: soundfile-optional.** ``soundfile`` (libsndfile)
+  is feature-detected worker-side exactly like Pillow; when present,
+  FLAC/OGG (and MP3 on libsndfile ≥ 1.1) decode through the same
+  ``_decode_audio`` dispatch as WAV; when absent they raise the clean
+  boundary.
+- **video: PyAV-optional.** ``av`` is probed the same way for
+  ``extract_video_features``; container/stream metadata and frame
+  iteration run through it when present, else the documented
+  ``NotImplementedError`` boundary (frame-TIMESTAMP sampling from
+  metadata needs no codec and is always real — ``sample_frames``).
 """
 
 from __future__ import annotations
@@ -78,6 +85,70 @@ def _pillow():
         return None
 
 
+def _soundfile():
+    """Feature-detected ``soundfile`` module (libsndfile bindings:
+    FLAC/OGG, and MP3 with libsndfile ≥ 1.1), or None. Probed at call
+    time in the executor's Python — same contract as :func:`_pillow`:
+    a cluster whose workers ship soundfile decodes compressed audio
+    even when this driver environment doesn't have it (VERDICT r6 #8).
+    """
+    try:
+        import soundfile
+
+        return soundfile
+    except Exception:
+        return None
+
+
+def _av():
+    """Feature-detected PyAV (libav bindings) for video, or None —
+    the same worker-side probe as :func:`_pillow`/:func:`_soundfile`."""
+    try:
+        import av
+
+        return av
+    except Exception:
+        return None
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """→ (channels, sample_rate_hz, n_frames, interleaved [-1,1)
+    samples) for RIFF/PCM WAV (stdlib codec, always available) or —
+    when ``soundfile`` imports worker-side — any libsndfile-supported
+    compressed format. Everything else stays the documented
+    ``NotImplementedError`` boundary. All audio extractors dispatch
+    through here so the compressed path lights up everywhere at once
+    the moment workers ship the library."""
+    from ..functions.wav_codec import decode_wav, is_wav
+
+    if is_wav(payload):
+        return decode_wav(payload)
+    sf = _soundfile()
+    if sf is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        except Exception as exc:  # not audio / codec missing in libsndfile
+            raise NotImplementedError(
+                f"payload is not libsndfile-decodable audio ({type(exc).__name__})"
+            )
+        arr = np.asarray(data, dtype=np.float64)
+        if arr.ndim == 1:
+            channels, n_frames = 1, int(arr.size)
+        else:
+            n_frames, channels = int(arr.shape[0]), int(arr.shape[1])
+        # row-major flatten of (frames, channels) IS interleaved order —
+        # identical sample contract to the stdlib WAV codec
+        return channels, int(rate), n_frames, arr.reshape(-1).tolist()
+    raise NotImplementedError(
+        "only RIFF/PCM WAV decodes without an external codec library; "
+        "install soundfile worker-side for FLAC/OGG/MP3"
+    )
+
+
 def _decode_media_impl(payload: bytes, media_type: str | None = None) -> list[float]:
     """Real decode for PNG (stdlib codec), WAV (stdlib codec) and, when
     Pillow is importable, any Pillow-supported image format (JPEG,
@@ -108,6 +179,12 @@ def _decode_media_impl(payload: bytes, media_type: str | None = None) -> list[fl
         return luminance_histogram(*decode_png(payload))
     if is_wav(payload):
         _ch, _rate, _n, samples = decode_wav(payload)
+        return amplitude_histogram(samples)
+    if media_type == "audio":
+        # declared compressed audio: the soundfile-optional dispatch —
+        # amplitude histogram when libsndfile decodes it, the clean
+        # boundary otherwise. Never falls through to Pillow.
+        _ch, _rate, _n, samples = _decode_audio(payload)
         return amplitude_histogram(samples)
     Image = _pillow() if media_type in (None, "image") else None
     if Image is not None:
@@ -204,13 +281,14 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
     duration, RMS amplitude per payload.
 
     WAV (RIFF/PCM) decodes for real via the stdlib codec in
-    ``functions/wav_codec.py``; compressed audio raises
-    ``NotImplementedError`` (documented boundary — needs libav). Null
-    payloads pass through as null features. ``fake_decode`` substitutes
+    ``functions/wav_codec.py``; compressed audio decodes through the
+    soundfile-optional worker-side probe (``_decode_audio``) and
+    raises the clean ``NotImplementedError`` boundary when the library
+    is absent. Null payloads pass through as null features. ``fake_decode`` substitutes
     a deterministic byte-derived stand-in with the same schema, for
     plumbing tests on non-WAV fixtures.
     """
-    from ..functions.wav_codec import decode_wav, duration_ms, is_wav, rms
+    from ..functions.wav_codec import duration_ms, rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -225,12 +303,7 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
                         (mid, 1, 16000, len(payload) // 32, (payload[0] if payload else 0) / 255.0)
                     )
                     continue
-                if not is_wav(payload):
-                    raise NotImplementedError(
-                        "only RIFF/PCM WAV decodes without an external codec "
-                        "library; compressed audio needs libav"
-                    )
-                ch, rate, n_frames, samples = decode_wav(payload)
+                ch, rate, n_frames, samples = _decode_audio(payload)
                 out_rows.append(
                     (mid, ch, rate, duration_ms(n_frames, rate), rms(samples))
                 )
@@ -261,11 +334,12 @@ def segment_audio(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ceil(duration/every_ms) output rows inside the Arrow batch handler
     — decode once per payload, slice many.
 
-    WAV decodes via the stdlib codec; other audio raises the
-    documented ``NotImplementedError`` boundary; null payloads emit no
-    segments (empty fan-out, same contract as an empty stream).
+    WAV decodes via the stdlib codec and compressed audio via the
+    soundfile-optional ``_decode_audio`` dispatch (clean
+    ``NotImplementedError`` boundary when absent); null payloads emit
+    no segments (empty fan-out, same contract as an empty stream).
     """
-    from ..functions.wav_codec import decode_wav, is_wav, rms
+    from ..functions.wav_codec import rms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "seg_index", "seg_start_ms", "seg_end_ms", "rms"]
@@ -275,12 +349,7 @@ def segment_audio(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if c is None:
                     continue
                 payload = bytes(c)
-                if not is_wav(payload):
-                    raise NotImplementedError(
-                        "only RIFF/PCM WAV decodes without an external codec "
-                        "library; compressed audio needs libav"
-                    )
-                ch, rate, n_frames, samples = decode_wav(payload)
+                ch, rate, n_frames, samples = _decode_audio(payload)
                 frames_per_seg = max(1, rate * every_ms // 1000)
                 for i in range(0, (n_frames + frames_per_seg - 1) // frames_per_seg):
                     lo = i * frames_per_seg * ch
@@ -317,16 +386,15 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
     (magnitude-weighted mean frequency) over the channel-mixed signal.
 
     Real DSP with no external codec dependency: WAV decodes via the
-    stdlib codec, the transform is numpy (baked in); other audio
-    formats raise the documented ``NotImplementedError`` boundary and
-    null payloads emit no row. Per-payload cost is one decode + one
+    stdlib codec (compressed audio via the soundfile-optional
+    ``_decode_audio`` dispatch), the transform is numpy (baked in);
+    undecodable payloads raise the documented ``NotImplementedError``
+    boundary and null payloads emit no row. Per-payload cost is one decode + one
     O(n log n) FFT inside the executor's Arrow batch — nothing ever
     collects to the driver, and batches stay bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
     import numpy as np
-
-    from ..functions.wav_codec import decode_wav, is_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -342,12 +410,7 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
                 if c is None:
                     continue
                 payload = bytes(c)
-                if not is_wav(payload):
-                    raise NotImplementedError(
-                        "only RIFF/PCM WAV decodes without an external codec "
-                        "library; compressed audio needs libav"
-                    )
-                ch, rate, n_frames, samples = decode_wav(payload)
+                ch, rate, n_frames, samples = _decode_audio(payload)
                 mono = np.asarray(samples, dtype=np.float64).reshape(-1, ch).mean(axis=1)
                 mag = np.abs(np.fft.rfft(mono))
                 freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
@@ -403,6 +466,96 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_frames_sampled", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Video decode through the PyAV-optional worker-side probe:
+    container width/height/duration plus the mean luminance of up to
+    ``max_frames`` evenly-spaced decoded frames — the video analog of
+    ``extract_media_features``.
+
+    Engine-side contract (Arrow batching, schema, null passthrough) is
+    real and tested in this container; the codec itself is the
+    feature-detected boundary: with ``av`` importable on workers,
+    frames decode and the luma is real; without it every non-null
+    payload raises the documented ``NotImplementedError`` (libav
+    bindings genuinely cannot be reimplemented stdlib-side the way PNG
+    and WAV were). Decode cost is per payload inside the executor's
+    Arrow batch — nothing collects to the driver, and ``max_frames``
+    caps the per-row work regardless of clip length.
+    """
+
+    def _features(payload: bytes) -> tuple:
+        av = _av()
+        if av is None:
+            raise NotImplementedError(
+                "video decode needs the libav bindings (PyAV) worker-side; "
+                "install `av` to light this path up — metadata-only frame "
+                "sampling (sample_frames) works without it"
+            )
+        import io
+
+        import numpy as np
+
+        try:
+            with av.open(io.BytesIO(payload)) as container:
+                stream = container.streams.video[0]
+                width = int(stream.codec_context.width)
+                height = int(stream.codec_context.height)
+                dur = (
+                    int(container.duration // 1000)
+                    if container.duration is not None
+                    else None
+                )
+                lumas = []
+                step = max(1, (stream.frames or max_frames) // max_frames)
+                for i, frame in enumerate(container.decode(stream)):
+                    if i % step:
+                        continue
+                    arr = frame.to_ndarray(format="gray")
+                    lumas.append(float(np.asarray(arr, dtype=np.float64).mean()))
+                    if len(lumas) >= max_frames:
+                        break
+        except NotImplementedError:
+            raise
+        except Exception as exc:  # not a decodable container
+            raise NotImplementedError(
+                f"payload is not a decodable video ({type(exc).__name__})"
+            )
+        mean_luma = sum(lumas) / len(lumas) if lumas else None
+        return width, height, dur, len(lumas), mean_luma
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id",
+            "width",
+            "height",
+            "duration_ms",
+            "n_frames_sampled",
+            "mean_luma",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                rows.append((mid, *_features(bytes(c))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
 
 
 def resize_images(

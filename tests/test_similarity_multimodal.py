@@ -325,3 +325,59 @@ def test_pq_topk_empty_candidates_and_prefit_dim(spark, emb):
     _, models = pq_topk(emb.limit(2), emb, k=2, m=4, n_codes=4)
     out, _ = pq_topk(emb.limit(2), empty, k=2, m=4, n_codes=4, models=models)
     assert out.count() == 0
+
+
+def test_decode_audio_soundfile_feature_detect(monkeypatch):
+    """Compressed audio decodes through the worker-side soundfile
+    probe when the library is present — emulated with a stub module,
+    since libsndfile isn't in this container — and stays the clean
+    boundary when absent. Interleave order must match the stdlib WAV
+    codec's (frames-major row flatten)."""
+    import numpy as np
+
+    from soccer_data_pipeline_spark.operators import multimodal as mm
+
+    payload = b"fLaC fake compressed payload"
+
+    class StubSF:
+        @staticmethod
+        def read(buf, dtype="float64"):
+            return np.array([[0.1, -0.1], [0.2, -0.2], [0.3, -0.3]]), 8000
+
+    monkeypatch.setattr(mm, "_soundfile", lambda: StubSF)
+    ch, rate, n, samples = mm._decode_audio(payload)
+    assert (ch, rate, n) == (2, 8000, 3)
+    assert samples == [0.1, -0.1, 0.2, -0.2, 0.3, -0.3]
+
+    class StubMono:
+        @staticmethod
+        def read(buf, dtype="float64"):
+            return np.array([0.5, 0.25]), 16000
+
+    monkeypatch.setattr(mm, "_soundfile", lambda: StubMono)
+    assert mm._decode_audio(payload) == (1, 16000, 2, [0.5, 0.25])
+
+    monkeypatch.setattr(mm, "_soundfile", lambda: None)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm._decode_audio(payload)
+
+
+def test_video_features_schema_null_passthrough_and_boundary(media):
+    """extract_video_features: the engine-side contract (schema, Arrow
+    path, null passthrough) is real in this container; the decode
+    itself is the PyAV feature-detected boundary."""
+    from soccer_data_pipeline_spark.operators.multimodal import (
+        extract_video_features,
+    )
+
+    out = extract_video_features(media.where("content is null"))
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "width", "height", "duration_ms",
+        "n_frames_sampled", "mean_luma",
+    ]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].width is None and rows[0].mean_luma is None
+
+    with pytest.raises(Exception) as ei:
+        extract_video_features(media.where("media_id = 1")).collect()
+    assert "NotImplementedError" in str(ei.value) or "video" in str(ei.value)

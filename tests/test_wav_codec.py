@@ -225,4 +225,4 @@ def test_spectral_features_non_wav_boundary(spark):
         audio_spectral_features(media).collect()
         assert False, "expected the NotImplementedError boundary"
     except Exception as exc:
-        assert "NotImplementedError" in str(type(exc)) or "libav" in str(exc)
+        assert "NotImplementedError" in str(type(exc)) or "NotImplementedError" in str(exc)
