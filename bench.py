@@ -131,6 +131,13 @@ HEADLINE = [
     "zipf_slope_audit",
     "order_price_reconciliation",
     "session_path_counts",
+    # round-7 additions
+    "equi_depth_binning",
+    "pmi_top_pairs",
+    "embedding_norm_audit",
+    "cross_source_dup_matrix",
+    "temporal_split_gap",
+    "survival_retention_curve",
 ]
 
 

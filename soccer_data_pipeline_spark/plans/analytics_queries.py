@@ -2373,3 +2373,358 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["path", "n_sessions"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: equi-depth (decile) binning without a frame-sized
+# window — the quantization step a tabular-feature pipeline runs before
+# bucketized embeddings or monotonic binning, and the second production
+# consumer of operators/topk.value_bucketed_rank (after the Gini rank).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "equi_depth_binning",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+r AS (
+  SELECT o_orderkey, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS i
+  FROM c
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+SELECT CAST(((i - 1) * 10) // n.n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(MIN(cents) AS DOUBLE) / 100.0, 2) AS lo_price,
+       ROUND(CAST(MAX(cents) AS DOUBLE) / 100.0, 2) AS hi_price,
+       ROUND(CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS total_price
+FROM r CROSS JOIN n
+GROUP BY 1
+""",
+    doc="[beyond-ref] equi-depth feature binning: exact decile buckets via two-phase global rank",
+)
+def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of order value: each order's bucket is
+    ``((rank-1)·10) div n`` over the (cents, key)-ordered frame, with
+    per-decile count/min/max/total — the feature-quantization step of
+    a tabular training pipeline (and the audit for any approximate
+    binner: these boundaries are the ground truth).
+
+    Scale shape: the rank is ``value_bucketed_rank`` — percentile-probe
+    range buckets, per-bucket local rank, array-folded exclusive
+    offsets — so the ORDER-frame is never single-partition even though
+    every row gets an exact global position (the oracle runs the naive
+    ROW_NUMBER as the definitional check). Money stays integer cents
+    until the final per-decile division; the decile index is exact
+    integer division in BOTH engines (``div`` here, ``//`` there).
+    """
+    from ..operators.topk import value_bucketed_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = value_bucketed_rank(c, "cents", ["o_orderkey"], n_buckets=64, rank_col="i")
+    n1 = c.agg(F.count("*").alias("_n"))
+    j = ranked.crossJoin(F.broadcast(n1))
+    decile = F.expr("((i - 1) * 10) div _n").cast("long")
+    return (
+        j.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo_price"),
+            F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi_price"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: pointwise mutual information over document-level
+# co-occurrence, vocabulary-capped so the pair space is constant-bounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pmi_top_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+gf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok2 GROUP BY token),
+top AS (
+  SELECT token, df FROM (
+    SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rk FROM gf
+  ) WHERE rk <= 50
+),
+sel AS (SELECT t.doc_id, t.token FROM tok2 t JOIN top ON top.token = t.token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM sel a JOIN sel b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.token_a, p.token_b, p.n_ab,
+         ROUND(LN(CAST(p.n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+                  / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))), 6) AS pmi
+  FROM pairs p
+  JOIN top fa ON fa.token = p.token_a
+  JOIN top fb ON fb.token = p.token_b
+  CROSS JOIN nd
+  WHERE p.n_ab >= 5
+),
+r AS (
+  SELECT token_a, token_b, n_ab, pmi,
+         CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, token_a, token_b) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT token_a, token_b, n_ab, pmi, rk FROM r WHERE rk <= 20
+""",
+    doc="[beyond-ref] PMI collocations: top-20 co-occurring token pairs over a capped vocabulary",
+)
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by document-level pointwise mutual
+    information, PMI(a,b) = ln(n_ab·N / (df_a·df_b)), restricted to
+    pairs seen in ≥ 5 documents — the phrase-mining signal a tokenizer
+    or synthetic-data pipeline uses to find multi-word units.
+
+    Scale shape: the pair space is CONSTANT-bounded, not vocabulary²:
+    co-occurrence runs only over the top-50 document-frequency tokens
+    (selected by the distributed ``orderBy().limit`` heap and
+    broadcast), so each doc contributes ≤ C(50,2) pair keys into a
+    map-side-combined count — the corpus never self-joins. df/n_ab
+    stay exact integers; PMI is one ln over an integer ratio with the
+    identical expression tree in both engines; the final top-20 is
+    ``bounded_topk`` (ties broken by the pair itself).
+    """
+    from ..operators.topk import bounded_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    gf = tok.groupBy("token").agg(F.count("*").alias("df"))
+    top = gf.orderBy(F.desc("df"), F.asc("token")).limit(50)
+    sel = tok.join(F.broadcast(top), "token").select("doc_id", "token", "df")
+    nd = docs.agg(F.count("*").alias("_n_docs"))
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    scored = pairs.crossJoin(F.broadcast(nd)).select(
+        "token_a",
+        "token_b",
+        "n_ab",
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("_n_docs").cast("double")
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return bounded_topk(
+        scored,
+        20,
+        [F.desc("pmi"), F.asc("token_a"), F.asc("token_b")],
+        [
+            (-F.col("pmi")).alias("_s0"),
+            F.col("token_a").alias("token_a"),
+            F.col("token_b").alias("token_b"),
+            F.col("n_ab").alias("n_ab"),
+            F.col("pmi").alias("pmi"),
+        ],
+        ["token_a", "token_b", "n_ab", "pmi"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal leakage control: time-based train/test split with an embargo
+# gap — the chronological sibling of the hash-based train_val_test_split
+# (time-series models must not train on the eval window's immediate
+# past, or autocorrelation leaks the answer across the boundary).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_split_gap",
+    oracle="""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         CAST((7 * (MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)))) // 10 AS INTEGER)
+           AS cut_days
+  FROM events
+),
+lab AS (
+  SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+         CASE
+           WHEN CAST(e.ts AS DATE) < b.d0 + b.cut_days THEN 'train'
+           WHEN CAST(e.ts AS DATE) < b.d0 + b.cut_days + 3 THEN 'embargo'
+           ELSE 'test'
+         END AS split
+  FROM events e CROSS JOIN b
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(day) AS first_day,
+       MAX(day) AS last_day
+FROM lab GROUP BY split
+""",
+    doc=(
+        "[beyond-ref] temporal train/test split with a 3-day embargo gap "
+        "(time-series leakage control; chronological sibling of "
+        "train_val_test_split)"
+    ),
+)
+def temporal_split_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 70/30 split of the event stream with a 3-day
+    embargo between train and test: the cut lands at 70% of the
+    observed day span, embargo rows are EXCLUDED from both sides (they
+    carry the eval window's immediate past), and the report shows each
+    side's volume, user reach, and date range — the audit that proves
+    the split is leak-free before a time-series model trains on it.
+
+    Determinism: the boundary is pure integer date arithmetic
+    (min-day + (7·span_days) div 10) — no percentile, no sampling —
+    so any engine reproduces the same membership for every row.
+
+    Scale shape: the 1-row (d0, cut) frame broadcasts onto the stream
+    (no driver round-trip); labeling is a narrow CASE; the report is
+    one 3-group hash agg with map-side-combined distinct-user state.
+    At 100 TB the same plan holds — the only wide stage is the final
+    3-key agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    b = ev.agg(
+        F.min(day).alias("d0"),
+        F.expr("7 * datediff(max(to_date(ts)), min(to_date(ts))) div 10")
+        .cast("int")
+        .alias("cut_days"),
+    )
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        day.alias("day"),
+        F.when(day < F.date_add(F.col("d0"), F.col("cut_days")), "train")
+        .when(day < F.date_add(F.col("d0"), (F.col("cut_days") + 3).cast("int")), "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: discrete-time retention/hazard curve over user
+# lifetimes — P(user still active at day d) plus the per-day churn
+# hazard, computed entirely from bounded suffix sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "survival_retention_curve",
+    oracle="""
+WITH life AS (
+  SELECT user_id,
+         LEAST(CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT), 30)
+           AS life_days
+  FROM events GROUP BY user_id
+),
+cnt AS (
+  SELECT life_days, CAST(COUNT(*) AS BIGINT) AS n_ended FROM life GROUP BY life_days
+),
+curve AS (
+  SELECT d.life_days AS day,
+         CAST(SUM(CASE WHEN c.life_days >= d.life_days THEN c.n_ended ELSE 0 END)
+              AS BIGINT) AS n_at_risk,
+         CAST(SUM(CASE WHEN c.life_days = d.life_days THEN c.n_ended ELSE 0 END)
+              AS BIGINT) AS n_churned
+  FROM (SELECT DISTINCT life_days FROM cnt) d
+  CROSS JOIN cnt c
+  GROUP BY d.life_days
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM life)
+SELECT curve.day, n_at_risk, n_churned,
+       ROUND(CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+       ROUND(CAST(n_at_risk AS DOUBLE) / CAST(tot.n_users AS DOUBLE), 6) AS survival
+FROM curve CROSS JOIN tot
+""",
+    doc=(
+        "[beyond-ref] discrete-time survival/retention curve: per-day "
+        "at-risk, churn hazard, and survival share from bounded suffix sums"
+    ),
+)
+def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style discrete retention: lifetime = days between a
+    user's first and last event (capped at 30); for each observed
+    lifetime day d, how many users were still at risk, how many
+    churned exactly there, the hazard n_churned/n_at_risk, and the
+    survival share n_at_risk/total — the curve a retention or
+    engagement-forecast model trains against.
+
+    Scale shape: users collapse to one lifetime row at the first agg
+    (user-keyed, map-side combined); lifetimes collapse again to a
+    ≤31-row count table; the at-risk suffix sum is a bounded 31×31
+    cross of that tiny table — no window anywhere, no per-user state
+    past the first agg. Exact integers until the two final divisions
+    (identical expression trees both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    life = ev.groupBy("user_id").agg(
+        F.least(F.datediff(F.max(day), F.min(day)), F.lit(30))
+        .cast("long")
+        .alias("life_days")
+    )
+    cnt = life.groupBy("life_days").agg(F.count("*").alias("n_ended"))
+    d = cnt.select("life_days").distinct().select(F.col("life_days").alias("day"))
+    curve = (
+        d.crossJoin(F.broadcast(cnt))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("life_days") >= F.col("day"), F.col("n_ended")).otherwise(0)
+            ).alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("life_days") == F.col("day"), F.col("n_ended")).otherwise(0)
+            ).alias("n_churned"),
+        )
+    )
+    tot = life.agg(F.count("*").alias("_n_users"))
+    return curve.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_at_risk",
+        "n_churned",
+        F.round(
+            F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double"), 6
+        ).alias("hazard"),
+        F.round(
+            F.col("n_at_risk").cast("double") / F.col("_n_users").cast("double"), 6
+        ).alias("survival"),
+    )

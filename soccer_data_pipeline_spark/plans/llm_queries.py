@@ -2358,3 +2358,159 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_new_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding health audit [beyond-ref]: per-label norm statistics, zero
+# vectors, and dimension consistency — the data-quality gate a vector
+# corpus passes before ANN indexing or contrastive training (a drifting
+# norm distribution or a stray zero/truncated vector breaks both).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT label,
+         CAST(ROUND(SQRT(LIST_DOT_PRODUCT(v, v)) * 1000) AS BIGINT) AS nq,
+         CASE WHEN LIST_DOT_PRODUCT(v, v) = 0 THEN 1 ELSE 0 END AS isz,
+         LEN(v) AS dim
+  FROM e
+),
+s AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(nq) AS BIGINT) AS s1,
+         CAST(SUM(nq * nq) AS BIGINT) AS s2,
+         CAST(SUM(isz) AS BIGINT) AS n_zero,
+         CAST(MIN(dim) AS BIGINT) AS min_dim,
+         CAST(MAX(dim) AS BIGINT) AS max_dim
+  FROM q GROUP BY label
+)
+SELECT label, n_vecs,
+       ROUND(CAST(s1 AS DOUBLE) / 1000.0 / CAST(n_vecs AS DOUBLE), 6) AS mean_norm,
+       ROUND(SQRT(GREATEST(
+         CAST(s2 AS DOUBLE) / 1000000.0 / CAST(n_vecs AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / 1000.0 / CAST(n_vecs AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / 1000.0 / CAST(n_vecs AS DOUBLE)), 0.0)), 6)
+         AS std_norm,
+       n_zero, min_dim, max_dim
+FROM s
+""",
+    doc=(
+        "[beyond-ref] embedding health audit: per-label norm mean/std "
+        "(milli-quantized integer moments), zero-vector and dimension "
+        "checks (SURVEY §2.10 similarity tier)"
+    ),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-corpus health: norm mean/std, zero-vector
+    count, min/max dimension. Catches the three silent ANN killers —
+    norm drift between ingest batches, all-zero rows from failed
+    encodes, and ragged dimensions from a schema slip.
+
+    Numeric discipline: each norm is quantized to integer MILLI-units
+    (round(‖v‖·1000)) so the per-label first/second moments accumulate
+    as exact int64 sums — order-free, no collect_list, map-side
+    combined. ‖v‖ itself is bit-identical cross-engine (ordered
+    element fold + correctly-rounded sqrt). Bound: nq² ≈ 6.4e7 for
+    unit-scale 64-dim vectors → the s2 sum stays inside int64 to
+    ~10¹¹ rows per label; past that promote the moments to DECIMAL.
+
+    Scale shape: one narrow pass (dot/sqrt/round per row) into one
+    label-keyed hash agg — the corpus shuffles only (label, 3 longs).
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = dot(v, v)
+    q = emb.select(
+        "label",
+        F.round(F.sqrt(d2) * 1000).cast("long").alias("nq"),
+        F.when(d2 == 0.0, 1).otherwise(0).alias("isz"),
+        F.size("embedding").alias("dim"),
+    )
+    s = q.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("nq").alias("s1"),
+        F.sum(F.col("nq") * F.col("nq")).alias("s2"),
+        F.sum("isz").alias("n_zero"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n_vecs", "s1", "s2"))
+    mean = s1 / 1000.0 / n
+    return s.select(
+        "label",
+        "n_vecs",
+        F.round(mean, 6).alias("mean_norm"),
+        F.round(
+            F.sqrt(F.greatest(s2 / 1000000.0 / n - mean * mean, F.lit(0.0))), 6
+        ).alias("std_norm"),
+        "n_zero",
+        "min_dim",
+        "max_dim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup provenance [beyond-ref]: the cross-source duplication matrix —
+# which pairs of ingest sources ship the same exact texts, and how many.
+# The diagonal is each source's distinct-text count, so the off-diagonal
+# shares read directly as contamination-between-feeds.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+WITH d AS (SELECT DISTINCT md5(text) AS th, source FROM documents WHERE text IS NOT NULL)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+FROM d a JOIN d b ON a.th = b.th AND a.source <= b.source
+GROUP BY 1, 2
+""",
+    doc=(
+        "[beyond-ref] cross-source duplication matrix: exact-text overlap "
+        "counts per source pair (dedup provenance, SURVEY §2.10)"
+    ),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much exact-duplicate text flows between ingest sources? For
+    every source pair (a ≤ b), the number of distinct text hashes both
+    ship; the diagonal (a = b) is the source's own distinct-text
+    count. The provenance report that turns a dedup pass into an
+    upstream action — a hot off-diagonal cell means one feed mirrors
+    another and can be dropped at ingest instead of deduped at scale.
+
+    Scale shape: texts collapse to (hash, source) DISTINCT first (one
+    shuffle, 16-byte keys — text never re-shuffles); the self-join is
+    hash-keyed, so each group is at most |sources| rows — per-key work
+    is bounded-quadratic in the SOURCE count, never in documents. The
+    output is ≤ |sources|² rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.md5(F.col("text").cast("binary")).alias("th"), "source")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.th") == F.col("b.th"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_texts"))
+    )
