@@ -298,6 +298,8 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "revenue_concentration",
         "corpus_shuffle_order",
         "pack_sequences",
+        "equi_depth_binning",
+        "pmi_top_pairs",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

@@ -1,0 +1,132 @@
+"""operators/topk.py — the scale-safe global ranking primitives.
+
+Each helper is differentially checked against the naive
+single-partition window it replaces (the definitional form), on both
+smooth and adversarial inputs, and its plan is asserted window-free /
+TakeOrdered-shaped. VERDICT r6 #1 is the provenance: these primitives
+exist so no vocabulary/journey/node/dim-sized frame ever funnels
+through one WindowExec task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from soccer_data_pipeline_spark.operators.topk import (
+    bounded_topk,
+    exclusive_prefix_offsets,
+    value_bucketed_rank,
+)
+
+
+def _counts(spark, n=5000, mod=97):
+    df = spark.range(0, n).select((F.col("id") % mod).alias("k"), F.col("id"))
+    # + k%5 breaks the all-equal-counts degeneracy so ranks have real ties
+    return df.groupBy("k").agg((F.count("*") + F.col("k") % 5).alias("n"))
+
+
+def test_bounded_topk_matches_naive_window(spark):
+    c = _counts(spark)
+    w = Window.orderBy(F.desc("n"), F.asc("k"))
+    ref = sorted(
+        (r.k, r.n, r.rk)
+        for r in c.select(
+            "k", "n", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 10)
+        .collect()
+    )
+    got = bounded_topk(
+        c,
+        10,
+        [F.desc("n"), F.asc("k")],
+        [(-F.col("n")).alias("_s0"), F.col("k").alias("k"), F.col("n").alias("n")],
+        ["k", "n"],
+    )
+    assert sorted((r.k, r.n, r.rk) for r in got.collect()) == ref
+
+
+def test_bounded_topk_plan_is_takeordered_no_window(spark):
+    c = _counts(spark)
+    plan = (
+        bounded_topk(
+            c,
+            10,
+            [F.desc("n"), F.asc("k")],
+            [(-F.col("n")).alias("_s0"), F.col("k").alias("k"), F.col("n").alias("n")],
+            ["k", "n"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_bounded_topk_k_larger_than_frame_and_empty(spark):
+    c = _counts(spark, n=30, mod=7)  # 7 rows < k
+    got = bounded_topk(
+        c,
+        100,
+        [F.desc("n"), F.asc("k")],
+        [(-F.col("n")).alias("_s0"), F.col("k").alias("k"), F.col("n").alias("n")],
+        ["k", "n"],
+    ).collect()
+    assert len(got) == 7 and [r.rk for r in got] == sorted(r.rk for r in got)
+    empty = bounded_topk(
+        c.where("k < 0"),
+        5,
+        [F.desc("n")],
+        [(-F.col("n")).alias("_s0"), F.col("k").alias("k"), F.col("n").alias("n")],
+        ["k", "n"],
+    ).collect()
+    assert empty == []
+
+
+def test_exclusive_prefix_offsets_matches_running_total(spark):
+    cnts = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("c", 2), ("0", 7)], "b string, n long"
+    )
+    offs = {r.b: r._off for r in exclusive_prefix_offsets(cnts, "b", "n").collect()}
+    assert offs == {"0": 0, "a": 7, "b": 10, "c": 15}
+    plan = (
+        exclusive_prefix_offsets(cnts, "b", "n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_value_bucketed_rank_matches_naive_window(spark):
+    c = _counts(spark)
+    w = Window.orderBy("n", "k")
+    ref = {
+        r.k: r.i
+        for r in c.select(
+            "k", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    got = {r.k: r.i for r in value_bucketed_rank(c, "n", ["k"], n_buckets=8).collect()}
+    assert got == ref
+
+
+def test_value_bucketed_rank_survives_constant_and_skewed_keys(spark):
+    # all-equal sort key: the probe yields ZERO distinct boundaries, every
+    # row lands in one bucket, and ties order purely by the tiebreak
+    const = spark.range(0, 500).select(F.lit(7).alias("v"), F.col("id"))
+    got = {r.id: r.i for r in value_bucketed_rank(const, "v", ["id"], n_buckets=8).collect()}
+    assert got == {i: i + 1 for i in range(500)}
+    # 90% of mass on one value: ties must never split across buckets
+    skew = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, 5).otherwise(F.col("id")).alias("v"), F.col("id")
+    )
+    w = Window.orderBy("v", "id")
+    ref = {
+        r.id: r.i
+        for r in skew.select("id", F.row_number().over(w).cast("long").alias("i")).collect()
+    }
+    got2 = {r.id: r.i for r in value_bucketed_rank(skew, "v", ["id"], n_buckets=8).collect()}
+    assert got2 == ref
