@@ -142,18 +142,57 @@ HEADLINE = [
 
 
 def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
-    """Latest committed BENCH_r*.json with a parsed query dict at the
-    SAME scale factor — the baseline for the vs_prev regression diff;
-    cross-sf ratios would be meaningless. ('', {}) if none.
+    """Latest committed per-query medians at the SAME scale factor —
+    the baseline for the vs_prev regression diff; cross-sf ratios
+    would be meaningless. ('', {}) if none.
+
+    Preferred source (r7): the newest committed BENCH_DETAIL.json in
+    git history whose sf matches — the driver's stdout BENCH_r*.json
+    line drops its `queries` dict once the suite outgrows the tail
+    buffer (BENCH_r06 carries zero), while the detail artifact always
+    has every query, so baselining on it keeps the regression gate
+    covering the full suite instead of the last un-slimmed round's
+    subset. Fallback: committed BENCH_r*.json parsed queries.
 
     Committed means both tracked-ness (`git ls-files`) AND content
-    (`git show HEAD:<name>`): the current round's just-written
+    (`git show <commit>:<name>`): the current round's just-written
     (untracked) artifact must not become its own baseline, and a
     locally modified tracked baseline must not silently pollute the
     diff either (ADVICE r4 + r5). Glob + worktree read is the no-git
     fallback only.
     """
     root = os.path.dirname(os.path.abspath(__file__)) or "."
+    try:
+        import subprocess
+
+        commits = subprocess.run(
+            ["git", "rev-list", "HEAD", "--", "BENCH_DETAIL.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+        for commit in commits:  # newest first
+            try:
+                blob = subprocess.run(
+                    ["git", "show", f"{commit}:BENCH_DETAIL.json"],
+                    cwd=root,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                doc = json.loads(blob)
+                q = doc.get("queries")
+                if (
+                    isinstance(q, dict)
+                    and q
+                    and abs(float(doc.get("sf", -1)) - sf) < 1e-9
+                ):
+                    return (f"BENCH_DETAIL@{commit[:8]}", q)
+            except Exception:
+                continue
+    except Exception:
+        pass
     entries: list[tuple[str, object]] = []  # (basename, parsed-json or None)
     try:
         import subprocess
