@@ -138,6 +138,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "temporal_split_gap",
     "survival_retention_curve",
+    "props_schema_drift",
 ]
 
 

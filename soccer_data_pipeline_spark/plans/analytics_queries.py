@@ -2733,3 +2733,66 @@ def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_at_risk").cast("double") / F.col("_n_users").cast("double"), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema-drift audit: key-set signatures of the JSON
+# props column per event type — the contract check a lake runs before
+# relying on get_json_object paths (a producer adding/dropping keys
+# shows up as a new signature long before a downstream null storm).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_schema_drift",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS key_sig
+  FROM events WHERE props IS NOT NULL
+),
+c AS (
+  SELECT event_type, key_sig, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY event_type, key_sig
+),
+t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot FROM c GROUP BY event_type)
+SELECT c.event_type, c.key_sig, c.n_events,
+       ROUND(CAST(c.n_events AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+FROM c JOIN t USING (event_type)
+""",
+    doc=(
+        "[beyond-ref] semi-structured schema-drift audit: JSON key-set "
+        "signature histogram per event type"
+    ),
+)
+def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which JSON shapes does each event type actually ship? The props
+    column's sorted key set collapses to a signature string, counted
+    per (event_type, signature) with its share — schema drift from an
+    upstream producer (new key, dropped key, split payloads) appears
+    as a new signature row with a growing share, caught BEFORE the
+    get_json_object consumers start reading nulls.
+
+    Scale shape: signature extraction is narrow (one json_object_keys
+    + array_sort + join per row — no parse-explode); the corpus
+    collapses at the (type, signature) hash agg whose output
+    cardinality is the number of distinct SHAPES, not rows; the
+    per-type total joins back from a second agg OF that small frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("props").isNotNull()).select(
+        "event_type",
+        F.array_join(F.array_sort(F.json_object_keys("props")), ",").alias(
+            "key_sig"
+        ),
+    )
+    c = s.groupBy("event_type", "key_sig").agg(F.count("*").alias("n_events"))
+    t = c.groupBy("event_type").agg(F.sum("n_events").alias("_tot"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "key_sig",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("share"),
+    )
