@@ -2748,8 +2748,11 @@ def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT event_type,
-         ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS key_sig
-  FROM events WHERE props IS NOT NULL
+         -- DuckDB's ARRAY_TO_STRING([]) is NULL where Spark's
+         -- array_join([]) is '' — coalesce pins the keyless-object row
+         COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '') AS key_sig
+  FROM events
+  WHERE props IS NOT NULL AND json_valid(props) AND json_type(props) = 'OBJECT'
 ),
 c AS (
   SELECT event_type, key_sig, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -2778,14 +2781,20 @@ def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses at the (type, signature) hash agg whose output
     cardinality is the number of distinct SHAPES, not rows; the
     per-type total joins back from a second agg OF that small frame.
+
+    Robustness contract (both engines identically): only rows whose
+    props parse as a JSON OBJECT are audited — Spark's
+    json_object_keys yields NULL for malformed/array/scalar JSON where
+    DuckDB's json_keys errors or yields [], so the filter pins the
+    divergent tails out on both sides.
     """
     ev = load_table(spark, sf_dir, "events")
-    s = ev.where(F.col("props").isNotNull()).select(
+    s = ev.select(
         "event_type",
         F.array_join(F.array_sort(F.json_object_keys("props")), ",").alias(
             "key_sig"
         ),
-    )
+    ).where(F.col("key_sig").isNotNull())
     c = s.groupBy("event_type", "key_sig").agg(F.count("*").alias("n_events"))
     t = c.groupBy("event_type").agg(F.sum("n_events").alias("_tot"))
     return c.join(F.broadcast(t), "event_type").select(

@@ -78,3 +78,40 @@ def test_char_entropy_drops_empty_and_null_text(spark, tmp_path):
     assert planted == 0, "empty/null-text docs must drop out"
     ok, msg = compare(df, spec.oracle, str(sf))
     assert ok, msg
+
+
+def test_props_schema_drift_skips_non_object_json(spark, tmp_path):
+    """Malformed / array / scalar props must be excluded identically on
+    both engines: Spark's json_object_keys NULLs where DuckDB's
+    json_keys errors (invalid) or yields [] (array/scalar). Plants all
+    three shapes plus a keyless object and runs the full differential."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf_bad_props"
+    sf.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        os.symlink(f"{src}/{t}.parquet", sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL SELECT 900001, TIMESTAMP '2024-01-05 00:00:00', 1, 'view', 1.0, 'not json'
+          UNION ALL SELECT 900002, TIMESTAMP '2024-01-05 00:00:01', 1, 'view', 1.0, '[1,2]'
+          UNION ALL SELECT 900003, TIMESTAMP '2024-01-05 00:00:02', 1, 'view', 1.0, '"s"'
+          UNION ALL SELECT 900004, TIMESTAMP '2024-01-05 00:00:03', 1, 'view', 1.0, NULL
+          UNION ALL SELECT 900005, TIMESTAMP '2024-01-05 00:00:04', 1, 'view', 1.0, '{{}}'
+        ) TO '{sf}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    spec = QUERIES["props_schema_drift"]
+    df = spec.fn(spark, str(sf))
+    sigs = {r.key_sig for r in df.collect()}
+    assert "" in sigs  # the keyless object survives as its own shape
+    ok, msg = compare(df, spec.oracle, str(sf))
+    assert ok, msg
