@@ -2434,7 +2434,13 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.sqrt(d2) * 1000).cast("long").alias("nq"),
         F.when(d2 == 0.0, 1).otherwise(0).alias("isz"),
-        F.size("embedding").alias("dim"),
+        # guarded size: Spark's size(NULL) is -1 (legacy) or NULL
+        # (ANSI) depending on session config, DuckDB's LEN(NULL) is
+        # NULL — pin the null-embedding row to NULL on both engines so
+        # MIN/MAX skip it identically
+        F.when(
+            F.col("embedding").isNotNull(), F.size("embedding")
+        ).alias("dim"),
     )
     s = q.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
