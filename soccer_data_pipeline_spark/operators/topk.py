@@ -110,6 +110,7 @@ def value_bucketed_rank(
     tiebreak: list[str],
     n_buckets: int = 64,
     rank_col: str = "i",
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Exact global 1-based rank under ``ORDER BY key, *tiebreak`` for
     EVERY row — the full-frame companion of :func:`bounded_topk` —
@@ -143,11 +144,23 @@ def value_bucketed_rank(
     boundary (the house cache-ownership contract, operators/cache.py),
     and the ranked frame a caller holds keeps it alive exactly as long
     as needed.
+
+    ``boundaries``: prefit split points to reuse (skips BOTH the
+    checkpoint and the probe job — the same prefit escape hatch as
+    ``similarity.pq_topk(models=...)``). ANY values are correct; a
+    stale set only unbalances buckets, so a pipeline ranking the same
+    key repeatedly (daily Gini, rolling binning) can probe once and
+    pass the list forward across runs.
     """
-    df = df.localCheckpoint(eager=False)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = df.agg(F.percentile_approx(F.col(key).cast("double"), qs, 10000).alias("b"))
-    raw = row.first()["b"] or []
+    if boundaries is None:
+        df = df.localCheckpoint(eager=False)
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.agg(
+            F.percentile_approx(F.col(key).cast("double"), qs, 10000).alias("b")
+        )
+        raw = row.first()["b"] or []
+    else:
+        raw = boundaries
     bounds = sorted({float(b) for b in raw if b is not None})
     if bounds:
         blit = F.array(*[F.lit(b) for b in bounds])

@@ -130,3 +130,19 @@ def test_value_bucketed_rank_survives_constant_and_skewed_keys(spark):
     }
     got2 = {r.id: r.i for r in value_bucketed_rank(skew, "v", ["id"], n_buckets=8).collect()}
     assert got2 == ref
+
+
+def test_value_bucketed_rank_prefit_boundaries_skip_probe(spark):
+    """Prefit boundaries must produce identical ranks with no probe job
+    (the pq_topk(models=...) pattern) — even deliberately terrible
+    boundaries only unbalance buckets, never change the ranks."""
+    c = _counts(spark)
+    ref = {r.k: r.i for r in value_bucketed_rank(c, "n", ["k"], n_buckets=8).collect()}
+    for bounds in ([0.0], [1e18], [-5.0, 37.0, 37.0, 1e9], []):
+        got = {
+            r.k: r.i
+            for r in value_bucketed_rank(
+                c, "n", ["k"], boundaries=bounds
+            ).collect()
+        }
+        assert got == ref, bounds
