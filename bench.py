@@ -139,6 +139,7 @@ HEADLINE = [
     "temporal_split_gap",
     "survival_retention_curve",
     "props_schema_drift",
+    "bitext_mining_pairs",
 ]
 
 

@@ -2520,3 +2520,130 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_texts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining [beyond-ref]: best English counterpart per non-English
+# document under the margin criterion (best / second-best cosine) — the
+# CCMatrix/LASER-style parallel-corpus mining step of a multilingual
+# training pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitext_mining_pairs",
+    oracle="""
+WITH q AS (
+  SELECT d.doc_id AS fr_doc, CAST(e.embedding AS DOUBLE[]) AS v,
+         SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS nrm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'fr'
+),
+t AS (
+  SELECT d.doc_id AS en_doc, CAST(e.embedding AS DOUBLE[]) AS v,
+         SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS nrm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+s AS (
+  SELECT q.fr_doc, t.en_doc,
+         ROUND(LIST_DOT_PRODUCT(q.v, t.v) / (q.nrm * t.nrm), 6) AS cosine
+  FROM q CROSS JOIN t
+),
+r AS (
+  SELECT fr_doc, en_doc, cosine,
+         ROW_NUMBER() OVER (PARTITION BY fr_doc ORDER BY cosine DESC, en_doc) AS rk
+  FROM s
+)
+SELECT b.fr_doc, b.en_doc, b.cosine,
+       ROUND(b.cosine / NULLIF(s2.cosine, 0), 6) AS margin,
+       b.cosine >= 0.0 AND s2.cosine > 0 AND b.cosine * 100 >= s2.cosine * 105
+         AS accepted
+FROM r b JOIN r s2 ON s2.fr_doc = b.fr_doc AND s2.rk = 2
+WHERE b.rk = 1
+""",
+    doc=(
+        "[beyond-ref] bitext mining: best English match per French doc "
+        "with the best/second-best margin criterion (CCMatrix-style "
+        "parallel-corpus mining, SURVEY §2.10 similarity tier)"
+    ),
+)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every French document, its best English counterpart by
+    embedding cosine plus the MARGIN criterion (best / second-best) —
+    the score CCMatrix-style mining thresholds on, because a translation
+    pair stands OUT from the target corpus while a topical-overlap
+    match has near-peers. `accepted` applies a 1.05 margin evaluated
+    integer-exactly (cos₁·100 ≥ cos₂·105 on the 6-rounded cosines).
+
+    Scale shape: this hash-checked form is the exact argmax over a
+    BOUNDED query side (one pivot language) broadcast against the
+    target side — the `brute_force_topk` shape; at 100 TB the mining
+    side runs through the IVF/LSH ANN tier (same operators as
+    `similarity_ivf_recall`) and this exact form becomes the recall
+    audit on a sampled slice. The top-2 rank partitions BY QUERY DOC
+    (never a global window), and each pair costs one dot product
+    (norms precomputed per side).
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    side = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", v.alias("v")
+    )
+    side = side.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    q = side.where(F.col("lang") == "fr").select(
+        F.col("doc_id").alias("fr_doc"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    t = side.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("en_doc"), F.col("v").alias("tv"), F.col("nrm").alias("tn")
+    )
+    s = F.broadcast(q).crossJoin(t).select(
+        "fr_doc",
+        "en_doc",
+        F.round(dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("fr_doc").orderBy(F.desc("cosine"), F.asc("en_doc"))
+    r = s.select("fr_doc", "en_doc", "cosine", F.row_number().over(w).alias("rk"))
+    # top-1 and top-2 folded out of ONE scan of the ranked frame — two
+    # rank-filtered branches would duplicate the broadcast-cross
+    # subtree and pay the cosine pass twice (plan-audited)
+    j = (
+        r.where(F.col("rk") <= 2)
+        .groupBy("fr_doc")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == 1, F.struct("cosine", "en_doc"))
+            ).alias("b"),
+            F.max(F.when(F.col("rk") == 2, F.col("cosine"))).alias("cos2"),
+        )
+        .select(
+            "fr_doc",
+            F.col("b.en_doc").alias("en_doc"),
+            F.col("b.cosine").alias("cosine"),
+            "cos2",
+        )
+        # margin is undefined without a second candidate: a 1-doc
+        # target corpus drops out, matching the oracle's inner rk=2 join
+        .where(F.col("cos2").isNotNull())
+    )
+    return j.select(
+        "fr_doc",
+        "en_doc",
+        "cosine",
+        F.round(
+            F.col("cosine") / F.when(F.col("cos2") != 0.0, F.col("cos2")), 6
+        ).alias("margin"),
+        (
+            (F.col("cosine") >= 0.0)
+            & (F.col("cos2") > 0.0)
+            & (F.col("cosine") * 100 >= F.col("cos2") * 105)
+        ).alias("accepted"),
+    )
