@@ -2575,8 +2575,10 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding cosine plus the MARGIN criterion (best / second-best) —
     the score CCMatrix-style mining thresholds on, because a translation
     pair stands OUT from the target corpus while a topical-overlap
-    match has near-peers. `accepted` applies a 1.05 margin evaluated
-    integer-exactly (cos₁·100 ≥ cos₂·105 on the 6-rounded cosines).
+    match has near-peers. `accepted` applies a 1.05 margin as
+    cos₁·100 ≥ cos₂·105 over the 6-rounded cosines — not integer math,
+    but an identical expression tree over bit-identical operands on
+    both engines, so the gate decision is deterministic.
 
     Scale shape: this hash-checked form is the exact argmax over a
     BOUNDED query side (one pivot language) broadcast against the
