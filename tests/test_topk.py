@@ -146,3 +146,32 @@ def test_value_bucketed_rank_prefit_boundaries_skip_probe(spark):
             ).collect()
         }
         assert got == ref, bounds
+
+
+def test_exclusive_prefix_offsets_property_random_counts(spark):
+    """Property: for seeded random bucket tables (string and int
+    buckets, including zero counts), every offset equals the Python
+    running total over the sorted buckets."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        items = [
+            (f"b{rng.randrange(50):02d}", rng.randrange(0, 7))
+            for _ in range(rng.randrange(1, 40))
+        ]
+        # buckets must be unique keys (the helper takes a count table)
+        table = {}
+        for b, n in items:
+            table[b] = table.get(b, 0) + n
+        rows = sorted(table.items())
+        expected, run = {}, 0
+        for b, n in rows:
+            expected[b] = run
+            run += n
+        cnts = spark.createDataFrame(rows, "b string, n long")
+        got = {
+            r.b: r._off
+            for r in exclusive_prefix_offsets(cnts, "b", "n").collect()
+        }
+        assert got == expected, trial
