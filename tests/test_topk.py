@@ -175,3 +175,24 @@ def test_exclusive_prefix_offsets_property_random_counts(spark):
             for r in exclusive_prefix_offsets(cnts, "b", "n").collect()
         }
         assert got == expected, trial
+
+
+def test_value_bucketed_rank_beyond_double_precision(spark):
+    """Keys past 2^53: the bucket probe casts to double, so adjacent
+    longs collapse to EQUAL doubles — assignment must stay monotone
+    (same double → same bucket) while the LONG key + tiebreak keep the
+    within-bucket order exact. This is the extreme-cents regime the
+    100 TB contract promises (per-customer cent sums approaching
+    int64)."""
+    base = 2 ** 53
+    rows = [(base + i, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    w = Window.orderBy("v", "id")
+    ref = {
+        r.id: r.i
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    got = {r.id: r.i for r in value_bucketed_rank(df, "v", ["id"], n_buckets=8).collect()}
+    assert got == ref
