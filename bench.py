@@ -140,6 +140,7 @@ HEADLINE = [
     "survival_retention_curve",
     "props_schema_drift",
     "bitext_mining_pairs",
+    "lpa_communities",
 ]
 
 

@@ -471,6 +471,58 @@ def pagerank(
     return r.select(F.col("u").alias("node"), "r")
 
 
+def label_propagation(
+    edges: DataFrame, iters: int = 2, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """→ (node, community): synchronous label propagation (Raghavan et
+    al. 2007) for a FIXED number of iterations over the undirected
+    (mirrored) edge set — the community tier of the graph family
+    (connectivity: :func:`connected_components`; centrality:
+    :func:`pagerank`; density: :func:`kcore_peel_profile`).
+
+    Deterministic by construction: every node starts labeled with its
+    own id; each round it adopts the most frequent neighbor label with
+    ties broken by the SMALLEST label — realized as one integer
+    ``max(struct(count, -label))`` per node, so there is no float
+    anywhere and no window (the oracle's ROW_NUMBER argmax is the
+    definitional twin). Fixed ``iters`` keeps the plan static and the
+    semantics SQL-expressible; production convergence looping would
+    add the per-round ``localCheckpoint`` discipline of
+    :func:`connected_components`.
+
+    Scale shape: per iteration one edge⋈label join (edge-keyed) and
+    two hash aggs whose shuffles carry (node, label, count) — never
+    more than the edge set. Input contract matches
+    :func:`triangle_count`: oriented (src < dst) deduplicated edges,
+    materialized by the caller.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lbl = und.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    for _ in range(iters):
+        nb = (
+            und.join(
+                lbl.select(F.col("u").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        lbl = (
+            nb.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("lbl")).alias("nl"),
+                        F.col("lbl").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("u", F.col("m.l").alias("lbl"))
+        )
+    return lbl.select(F.col("u").alias("node"), F.col("lbl").alias("community"))
+
+
 def kcore_peel_profile(
     edges: DataFrame, k: int = 3, rounds: int = 3, src: str = "u", dst: str = "v"
 ) -> DataFrame:

@@ -2805,3 +2805,64 @@ def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.col("_tot").cast("double"), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph communities: synchronous label propagation (2 fixed rounds) on
+# the supplier co-purchase graph — connectivity (CC), centrality
+# (PageRank), density (k-core) and now COMMUNITY structure complete the
+# graph-analytics family on one shared capped edge set.
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = """
+l{k} AS (
+  SELECT u, lbl FROM (
+    SELECT und.u AS u, p.lbl AS lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY und.u
+                              ORDER BY COUNT(*) DESC, p.lbl) AS rk
+    FROM und JOIN l{p} p ON p.u = und.v
+    GROUP BY und.u, p.lbl
+  ) WHERE rk = 1
+)"""
+
+
+@register(
+    "lpa_communities",
+    oracle=f"""
+WITH {_SUPPLIER_EDGE_CTES},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM und),
+{_LPA_ITER.format(k=1, p=0)},
+{_LPA_ITER.format(k=2, p=1)},
+sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size FROM l2 GROUP BY lbl)
+SELECT CAST(l2.u AS BIGINT) AS supplier, CAST(l2.lbl AS BIGINT) AS community,
+       sz.community_size
+FROM l2 JOIN sz ON sz.lbl = l2.lbl
+""",
+    doc=(
+        "[beyond-ref] label-propagation communities (2 synchronous rounds, "
+        "integer-only argmax) on the supplier co-purchase graph"
+    ),
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment per supplier after two synchronous
+    label-propagation rounds (most-frequent neighbor label, ties to the
+    smallest), with each community's size — the community tier of the
+    graph family over the same capped co-purchase edges as
+    triangles/PageRank/k-core.
+
+    Determinism: the entire computation is INTEGER — the per-node
+    argmax is max(struct(count, −label)) here and the definitional
+    ROW_NUMBER argmax in the oracle, so no float ordering can diverge.
+
+    Scale shape: per round one edge-keyed join + two hash aggs over
+    the capped, checkpointed edge set; the size join is label-keyed on
+    the node-sized output frame. No window on the Spark side at all.
+    """
+    from ..operators.graph import label_propagation
+
+    lbl = label_propagation(_supplier_edges(spark, sf_dir), iters=2)
+    sz = lbl.groupBy("community").agg(F.count("*").alias("community_size"))
+    return lbl.join(sz, "community").select(
+        F.col("node").alias("supplier"), "community", "community_size"
+    )

@@ -194,3 +194,21 @@ def test_kcore_peel_degenerate_graph_removes_everything(spark):
         for r in kcore_peel_profile(edges, k=3, rounds=3).collect()
     }
     assert prof == {1: (4000, 0), 2: (0, 0), 3: (0, 0)}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two K4 cliques joined by one bridge edge: after two synchronous
+    rounds every clique member carries its clique's minimum label, and
+    the bridge does not merge the communities (clique-internal votes
+    dominate). Deterministic tie-break = smallest label."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "u long, v long")
+    got = {r.node: r.community for r in label_propagation(edges, iters=2).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
