@@ -141,6 +141,7 @@ HEADLINE = [
     "props_schema_drift",
     "bitext_mining_pairs",
     "lpa_communities",
+    "community_modularity",
 ]
 
 

@@ -2866,3 +2866,97 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbl.join(sz, "community").select(
         F.col("node").alias("supplier"), "community", "community_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Community quality: Newman modularity of the LPA partition — one number
+# grading how much denser the communities are than a random rewiring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "community_modularity",
+    oracle=f"""
+WITH {_SUPPLIER_EDGE_CTES},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM und),
+{_LPA_ITER.format(k=1, p=0)},
+{_LPA_ITER.format(k=2, p=1)},
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS intra2
+  FROM und
+  JOIN l2 a ON a.u = und.u
+  JOIN l2 b ON b.u = und.v
+  WHERE a.lbl = b.lbl
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+dc AS (
+  SELECT l2.lbl, CAST(SUM(deg.d) AS BIGINT) AS dsum
+  FROM deg JOIN l2 ON l2.u = deg.u GROUP BY l2.lbl
+),
+sq AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sumsq FROM dc),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities FROM dc)
+SELECT nc.n_communities,
+       CAST(m.m2 / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(intra.intra2 AS DOUBLE) / CAST(m.m2 AS DOUBLE)
+             - CAST(sq.sumsq AS DOUBLE) / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE)),
+             6) AS modularity
+FROM m CROSS JOIN intra CROSS JOIN sq CROSS JOIN nc
+""",
+    doc=(
+        "[beyond-ref] Newman modularity of the LPA partition — "
+        "integer-exact edge/degree accumulators, one final float expression"
+    ),
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q = Σ_c (e_c/m − (d_c/2m)²): how much denser are the LPA
+    communities than a degree-preserving random rewiring? The quality
+    gate for any community assignment (near-zero Q means LPA found
+    nothing; a drop between runs flags a graph-shape shift upstream).
+
+    Determinism: every accumulator is an exact integer over the
+    mirrored edge set — intra-community directed-edge count, per-
+    community degree sums, Σd², 2m — and the only float math is the
+    single final expression, identical in both engines. Equivalent
+    form used: Q = intra2/m2 − Σd²/m2² with m2 = 2m.
+
+    Scale shape: two label joins against the node-sized community map
+    (edge-keyed), one degree agg, one community-keyed agg — all
+    bounded by the capped edge set; four 1-row frames cross-joined at
+    the end.
+    """
+    from ..operators.graph import label_propagation
+
+    edges = _supplier_edges(spark, sf_dir)
+    e = edges.select("u", "v")
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lbl = label_propagation(edges, iters=2).select(
+        F.col("node").alias("u"), F.col("community").alias("lbl")
+    )
+    m = und.agg(F.count("*").alias("_m2"))
+    intra = (
+        und.join(lbl.withColumnRenamed("u", "_a").withColumnRenamed("lbl", "la"),
+                 F.col("u") == F.col("_a"))
+        .join(lbl.withColumnRenamed("u", "_b").withColumnRenamed("lbl", "lb"),
+              F.col("v") == F.col("_b"))
+        .where(F.col("la") == F.col("lb"))
+        .agg(F.count("*").alias("_intra2"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    dc = deg.join(lbl, "u").groupBy("lbl").agg(F.sum("d").alias("dsum"))
+    sq = dc.agg(
+        F.sum(F.col("dsum") * F.col("dsum")).alias("_sumsq"),
+        F.count("*").alias("_nc"),
+    )
+    j = m.crossJoin(intra).crossJoin(sq)
+    m2 = F.col("_m2").cast("double")
+    return j.select(
+        F.col("_nc").alias("n_communities"),
+        (F.col("_m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.col("_intra2").cast("double") / m2
+            - F.col("_sumsq").cast("double") / (m2 * m2),
+            6,
+        ).alias("modularity"),
+    )
