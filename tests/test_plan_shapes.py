@@ -340,3 +340,22 @@ def test_readability_is_narrow(spark):
     plan = _plan(spark, "readability_scores")
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_graph_tier_plans_no_cartesian_no_global_windows(spark):
+    """The whole graph family (triangles, PageRank, k-core, LPA,
+    modularity) runs on the shared capped edge set: no cartesian
+    products, and zero un-partitioned Window nodes anywhere — the
+    per-node argmax/rank steps are integer struct-max aggregations or
+    node-partitioned, never a global funnel."""
+    for name in (
+        "triangle_count_suppliers",
+        "pagerank_suppliers",
+        "kcore_peel_suppliers",
+        "lpa_communities",
+        "community_modularity",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        bad = _unpartitioned_window_lines(plan)
+        assert not bad, (name, bad)
