@@ -142,6 +142,7 @@ HEADLINE = [
     "bitext_mining_pairs",
     "lpa_communities",
     "community_modularity",
+    "tokenizer_fertility",
 ]
 
 

@@ -2649,3 +2649,87 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cosine") * 100 >= F.col("cos2") * 105)
         ).alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit [beyond-ref]: bytes-per-token and
+# tokens-per-word by language — the multilingual tokenizer-efficiency
+# report (a language whose fertility balloons pays more compute per
+# character of content and starves in a token-budgeted data mix).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS bpeish,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT) AS words,
+         CAST(strlen(text) AS BIGINT) AS bytes
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpeish) AS BIGINT) AS total_tokens,
+       CAST(SUM(words) AS BIGINT) AS total_words,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(bpeish) AS DOUBLE), 6)
+         AS bytes_per_token,
+       ROUND(CAST(SUM(bpeish) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6)
+         AS tokens_per_word
+FROM t GROUP BY lang
+""",
+    doc=(
+        "[beyond-ref] tokenizer fertility by language: bytes/token and "
+        "tokens/word from integer totals (multilingual efficiency audit, "
+        "SURVEY §2.10)"
+    ),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-efficiency report: how many UTF-8 bytes
+    ride in each BPE-ish token, and how many tokens each whitespace
+    word fragments into (same token definition as ``token_count_bpe``).
+    High fertility means the language pays more sequence length per
+    character of content — exactly what a token-budgeted domain mix
+    (``domain_mix_weights``) needs to correct for.
+
+    Scale shape: three per-row counters (regexp count, split-filter
+    size, octet_length — all JVM, no explode) into one lang-keyed
+    map-side-combined agg; every accumulator is an exact integer and
+    the two ratios divide once per output row with identical
+    expression trees in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+        ).cast("long").alias("bpeish"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias(
+            "words"
+        ),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpeish").alias("total_tokens"),
+        F.sum("words").alias("total_words"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_words",
+        "total_bytes",
+        F.round(
+            F.col("total_bytes").cast("double") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("bytes_per_token"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("total_words").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+    )
