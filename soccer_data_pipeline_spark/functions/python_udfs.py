@@ -74,3 +74,52 @@ class SentenceSplitter:
             s = raw.strip()
             if s:
                 yield i, s, len([w for w in s.split(" ") if w])
+
+
+BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_chars", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def utf8_byte_stats_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
+    """``mapInArrow`` demo (r7): the RAW Arrow RecordBatch surface —
+    batches enter and leave as ``pyarrow.RecordBatch`` with ZERO
+    pandas conversion, and the per-batch work is pyarrow.compute
+    kernels (C++-vectorized), not Python loops. Completes the Python
+    escape-hatch matrix next to ``mapInPandas`` / ``applyInPandas`` /
+    ``applyInPandasWithState`` / scalar ``pandas_udf`` / ``udtf``:
+    this is the surface to pick when the payload is already Arrow-
+    native (tensors, large binary) and the pandas round-trip is pure
+    overhead.
+
+    Computes per-row char count (``utf8_length``) and UTF-8 byte count
+    (``binary_length`` after a binary cast); nulls propagate through
+    the kernels exactly as the JVM twin (``length`` /
+    ``octet_length``) propagates them — asserted by the equivalence
+    test. Demo surface only: the production queries keep these
+    expressions JVM-side.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            texts = batch.column(text_col)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pc.cast(pc.utf8_length(texts), pa.int32()),
+                    pc.cast(
+                        pc.binary_length(pc.cast(texts, pa.binary())), pa.int32()
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+            yield out
+
+    return df.select(id_col, text_col).mapInArrow(run, BYTE_STATS_SCHEMA)

@@ -113,3 +113,34 @@ def test_byte_entropy_null_survives_as_null(spark):
     assert rows[2] is None
     assert rows[3] == 0.0
     assert rows[1] == 1.0  # two symbols, uniform → 1 bit/byte
+
+
+def test_map_in_arrow_matches_jvm_lengths(spark):
+    """The raw-RecordBatch surface (mapInArrow + pyarrow.compute) must
+    agree exactly with the JVM twin (length / octet_length), including
+    null propagation and multi-byte UTF-8."""
+    from soccer_data_pipeline_spark.functions.python_udfs import (
+        utf8_byte_stats_arrow,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    extra = spark.createDataFrame(
+        [(900001, "héllo wörld"), (900002, None), (900003, "")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    got = {
+        r.doc_id: (r.n_chars, r.n_bytes) for r in utf8_byte_stats_arrow(df).collect()
+    }
+    ref = {
+        r.doc_id: (r.n_chars, r.n_bytes)
+        for r in df.select(
+            "doc_id",
+            F.length("text").cast("int").alias("n_chars"),
+            F.octet_length("text").cast("int").alias("n_bytes"),
+        ).collect()
+    }
+    assert got == ref
+    assert got[900002] == (None, None)
+    assert got[900001][1] > got[900001][0]  # multi-byte chars
