@@ -19,6 +19,10 @@ that survive a 100× scale-up:
 - :func:`value_bucketed_rank` — exact global 1-based rank for EVERY
   row (not just top-k) via value-range buckets + local rank + bucket
   offsets; the full-frame companion the Gini/Lorenz family needs.
+- :func:`value_bucketed_prefix_sum` — exact inclusive running totals
+  of integral weight columns under a global order, same bucketed
+  two-phase shape; the ECDF/Lorenz/bin-budget primitive (KS tests,
+  decile tables, compaction planning).
 
 House rule (SURVEY §2 scale notes): any global ordering must either be
 k-bounded (``bounded_topk``) or two-phase bucketed (``value_bucketed_
@@ -102,6 +106,81 @@ def exclusive_prefix_offsets(
     return arr.select(F.explode(pref).alias("_e")).select(
         F.col("_e.b").alias(bucket_col), F.col("_e.o").cast("long").alias(out_col)
     )
+
+
+def value_bucketed_prefix_sum(
+    df: DataFrame,
+    key: str,
+    weights: list[str],
+    tiebreak: list[str] | None = None,
+    n_buckets: int = 64,
+    prefix: str = "cum_",
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running totals of each ``weights`` column under
+    ``ORDER BY key, *tiebreak`` for EVERY row — the cumulative-sum
+    companion of :func:`value_bucketed_rank` (ECDFs, Lorenz curves,
+    size-budget bin assignment all reduce to this).
+
+    Same two-phase shape: range-bucket on probed boundaries (ANY
+    boundary set is correct — bucket order is a prefix of the total
+    order), per-bucket ``sum().over(partitionBy(bucket))`` windows
+    (frame ≈ 1/B of the input per task, never single-partition), then
+    one :func:`exclusive_prefix_offsets`-style array fold over the
+    B-row bucket-total table per weight, broadcast-joined back. The
+    input is lazily ``localCheckpoint``-ed before the probe for the
+    same triple-reuse reason as :func:`value_bucketed_rank` (skipped
+    when prefit ``boundaries`` are passed).
+
+    Weight columns must be integral (long) — the per-bucket window sum
+    and the bucket-offset fold must BOTH be association-free for the
+    result to be exact, which integer addition is and float addition
+    is not. Callers scale to cents/milli-units first (house rule).
+
+    Output: ``df``'s columns plus one ``{prefix}{w}`` long per weight.
+    """
+    tiebreak = tiebreak or []
+    if boundaries is None:
+        df = df.localCheckpoint(eager=False)
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.agg(
+            F.percentile_approx(F.col(key).cast("double"), qs, 10000).alias("b")
+        )
+        raw = row.first()["b"] or []
+    else:
+        raw = boundaries
+    bounds = sorted({float(b) for b in raw if b is not None})
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(
+            F.filter(blit, lambda b: b <= F.col(key).cast("double"))
+        ).alias("_b")
+    else:
+        bucket = F.lit(0).alias("_b")
+    t = df.withColumn("_b", bucket)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(key, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t
+    for w in weights:
+        local = local.withColumn(f"_l_{w}", F.sum(w).over(w_local))
+    totals = t.groupBy("_b").agg(
+        *[F.sum(w).cast("long").alias(f"_n_{w}") for w in weights]
+    )
+    offsets = None
+    for w in weights:
+        off = exclusive_prefix_offsets(
+            totals.select("_b", f"_n_{w}"), "_b", f"_n_{w}", out_col=f"_off_{w}"
+        )
+        offsets = off if offsets is None else offsets.join(off, "_b")
+    out = local.join(F.broadcast(offsets), "_b")
+    for w in weights:
+        out = out.withColumn(
+            f"{prefix}{w}", (F.col(f"_off_{w}") + F.col(f"_l_{w}")).cast("long")
+        )
+    return out.drop("_b", *[f"_l_{w}" for w in weights], *[f"_off_{w}" for w in weights])
 
 
 def value_bucketed_rank(

@@ -2960,3 +2960,332 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics: Spearman correlation, KS split drift, decile table.
+# All three ride the value-bucketed rank/prefix-sum primitives — exact
+# global order statistics with no single-partition window anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_spend_balance",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT custkey, rev, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+  FROM rev JOIN customer ON custkey = c_custkey
+),
+r AS (
+  SELECT custkey,
+         2 * CAST(RANK() OVER (ORDER BY rev) AS BIGINT)
+           + CAST(COUNT(*) OVER (PARTITION BY rev) AS BIGINT) - 1 AS mr2x,
+         2 * CAST(RANK() OVER (ORDER BY bal) AS BIGINT)
+           + CAST(COUNT(*) OVER (PARTITION BY bal) AS BIGINT) - 1 AS mr2y
+  FROM j
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mr2x) AS BIGINT) AS sx, CAST(SUM(mr2y) AS BIGINT) AS sy,
+         CAST(SUM(mr2x * mr2y) AS BIGINT) AS sxy,
+         CAST(SUM(mr2x * mr2x) AS BIGINT) AS sxx,
+         CAST(SUM(mr2y * mr2y) AS BIGINT) AS syy
+  FROM r
+)
+SELECT n AS n_customers,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM a
+""",
+    doc="[beyond-ref] Spearman rank correlation (tie-correct midranks) between customer spend and account balance",
+)
+def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between a customer's total spend and account balance
+    — the robust (monotone, outlier-proof) alternative to the Pearson
+    ``corr`` in ``stats_aggregates``; ties get textbook average ranks.
+
+    Exactness: everything before the final division is INTEGER. The
+    average rank of a tie group is min_rank + (c−1)/2, so DOUBLED
+    midranks (mr2 = 2·cum_count − c + 1) stay integral, and Pearson on
+    mr2 equals Pearson on midranks (scale invariance). Moment sums fit
+    int64 to ~10⁸ customers (Σmr2² ≈ 4n³); promote to DECIMAL past
+    that. ρ is then ONE double expression, identical in both engines.
+
+    Scale shape: midranks come from the distinct-VALUE frame (groupBy
+    value → count), not per-row windows: ``value_bucketed_prefix_sum``
+    gives each value its exact inclusive cumulative count (bucketed
+    two-phase, no single-partition window), then mr2 joins back on the
+    value — two value-cardinality shuffles and one 1-row final agg.
+    """
+    from ..operators.topk import value_bucketed_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    j = rev.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        ),
+        "custkey",
+    )
+
+    def mr2_map(col: str, out: str) -> DataFrame:
+        g = j.groupBy(col).agg(F.count("*").alias("c"))
+        p = value_bucketed_prefix_sum(g, col, ["c"], prefix="cum_")
+        return p.select(
+            col, (2 * F.col("cum_c") - F.col("c") + 1).alias(out)
+        )
+
+    t = j.join(mr2_map("rev", "mr2x"), "rev").join(mr2_map("bal", "mr2y"), "bal")
+    a = t.agg(
+        F.count("*").alias("n"),
+        F.sum("mr2x").alias("sx"),
+        F.sum("mr2y").alias("sy"),
+        F.sum(F.col("mr2x") * F.col("mr2y")).alias("sxy"),
+        F.sum(F.col("mr2x") * F.col("mr2x")).alias("sxx"),
+        F.sum(F.col("mr2y") * F.col("mr2y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    return a.select(
+        n.alias("n_customers"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+_KS_HASH_SPARK = "conv(substring(md5(cast(o_orderkey AS string)), 1, 4), 16, 10) % 100"
+_KS_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+
+@register(
+    "ks_two_sample_split",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN {_KS_HASH_DUCK} < 80 THEN 1 ELSE 0 END AS is_a
+  FROM orders
+),
+g AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS na, CAST(SUM(1 - is_a) AS BIGINT) AS nb
+  FROM s GROUP BY v
+),
+t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM g),
+c AS (
+  SELECT v,
+         CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS cna,
+         CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cnb
+  FROM g
+),
+d AS (
+  SELECT v, ABS(CAST(cna AS DOUBLE) / ta - CAST(cnb AS DOUBLE) / tb) AS d
+  FROM c, t
+),
+m AS (SELECT v, d FROM d ORDER BY d DESC, v DESC LIMIT 1)
+SELECT t.ta AS n_train, t.tb AS n_holdout,
+       ROUND(m.d, 6) AS ks_stat, ROUND(m.v / 100.0, 2) AS at_price
+FROM t, m
+""",
+    doc="[beyond-ref] two-sample Kolmogorov-Smirnov statistic between the md5-hash train split and its holdout (split drift audit)",
+)
+def ks_two_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between the order-price
+    distributions of the deterministic 80 % train split and its 20 %
+    holdout — the distribution-level companion of ``split_drift_tvd``
+    (TVD bins; KS sees the full ECDF, catching shifts binning hides).
+
+    KS = max over values of |ECDF_a − ECDF_b|. Both ECDFs come from
+    ONE ``value_bucketed_prefix_sum`` call over the distinct-price
+    frame (two integral weight columns, one bucketed pass — no
+    single-partition window even though the ECDF is a global
+    cumulative). Each ECDF point is a single division of exact longs,
+    the max is over bit-identical doubles, and the argmax tie-break is
+    lexicographic (d, v) via one max(struct) — deterministic on both
+    engines.
+    """
+    from ..operators.topk import value_bucketed_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(_KS_HASH_SPARK)
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(bucket < 80, F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    c = value_bucketed_prefix_sum(g, "v", ["na", "nb"], prefix="cum_")
+    t = g.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    d = c.crossJoin(F.broadcast(t)).select(
+        "v",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("cum_na").cast("double") / F.col("ta")
+            - F.col("cum_nb").cast("double") / F.col("tb")
+        ).alias("d"),
+    )
+    m = d.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.max(F.struct(F.col("d"), F.col("v"))).alias("m"),
+    )
+    return m.select(
+        F.col("ta").alias("n_train"),
+        F.col("tb").alias("n_holdout"),
+        F.round(F.col("m.d"), 6).alias("ks_stat"),
+        F.round(F.col("m.v") / 100.0, 2).alias("at_price"),
+    )
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT custkey, rev,
+         CAST(NTILE(10) OVER (ORDER BY rev, custkey) AS BIGINT) AS decile
+  FROM rev
+),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM rev)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / 100.0, 2) AS total_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS revenue_share
+FROM d, t
+GROUP BY decile, t.tot
+""",
+    doc="[beyond-ref] customer lifetime-value decile table (scale-safe NTILE: exact rank arithmetic, no global window)",
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value decile table — the segmentation cut
+    marketing/finance reads off the Lorenz curve the Gini audit
+    (``revenue_concentration``) summarizes.
+
+    NTILE without NTILE: ``NTILE(k) OVER (ORDER BY …)`` is exactly
+    ``floor((i−1)·k/n) + 1`` on the unique 1-based rank i (first
+    n mod k tiles get the extra row — same remainder layout), so the
+    decile comes from ``value_bucketed_rank`` arithmetic instead of a
+    dim-sized single-partition window. The oracle runs the real
+    NTILE; the differential proves the identity on every row.
+    """
+    from ..operators.topk import value_bucketed_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    ranked = value_bucketed_rank(rev, "rev", ["custkey"], rank_col="i")
+    n1 = ranked.agg(F.count("*").alias("_n"), F.sum("rev").alias("_tot"))
+    d = ranked.crossJoin(F.broadcast(n1)).withColumn(
+        "decile", (((F.col("i") - 1) * 10) / F.col("_n")).cast("long") + 1
+    )
+    return (
+        d.groupBy("decile", "_tot")
+        .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("_s"))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("_s").cast("double") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-mix diversity: per-source language entropy and Simpson index.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_diversity_index",
+    oracle="""
+WITH g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+s AS (
+  SELECT source,
+         LIST(struct_pack(lang := lang, n := n) ORDER BY lang) AS l
+  FROM g GROUP BY source
+),
+a AS (
+  SELECT source,
+         LIST_SUM(LIST_TRANSFORM(l, x -> x.n)) AS nd,
+         CAST(LEN(l) AS BIGINT) AS n_langs,
+         LIST_SUM(LIST_TRANSFORM(l, x -> CAST(x.n AS DOUBLE) * LN(CAST(x.n AS DOUBLE)))) AS s_nlogn,
+         LIST_SUM(LIST_TRANSFORM(l, x -> x.n * x.n)) AS nsq
+  FROM s
+)
+SELECT source, CAST(nd AS BIGINT) AS n_docs, n_langs,
+       ROUND(LN(CAST(nd AS DOUBLE)) - s_nlogn / CAST(nd AS DOUBLE), 6) AS lang_entropy_nats,
+       ROUND(CAST(nsq AS DOUBLE) / CAST(nd * nd AS DOUBLE), 6) AS simpson_index
+FROM a
+""",
+    doc="[beyond-ref] per-source language-mix diversity: Shannon entropy + Simpson concentration (corpus-mix audit)",
+)
+def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How language-diverse is each ingestion source? Shannon entropy
+    (nats) and Simpson concentration (Σp²) of the per-source language
+    mix — the corpus-composition audit next to ``domain_mix_weights``
+    (which reweights; this one measures).
+
+    Scale shape: the corpus collapses at the first (source, lang)
+    groupBy; everything after runs on a sources×langs frame (bounded
+    by catalog design). The entropy sum folds in lang order on both
+    engines (H = ln N − Σ n·ln n / N, the house ordered-fold
+    discipline); Simpson is exact-integer Σn² over exact N².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    s = g.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("lang", "n"))).alias("l")
+    )
+    zero_l = F.lit(0).cast("long")
+    nd = F.aggregate(F.col("l"), zero_l, lambda acc, x: acc + x["n"])
+    s_nlogn = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["n"].cast("double") * F.log(x["n"].cast("double")),
+    )
+    nsq = F.aggregate(F.col("l"), zero_l, lambda acc, x: acc + x["n"] * x["n"])
+    a = s.select(
+        "source",
+        nd.alias("nd"),
+        F.size("l").cast("long").alias("n_langs"),
+        s_nlogn.alias("s_nlogn"),
+        nsq.alias("nsq"),
+    )
+    return a.select(
+        "source",
+        F.col("nd").alias("n_docs"),
+        "n_langs",
+        F.round(
+            F.log(F.col("nd").cast("double")) - F.col("s_nlogn") / F.col("nd").cast("double"), 6
+        ).alias("lang_entropy_nats"),
+        F.round(
+            F.col("nsq").cast("double") / (F.col("nd") * F.col("nd")).cast("double"), 6
+        ).alias("simpson_index"),
+    )

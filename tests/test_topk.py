@@ -196,3 +196,76 @@ def test_value_bucketed_rank_beyond_double_precision(spark):
     }
     got = {r.id: r.i for r in value_bucketed_rank(df, "v", ["id"], n_buckets=8).collect()}
     assert got == ref
+
+
+def test_value_bucketed_prefix_sum_matches_naive_window(spark):
+    from soccer_data_pipeline_spark.operators.topk import value_bucketed_prefix_sum
+
+    c = _counts(spark).withColumn("m", (F.col("n") * 3 + F.col("k")) % 11)
+    w = (
+        Window.orderBy("n", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        (r.k): (r.cn, r.cm)
+        for r in c.select(
+            "k",
+            F.sum("n").over(w).cast("long").alias("cn"),
+            F.sum("m").over(w).cast("long").alias("cm"),
+        ).collect()
+    }
+    got = {
+        r.k: (r.cum_n, r.cum_m)
+        for r in value_bucketed_prefix_sum(
+            c, "n", ["n", "m"], tiebreak=["k"], n_buckets=8
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_value_bucketed_prefix_sum_constant_key_and_prefit(spark):
+    from soccer_data_pipeline_spark.operators.topk import value_bucketed_prefix_sum
+
+    # all-equal key: zero boundaries, one bucket, order = tiebreak only
+    const = spark.range(0, 300).select(
+        F.lit(7).alias("v"), F.col("id"), F.lit(2).cast("long").alias("w")
+    )
+    got = {
+        r.id: r.cum_w
+        for r in value_bucketed_prefix_sum(
+            const, "v", ["w"], tiebreak=["id"], n_buckets=8
+        ).collect()
+    }
+    assert got == {i: 2 * (i + 1) for i in range(300)}
+    # prefit (even terrible) boundaries: same totals, no probe job
+    c = _counts(spark)
+    ref = {
+        r.k: r.cum_n
+        for r in value_bucketed_prefix_sum(c, "n", ["n"], tiebreak=["k"]).collect()
+    }
+    for bounds in ([0.0], [1e18], [-5.0, 37.0, 1e9], []):
+        got2 = {
+            r.k: r.cum_n
+            for r in value_bucketed_prefix_sum(
+                c, "n", ["n"], tiebreak=["k"], boundaries=bounds
+            ).collect()
+        }
+        assert got2 == ref, bounds
+
+
+def test_value_bucketed_prefix_sum_no_unpartitioned_window(spark):
+    """The whole point: the plan must contain no empty-partition-spec
+    window — every WindowExec it plans is partitioned by the bucket."""
+    from soccer_data_pipeline_spark.operators.topk import value_bucketed_prefix_sum
+
+    c = _counts(spark)
+    plan = (
+        value_bucketed_prefix_sum(c, "n", ["n"], tiebreak=["k"], boundaries=[50.0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    window_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert window_lines, "expected the per-bucket window in the plan"
+    for line in window_lines:
+        assert "_b" in line, f"unpartitioned window in plan: {line}"
