@@ -3289,3 +3289,203 @@ def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nsq").cast("double") / (F.col("nd") * F.col("nd")).cast("double"), 6
         ).alias("simpson_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: weekday seasonal decomposition and Holt linear-trend
+# forecasting (the level+trend sibling of daily_ewma_forecast).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+wk AS (
+  SELECT ISODOW(day) - 1 AS weekday,
+         CAST(SUM(rev) AS BIGINT) AS sw,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM daily GROUP BY ISODOW(day) - 1
+)
+SELECT d.day, ISODOW(d.day) - 1 AS weekday, d.n_orders,
+       ROUND(CAST(d.rev AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(w.sw AS DOUBLE) / w.cnt / 100.0, 4) AS weekday_mean_revenue,
+       ROUND(CAST(d.rev AS DOUBLE) / 100.0 - CAST(w.sw AS DOUBLE) / w.cnt / 100.0, 4) AS residual
+FROM daily d JOIN wk w ON ISODOW(d.day) - 1 = w.weekday
+""",
+    doc="[beyond-ref] weekday seasonal decomposition of daily revenue: seasonal means + deseasonalized residuals",
+)
+def weekday_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition at weekly period: each day's
+    revenue against its weekday's mean, residual = actual − seasonal —
+    the first stage of an STL-style pipeline and the denominator the
+    anomaly tier (``daily_anomaly_flags``) would use to de-season its
+    z-scores.
+
+    Scale shape: the fact table collapses to calendar days at the
+    first agg; the seasonal component is a 7-row broadcast join back.
+    Weekday convention: Monday=0 (Spark ``weekday()`` ≡ DuckDB
+    ``ISODOW()−1`` — the one weekday function pair the engines agree
+    on without a shim). Numeric discipline: cents-exact sums; the mean
+    and residual are single chains of double ops on exact ints,
+    identical expression trees both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+    )
+    wk = daily.groupBy(F.weekday("day").alias("weekday")).agg(
+        F.sum("rev").alias("sw"), F.count("*").alias("cnt")
+    )
+    j = daily.withColumn("weekday", F.weekday("day")).join(F.broadcast(wk), "weekday")
+    mean = F.col("sw").cast("double") / F.col("cnt") / F.lit(100.0)
+    return j.select(
+        "day",
+        "weekday",
+        "n_orders",
+        F.round(F.col("rev").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(mean, 4).alias("weekday_mean_revenue"),
+        F.round(F.col("rev").cast("double") / 100.0 - mean, 4).alias("residual"),
+    )
+
+
+@register(
+    "holt_linear_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+seq AS (
+  SELECT LIST(struct_pack(day := day, n := n) ORDER BY day) AS s FROM daily
+),
+st AS (
+  -- per prefix: fold [level, trend] pairs in day order; the first
+  -- element seeds the reduce as [x1, 0.0] (l=x1, b=0)
+  SELECT s, LIST_TRANSFORM(
+    RANGE(1, LEN(s) + 1),
+    i -> LIST_REDUCE(
+           LIST_TRANSFORM(s[1:i], x -> [CAST(x.n AS DOUBLE), 0.0]),
+           (acc, x) -> [
+             0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+             0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]
+           ]
+         )
+  ) AS states
+  FROM seq
+)
+SELECT u.day, u.n,
+       ROUND(lv, 6) AS holt_level,
+       ROUND(tr, 6) AS holt_trend,
+       CASE WHEN idx > 1
+            THEN ROUND(CAST(u.n AS DOUBLE) - (plv + ptr), 6) END AS forecast_error
+FROM st,
+LATERAL (
+  SELECT s[CAST(i AS INTEGER)].day AS day, s[CAST(i AS INTEGER)].n AS n,
+         states[CAST(i AS INTEGER)][1] AS lv,
+         states[CAST(i AS INTEGER)][2] AS tr,
+         CASE WHEN i > 1 THEN states[CAST(i AS INTEGER) - 1][1] END AS plv,
+         CASE WHEN i > 1 THEN states[CAST(i AS INTEGER) - 1][2] END AS ptr,
+         i AS idx
+  FROM UNNEST(RANGE(1, LEN(s) + 1)) AS t(i)
+) u
+""",
+    doc="[beyond-ref] Holt double-exponential smoothing (level+trend, alpha=0.3 beta=0.1) with one-step-ahead forecast error",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing over daily event volume — the
+    trend-aware upgrade of ``daily_ewma_forecast`` (EWMA lags any
+    sustained ramp; Holt's trend term removes that bias). One-step
+    forecast f_t = l_{t−1} + b_{t−1}; error = actual − f.
+
+    Recursion: l' = α·x + (1−α)(l+b); b' = β(l'−l) + (1−β)b, seeded
+    l₁=x₁, b₁=0. Like EWMA this is inherently sequential, so both
+    engines run the SAME day-ordered fold — Spark as one
+    ``F.aggregate`` accumulating the [level, trend] path, DuckDB as an
+    ordered LIST_REDUCE per prefix — with literally identical
+    expression trees (l' is expanded inside b' on both sides), so
+    every float op sees identical operands in identical order.
+
+    Scale shape: corpus → one row per day at the first agg; the fold
+    runs on the calendar-sized array in a single task (same contract
+    as the EWMA/anomaly tier).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    seq = daily.agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s"))
+    folded = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.array(x["n"].cast("double"), F.lit(0.0)),
+                ).otherwise(
+                    F.array(
+                        F.lit(0.3) * x["n"].cast("double")
+                        + F.lit(0.7)
+                        * (
+                            F.element_at(F.element_at(acc, -1), 1)
+                            + F.element_at(F.element_at(acc, -1), 2)
+                        ),
+                        F.lit(0.1)
+                        * (
+                            (
+                                F.lit(0.3) * x["n"].cast("double")
+                                + F.lit(0.7)
+                                * (
+                                    F.element_at(F.element_at(acc, -1), 1)
+                                    + F.element_at(F.element_at(acc, -1), 2)
+                                )
+                            )
+                            - F.element_at(F.element_at(acc, -1), 1)
+                        )
+                        + F.lit(0.9) * F.element_at(F.element_at(acc, -1), 2)
+                    )
+                )
+            ),
+        ),
+    )
+    rows = seq.select("s", folded.alias("states")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda i: F.struct(
+                    F.element_at(F.col("s"), i)["day"].alias("day"),
+                    F.element_at(F.col("s"), i)["n"].alias("n"),
+                    F.round(
+                        F.element_at(F.element_at(F.col("states"), i), 1), 6
+                    ).alias("holt_level"),
+                    F.round(
+                        F.element_at(F.element_at(F.col("states"), i), 2), 6
+                    ).alias("holt_trend"),
+                    F.when(
+                        i > 1,
+                        F.round(
+                            F.element_at(F.col("s"), i)["n"].cast("double")
+                            - (
+                                F.element_at(
+                                    F.element_at(F.col("states"), i - 1), 1
+                                )
+                                + F.element_at(
+                                    F.element_at(F.col("states"), i - 1), 2
+                                )
+                            ),
+                            6,
+                        ),
+                    ).alias("forecast_error"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        "r.day", "r.n", "r.holt_level", "r.holt_trend", "r.forecast_error"
+    )

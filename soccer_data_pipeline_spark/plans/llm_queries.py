@@ -2733,3 +2733,66 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tokens_per_word"),
     )
+
+
+@register(
+    "compaction_plan_bins",
+    oracle=f"""
+WITH s AS (
+  SELECT {_SHARD_HASH_DUCK} AS shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(SUM(shard_bytes) AS BIGINT) AS tot FROM s),
+c AS (
+  SELECT shard_id, n_docs, shard_bytes,
+         CAST(SUM(shard_bytes) OVER (ORDER BY shard_id) - shard_bytes AS BIGINT) AS cum_before
+  FROM s
+)
+SELECT c.shard_id, c.n_docs, c.shard_bytes,
+       CAST(c.cum_before // GREATEST((t.tot + 5) // 6, 1) AS BIGINT) AS bin_id
+FROM c, t
+""",
+    doc="[beyond-ref] small-files compaction plan: contiguous shards packed into ~equal byte-budget output bins via exclusive prefix sums",
+)
+def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction planner's core step: pack the (many, small)
+    staging shards into ~6 byte-balanced output bins, preserving shard
+    order so each bin is a contiguous id range — what an executor then
+    writes as one sequential coalesced file (the manual analog of AQE's
+    ``coalescePartitions``, but budgeted in BYTES, which row-count
+    coalescing gets wrong under skewed doc lengths).
+
+    bin_id = exclusive_cumulative_bytes // target, target ≈ total/6 —
+    pure integer arithmetic on both engines (no float division to
+    diverge). The prefix sum rides ``exclusive_prefix_offsets``'s
+    array fold because the shard table is bounded by layout design (16
+    here); an unbounded FILE manifest would take the same plan through
+    ``value_bucketed_prefix_sum`` (key = file path hash order).
+    """
+    from ..operators.topk import exclusive_prefix_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.expr(_SHARD_HASH_SPARK).cast("long").alias("shard_id"), "n_chars"
+    ).groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("shard_bytes")
+    )
+    off = exclusive_prefix_offsets(
+        s.select("shard_id", "shard_bytes"), "shard_id", "shard_bytes",
+        out_col="cum_before",
+    )
+    t = s.agg(F.sum("shard_bytes").alias("tot"))
+    return (
+        s.join(off, "shard_id")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_bytes",
+            F.expr("cum_before div greatest((tot + 5) div 6, 1)")
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
