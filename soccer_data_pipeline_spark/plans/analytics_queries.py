@@ -3489,3 +3489,420 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "r.day", "r.n", "r.holt_level", "r.holt_trend", "r.forecast_error"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series autocorrelation and experiment analysis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_daily_events",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n * n) AS BIGINT) AS sxx,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM daily
+),
+mu AS (SELECT sx, sxx, nn, CAST(sx AS DOUBLE) / nn AS mu FROM tot),
+lagj AS (
+  SELECT t.k AS lag,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+         CAST(SUM(a.n) AS BIGINT) AS sa,
+         CAST(SUM(b.n) AS BIGINT) AS sb,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM range(1, 8) t(k)
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(t.k AS INTEGER)
+  GROUP BY t.k
+)
+SELECT l.lag, l.m AS n_pairs,
+       ROUND(
+         (CAST(l.sxy AS DOUBLE) - u.mu * l.sa - u.mu * l.sb + l.m * u.mu * u.mu)
+         / (CAST(u.sxx AS DOUBLE) - 2.0 * u.mu * u.sx + u.nn * u.mu * u.mu),
+         6
+       ) AS acf
+FROM lagj l, mu u
+""",
+    doc="[beyond-ref] autocorrelation function of daily event volume at lags 1-7 via exact integer moment sums",
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7 — the seasonality detector that tells the forecasting tier
+    (``daily_ewma_forecast`` / ``holt_linear_forecast`` /
+    ``weekday_seasonal_decompose``) which period, if any, to model: a
+    spike at lag 7 confirms the weekday cycle, decay-to-noise says
+    EWMA suffices.
+
+    ACF_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded into pure
+    integer moment sums (Σxy, Σx over pairs, Σx², n) so both engines
+    evaluate the SAME double expression tree on exact-int operands —
+    no float accumulation to diverge. Pairing is by calendar offset
+    (day+k must exist), not row order, so gap days shorten the pair
+    set instead of silently misaligning it.
+
+    Scale shape: the corpus collapses to calendar days at the first
+    agg; the lag pairing is a 7-way explode + equi-join on the
+    day-sized frame, and the moment totals ride a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    tot = daily.agg(
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.count("*").alias("nn"),
+    ).withColumn("mu", F.col("sx").cast("double") / F.col("nn"))
+    a = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"), "day", "n"
+    ).withColumn("tday", F.date_add("day", F.col("lag")))
+    b = daily.select(F.col("day").alias("tday"), F.col("n").alias("bn"))
+    lagj = (
+        a.join(b, "tday")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("n") * F.col("bn")).alias("sxy"),
+            F.sum("n").alias("sa"),
+            F.sum("bn").alias("sb"),
+            F.count("*").alias("m"),
+        )
+    )
+    u = F.broadcast(tot)
+    num = (
+        F.col("sxy").cast("double")
+        - F.col("mu") * F.col("sa")
+        - F.col("mu") * F.col("sb")
+        + F.col("m") * F.col("mu") * F.col("mu")
+    )
+    den = (
+        F.col("sxx").cast("double")
+        - F.lit(2.0) * F.col("mu") * F.col("sx")
+        + F.col("nn") * F.col("mu") * F.col("mu")
+    )
+    return lagj.crossJoin(u).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("m").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+_AB_HASH_SPARK = "conv(substring(md5(cast(o_orderkey AS string)), 1, 4), 16, 10) % 2"
+_AB_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 2"
+
+
+@register(
+    "ab_test_proportions",
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN {_AB_HASH_DUCK} = 0 THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS conv
+  FROM orders
+),
+g AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(is_a * conv) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+         CAST(SUM((1 - is_a) * conv) AS BIGINT) AS cb
+  FROM s
+),
+p AS (
+  SELECT na, ca, nb, cb,
+         CAST(ca AS DOUBLE) / na AS pa,
+         CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+  FROM g
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+       ROUND((pa - pb) / SQRT(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), 6) AS z_score
+FROM p
+""",
+    doc="[beyond-ref] two-proportion z-test over a deterministic hash split (the A/B experiment readout)",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the two arms of a deterministic
+    md5 50/50 split of orders, with "conversion" = high-priority order
+    — the experiment-analysis readout every data platform ends up
+    hosting (here also a null-hypothesis self-check: the split is
+    random w.r.t. priority, so |z| should stay small, and a large |z|
+    would flag a broken bucketing hash).
+
+    z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled p̂.
+    All four inputs are exact integer counts from ONE full-table agg
+    (conditional sums, map-side combinable); the z expression is a
+    single double tree on those exact ints, identical operand order on
+    both engines, and ``sqrt`` is correctly rounded per IEEE — so the
+    hashes match bit-for-bit. One row out; nothing else shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    is_a = F.when(F.expr(_AB_HASH_SPARK).cast("long") == 0, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    conv = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    g = orders.select(is_a.alias("is_a"), conv.alias("conv")).agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.col("is_a") * F.col("conv")).alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).alias("cb"),
+    )
+    p = g.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        (F.col("ca").cast("double") / F.col("na")).alias("pa"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("pb"),
+        ((F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))).alias(
+            "pp"
+        ),
+    )
+    return p.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round("pa", 6).alias("p_a"),
+        F.round("pb", 6).alias("p_b"),
+        F.round(
+            (F.col("pa") - F.col("pb"))
+            / F.sqrt(
+                F.col("pp")
+                * (F.lit(1.0) - F.col("pp"))
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring, BFS reachability, and sliding exact
+# distinct users.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         ws[CAST(i AS INTEGER)] AS w1,
+         ws[CAST(i AS INTEGER) + 1] AS w2
+  FROM tok, UNNEST(RANGE(1, LEN(ws))) t(i)
+),
+pf AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pr GROUP BY doc_id, w1, w2
+),
+c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM pf GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+vt AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) q
+  WHERE token <> ''
+),
+j AS (
+  SELECT pf.doc_id, pf.w1, pf.w2, pf.cnt, c2.c2, c1.c1
+  FROM pf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+),
+ag AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         LIST(struct_pack(w1 := w1, w2 := w2, cnt := cnt, c2 := c2, c1 := c1)
+              ORDER BY w1, w2) AS l
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(
+         -LIST_SUM(
+            LIST_TRANSFORM(
+              l,
+              r -> r.cnt * LN((CAST(r.c2 AS DOUBLE) + 0.5)
+                              / (CAST(r.c1 AS DOUBLE) + 0.5 * vt.v))
+            )
+          ) / n_bigrams,
+         6
+       ) AS bigram_xent_nats
+FROM ag, vt
+""",
+    doc="[beyond-ref] per-doc bigram LM cross-entropy (add-0.5 smoothing) — the order-aware upgrade of the CCNet unigram filter",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram model
+    with add-0.5 smoothing — the order-aware LM quality filter
+    (``unigram_cross_entropy`` scores word CHOICE; this also scores
+    word ORDER, so shuffled/templated text that fools the unigram
+    filter scores high here). p(w₂|w₁) = (c(w₁,w₂)+0.5)/(c(w₁)+0.5·V).
+
+    Scale shape: per-doc bigram tf is one (doc,w₁,w₂)-keyed hash agg
+    of the position-exploded pairs; the bigram and left-context tables
+    aggregate FROM it (never re-touch the corpus); joins back are
+    bigram-keyed; V rides a 1-row broadcast. Per-doc float terms fold
+    in (w₁,w₂) order on both engines (sorted collect_list aggregate vs
+    LIST ORDER BY + LIST_SUM — the ``unigram_cross_entropy``
+    discipline), so every ln sees identical operands in identical
+    order. Docs with <2 tokens have no bigrams and drop on both sides
+    by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    idx = F.when(
+        F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    pr = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pf = pr.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c2 = pf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vt = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    j = pf.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+    ag = j.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.array_sort(
+            F.collect_list(F.struct("w1", "w2", "cnt", "c2", "c1"))
+        ).alias("l"),
+    )
+    return ag.crossJoin(F.broadcast(vt)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -F.aggregate(
+                F.col("l"),
+                F.lit(0.0),
+                lambda acc, r: acc
+                + r["cnt"].cast("double")
+                * F.log(
+                    (r["c2"].cast("double") + F.lit(0.5))
+                    / (r["c1"].cast("double") + F.lit(0.5) * F.col("v"))
+                ),
+            )
+            / F.col("n_bigrams"),
+            6,
+        ).alias("bigram_xent_nats"),
+    )
+
+
+@register(
+    "bfs_hops_supplier",
+    oracle=f"""
+WITH RECURSIVE {_SUPPLIER_EDGE_CTES.lstrip()},
+g AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+seed AS (SELECT MIN(src) AS s FROM g),
+r AS (
+  SELECT s AS node, 0 AS d FROM seed
+  UNION
+  SELECT g.dst, r.d + 1 FROM r JOIN g ON g.src = r.node WHERE r.d < 3
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hop FROM r GROUP BY node
+""",
+    doc="[beyond-ref] BFS 3-hop reachability from the smallest supplier node (iterative frontier vs recursive-CTE oracle)",
+)
+def bfs_hops_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤ 3) from the smallest supplier node in
+    the capped co-purchase graph — the reachability primitive under
+    impact analysis ("which suppliers are within k hops of this
+    failure") and the first stage of any distributed shortest-path.
+
+    Spark runs true frontier BFS: 3 synchronized rounds of
+    frontier ⋈ edges, each new frontier anti-joined against the
+    visited set (so first-reach IS min-hop — no per-path work), with a
+    per-round ``localCheckpoint`` truncating the growing lineage (the
+    k-core discipline). The DuckDB oracle is the definitional twin: a
+    depth-bounded recursive CTE with UNION (not UNION ALL) dedup so
+    cycles can't explode the working table, MIN(d) per node. Frontier
+    joins carry no broadcast hint — frontiers start at 1 row and can
+    grow to graph-sized (VERDICT r6 #5's lesson), so AQE decides.
+
+    Scale shape: the shared checkpointed edge set is sparse by the
+    hot-part cap; per round the shuffle is |frontier ⋈ edges|, and the
+    3-round bound keeps total work at 3 edge-joins regardless of sf.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    mirror = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seed = mirror.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("hop")
+    )
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, 4):
+        nxt = (
+            frontier.join(mirror, frontier.node == mirror.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(k).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+w AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+),
+dd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS users_1d FROM du GROUP BY day)
+SELECT d.day, dd.users_1d, w.users_7d
+FROM days d JOIN dd USING (day) JOIN w USING (day)
+""",
+    doc="[beyond-ref] exact 7-day rolling distinct users per day via contribute-explode dedup (no sliding-window COUNT DISTINCT)",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users for every observed
+    day — the DAU/WAU pair. Sliding COUNT(DISTINCT) is the op engines
+    punt on (windows can't dedup across frames without holding the
+    frame), so the scale shape re-derives it algebraically: the corpus
+    collapses to distinct (day, user) at the first agg; each user-day
+    then CONTRIBUTES to the ≤ 7 window-end days it falls in (a
+    constant-factor explode of the deduped frame, not the corpus), and
+    a second distinct+count per window-end day finishes. All
+    integers; join-free except the day-keyed assembly of the two
+    series. The oracle states the definition directly with a range
+    join — correct and O(days·users), affordable only DuckDB-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "user_id"
+    ).select(F.date_add("day", F.col("k")).alias("wday"), "user_id")
+    w = (
+        contrib.distinct()
+        .groupBy("wday")
+        .agg(F.count("*").alias("users_7d"))
+        .withColumnRenamed("wday", "day")
+    )
+    dd = du.groupBy("day").agg(F.count("*").alias("users_1d"))
+    return days.join(dd, "day").join(w, "day").select("day", "users_1d", "users_7d")

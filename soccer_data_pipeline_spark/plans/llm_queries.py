@@ -2796,3 +2796,199 @@ def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the bounded-memory frequency estimator, audited
+# against exact counts on the head of the distribution.
+# ---------------------------------------------------------------------------
+
+_CM_ROWS = 4
+_CM_WIDTH = 256
+_CM_HASH_SPARK = (
+    "conv(substring(md5(concat(cast({r} AS string), ':', token)), 1, 4), 16, 10)"
+    f" % {_CM_WIDTH}"
+)
+_CM_HASH_DUCK = (
+    "CAST('0x' || SUBSTRING(md5(CAST({r} AS VARCHAR) || ':' || token), 1, 4)"
+    f" AS BIGINT) % {_CM_WIDTH}"
+)
+
+
+@register(
+    "countmin_token_freq",
+    oracle=f"""
+WITH tk AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+  WHERE token <> '' GROUP BY token
+),
+cells AS (
+  SELECT r.r, {_CM_HASH_DUCK.format(r="r.r")} AS b,
+         CAST(SUM(n) AS BIGINT) AS counter
+  FROM counts, range(0, {_CM_ROWS}) r(r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rk
+  FROM counts QUALIFY rk <= 20
+)
+SELECT t.token, t.n AS exact_n,
+       CAST(MIN(c.counter) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.counter) - t.n AS BIGINT) AS overestimate,
+       t.rk
+FROM top t
+JOIN range(0, {_CM_ROWS}) r(r) ON TRUE
+JOIN cells c ON c.r = r.r AND c.b = {_CM_HASH_DUCK.format(r="r.r")}
+GROUP BY t.token, t.n, t.rk
+""",
+    doc="[beyond-ref] count-min sketch (4x256, md5 rows) with exact-count audit of the top-20 tokens",
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream — the fixed-memory
+    frequency estimator a streaming ingest tier runs when the
+    vocabulary no longer fits an exact hash agg — audited here against
+    exact counts on the top-20 tokens (estimate ≥ exact always; the
+    overestimate column IS the collision error, never negative).
+
+    The sketch is built FROM the exact vocabulary frame rather than by
+    re-exploding the corpus: incrementing cell (r, h_r(tok)) once per
+    occurrence is arithmetically identical to adding the token's total
+    count once — same counters, one corpus pass shared with the exact
+    side, and the 4×256 cell table is a constant-sized broadcast.
+    Row hashes are md5 over a row-salted key (the same cross-engine
+    md5-prefix shim as ``shard_manifest``), so both engines place every
+    token in identical cells. The top-20 selection rides
+    ``bounded_topk`` (TakeOrderedAndProject, total order n DESC, token)
+    — no single-partition window over the vocabulary. All outputs are
+    integers: nothing to diverge.
+    """
+    from ..operators.topk import bounded_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CM_ROWS - 1))).alias("r")
+    cells = (
+        counts.select(rows, "token", "n")
+        .select(
+            "r",
+            F.expr(_CM_HASH_SPARK.format(r="r")).cast("long").alias("b"),
+            "n",
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("counter"))
+    )
+    top = bounded_topk(
+        counts,
+        20,
+        order=[F.col("n").desc(), F.col("token")],
+        encode=[
+            (-F.col("n")).alias("neg_n"),
+            F.col("token").alias("token"),
+            F.col("n").alias("n"),
+        ],
+        fields=["token", "n"],
+    )
+    probes = top.select(rows, "token", "n", "rk").select(
+        "r",
+        F.expr(_CM_HASH_SPARK.format(r="r")).cast("long").alias("b"),
+        "token",
+        "n",
+        "rk",
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("token", "n", "rk")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(
+            "token",
+            F.col("n").alias("exact_n"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: the leakage-safe categorical feature.
+# ---------------------------------------------------------------------------
+
+_TE_SAMPLE_SPARK = "conv(substring(md5(cast(o_orderkey AS string)), 1, 4), 16, 10) % 100"
+_TE_SAMPLE_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+
+@register(
+    "target_encoding_loo",
+    oracle=f"""
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT segment, CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY segment
+),
+pri AS (SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS prior FROM seg)
+SELECT j.o_orderkey, j.segment,
+       ROUND(CAST(j.y AS DOUBLE) / 100.0, 2) AS order_value,
+       ROUND(
+         ((CAST(seg.s - j.y AS DOUBLE) + 10.0 * pri.prior) / (seg.n + 9)) / 100.0,
+         4
+       ) AS loo_encoding
+FROM j JOIN seg ON j.segment = seg.segment, pri
+WHERE {_TE_SAMPLE_DUCK} = 0
+""",
+    doc="[beyond-ref] leave-one-out smoothed target encoding of market segment vs order value (m=10 prior blend)",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    leakage-safe way to turn a categorical (market segment) into a
+    numeric feature for the model tier: each row's encoding excludes
+    its OWN target, enc_i = (S_seg − y_i + m·prior) / (n_seg − 1 + m),
+    m = 10, prior = global mean — naive mean encoding leaks the label
+    and overfits rare categories; LOO + smoothing fixes both.
+
+    Scale shape: one equi-join builds (row, segment, target); segment
+    statistics collapse to |segments| rows and come back as a
+    broadcast; the per-row encoding is then a projection — no window,
+    no second pass over the fact table. Emitted for a deterministic
+    1 % md5 sample of orders (the audit slice; the full-corpus form is
+    the same projection without the filter). Exact-cents discipline:
+    S and y are integer cents, prior is one double division of exact
+    longs, and the encoding is a single shared double tree.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        F.expr(_TE_SAMPLE_SPARK).cast("long").alias("_bucket"),
+    )
+    seg = j.groupBy("segment").agg(F.sum("y").alias("s"), F.count("*").alias("n"))
+    pri = seg.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("prior")
+    )
+    enc = (
+        (F.col("s") - F.col("y")).cast("double") + F.lit(10.0) * F.col("prior")
+    ) / (F.col("n") + F.lit(9))
+    return (
+        j.where(F.col("_bucket") == 0)
+        .join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(F.col("y").cast("double") / 100.0, 2).alias("order_value"),
+            F.round(enc / F.lit(100.0), 4).alias("loo_encoding"),
+        )
+    )

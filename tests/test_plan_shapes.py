@@ -300,6 +300,7 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "pack_sequences",
         "equi_depth_binning",
         "pmi_top_pairs",
+        "countmin_token_freq",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

@@ -279,3 +279,136 @@ def test_ewma_level_invariants(spark):
         # recursion check (both sides rounded to 6dp, so allow 2e-6)
         assert abs(r.ewma_level - (prev_level + 0.3 * r.forecast_error)) < 2e-6
         prev_level = r.ewma_level
+
+
+def test_sketch_forecast_encoding_invariants(spark):
+    """Invariants of the r7 sketch/forecast/encoding batch that the
+    value-hash differential can't express (it proves engine agreement,
+    not that the math means what the docstring claims)."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    # count-min: estimate >= exact always (one-sided error is THE
+    # sketch guarantee), and exactly 20 probes ranked 1..20
+    cm = QUERIES["countmin_token_freq"].fn(spark, sf).collect()
+    assert len(cm) == 20 and sorted(r.rk for r in cm) == list(range(1, 21))
+    assert all(r.overestimate >= 0 for r in cm)
+    assert all(r.cm_estimate == r.exact_n + r.overestimate for r in cm)
+
+    # ACF: |acf| <= 1 (Cauchy-Schwarz), all 7 lags present, pair
+    # counts strictly decreasing as the lag eats the series tail
+    acf = {r.lag: r for r in QUERIES["acf_daily_events"].fn(spark, sf).collect()}
+    assert sorted(acf) == list(range(1, 8))
+    assert all(abs(acf[k].acf) <= 1.0 + 1e-9 for k in acf)
+    assert all(acf[k].n_pairs >= acf[k + 1].n_pairs for k in range(1, 7))
+
+    # A/B z-test: arms partition the table, rates in [0,1], and the
+    # hash split is balanced to within 10% at this sf
+    ab = QUERIES["ab_test_proportions"].fn(spark, sf).collect()[0]
+    from soccer_data_pipeline_spark.sources import load_table
+
+    assert ab.n_a + ab.n_b == load_table(spark, sf, "orders").count()
+    assert 0.0 <= ab.p_a <= 1.0 and 0.0 <= ab.p_b <= 1.0
+    assert abs(ab.n_a - ab.n_b) < 0.1 * (ab.n_a + ab.n_b)
+
+    # LOO encoding: every encoding strictly inside the observed
+    # per-segment value range union the prior (smoothing pulls toward
+    # the global mean, never outside the data's convex hull)
+    te = QUERIES["target_encoding_loo"].fn(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    lo, hi = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    bad = te.where(
+        (F.col("loo_encoding") < lo - 1) | (F.col("loo_encoding") > hi + 1)
+    ).count()
+    assert bad == 0 and te.count() > 0
+
+    # Holt: with beta>0 the trend reacts to a ramp — level+trend must
+    # differ from the plain EWMA level on real data; errors start at
+    # row 2 (first row has no forecast)
+    hl = QUERIES["holt_linear_forecast"].fn(spark, sf).orderBy("day").collect()
+    assert hl[0].forecast_error is None
+    assert all(r.forecast_error is not None for r in hl[1:])
+    assert any(abs(r.holt_trend) > 1e-9 for r in hl)
+
+    # compaction: bins are contiguous in shard order and conserve
+    # bytes; no bin exceeds target + max single shard (bin packing's
+    # additive overflow bound)
+    cp = QUERIES["compaction_plan_bins"].fn(spark, sf).orderBy("shard_id").collect()
+    tot = sum(r.shard_bytes for r in cp)
+    target = (tot + 5) // 6
+    seen_bins = [r.bin_id for r in cp]
+    assert seen_bins == sorted(seen_bins)  # contiguity in shard order
+    from collections import defaultdict
+
+    per_bin = defaultdict(int)
+    for r in cp:
+        per_bin[r.bin_id] += r.shard_bytes
+    assert sum(per_bin.values()) == tot
+    max_shard = max(r.shard_bytes for r in cp)
+    assert all(v <= target + max_shard for v in per_bin.values())
+
+
+def test_bfs_bigram_rolling_invariants(spark):
+    """Definitional invariants for the BFS / bigram-LM / rolling
+    distinct batch, independent of the DuckDB differential."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    # BFS: exactly one seed at hop 0, all hops in 0..3, and hop-1 is
+    # exactly the seed's neighborhood in the mirrored edge set
+    bfs = QUERIES["bfs_hops_supplier"].fn(spark, sf).collect()
+    hops = {}
+    for r in bfs:
+        hops.setdefault(r.hop, set()).add(r.node)
+    assert set(hops) <= {0, 1, 2, 3} and len(hops[0]) == 1
+    from soccer_data_pipeline_spark.plans.analytics_queries import _supplier_edges
+
+    seed = next(iter(hops[0]))
+    e = _supplier_edges(spark, sf)
+    nbrs = {
+        r.n
+        for r in e.where((F.col("u") == seed) | (F.col("v") == seed))
+        .select(
+            F.when(F.col("u") == seed, F.col("v")).otherwise(F.col("u")).alias("n")
+        )
+        .collect()
+    }
+    assert hops.get(1, set()) == nbrs
+
+    # bigram LM: strictly positive cross-entropy (smoothed p < 1
+    # always) and n_bigrams = n_tokens - 1 per multi-token doc
+    bl = QUERIES["bigram_lm_score"].fn(spark, sf)
+    assert bl.where(F.col("bigram_xent_nats") <= 0).count() == 0
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nt"),
+    )
+    mism = (
+        bl.join(docs, "doc_id")
+        .where(F.col("n_bigrams") != F.col("nt") - 1)
+        .count()
+    )
+    assert mism == 0
+
+    # rolling distinct: the 7-day count dominates the daily count and
+    # never exceeds the sum of the trailing 7 daily counts
+    rd = {r.day: r for r in QUERIES["rolling_distinct_users"].fn(spark, sf).collect()}
+    import datetime as dt
+
+    for day, r in rd.items():
+        assert r.users_7d >= r.users_1d
+        cap = sum(
+            rd[day - dt.timedelta(days=k)].users_1d
+            for k in range(7)
+            if day - dt.timedelta(days=k) in rd
+        )
+        assert r.users_7d <= cap
