@@ -3906,3 +3906,279 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = du.groupBy("day").agg(F.count("*").alias("users_1d"))
     return days.join(dd, "day").join(w, "day").select("day", "users_1d", "users_7d")
+
+
+# ---------------------------------------------------------------------------
+# Experimentation tier: CUPED variance reduction, difference-in-
+# differences, and conversion-latency percentiles.
+# ---------------------------------------------------------------------------
+
+_ARM_HASH_SPARK = "conv(substring(md5(cast(user_id AS string)), 1, 4), 16, 10) % 2"
+_ARM_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2"
+
+
+@register(
+    "cuped_adjustment",
+    oracle=f"""
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) + 14 AS cut FROM events),
+u AS (
+  SELECT user_id, {_ARM_HASH_DUCK} AS arm,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) <= b.cut
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) > b.cut
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events, b GROUP BY user_id, arm, b.cut
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u
+),
+t AS (
+  SELECT n, sx, sy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS rho2
+  FROM m
+),
+a AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       ROUND(CAST(a.ay AS DOUBLE) / a.n_users / 100.0, 4) AS mean_post,
+       ROUND(
+         (CAST(a.ay AS DOUBLE) / a.n_users
+          - t.theta * (CAST(a.ax AS DOUBLE) / a.n_users
+                       - CAST(t.sx AS DOUBLE) / t.n)) / 100.0,
+         4
+       ) AS mean_post_cuped,
+       ROUND(t.theta, 6) AS theta,
+       ROUND(t.rho2, 6) AS rho2
+FROM a, t
+""",
+    doc="[beyond-ref] CUPED variance-reduced experiment means: pre-period covariate adjustment with pooled theta and rho-squared",
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data): per-arm
+    post-period spend means adjusted by the pre-period covariate,
+    ŷ_arm − θ·(x̄_arm − x̄), θ = cov(X,Y)/var(X) pooled — the standard
+    variance-reduction step before any A/B readout; ρ² reports the
+    variance fraction removed. Pre/post boundary is data-driven
+    (min day + 14), so the query is sf-agnostic.
+
+    Determinism: per-user X/Y are exact cents via conditional sums;
+    all five pooled moments are exact int64 sums OF those (per-user
+    products bounded ~4e10, totals well under 2^63 through sf0.1 —
+    the 100 TB form swaps the moment products to DOUBLE at the agg,
+    same tree); θ/ρ²/means are one shared double tree over the exact
+    moments on both engines. Scale shape: corpus → one row per user at
+    the first agg; arm and pooled moments are aggs OF that frame; the
+    1-row moment/boundary frames ride broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.date_add(F.min(F.to_date("ts")), 14).alias("cut"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.expr(_ARM_HASH_SPARK).cast("long").alias("arm"),
+            F.when(F.to_date("ts") <= F.col("cut"), cents).otherwise(F.lit(0)).alias("xv"),
+            F.when(F.to_date("ts") > F.col("cut"), cents).otherwise(F.lit(0)).alias("yv"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("xv").alias("x"), F.sum("yv").alias("y"))
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("sx", "sy", "sxy", "sxx", "syy")
+    )
+    n = F.col("n")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    t = m.select(
+        "n",
+        "sx",
+        "sy",
+        (cov / varx).alias("theta"),
+        (cov * cov / (varx * vary)).alias("rho2"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        "arm",
+        "n_users",
+        F.round(F.col("ay").cast("double") / F.col("n_users") / 100.0, 4).alias(
+            "mean_post"
+        ),
+        F.round(
+            (
+                F.col("ay").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (
+                    F.col("ax").cast("double") / F.col("n_users")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            )
+            / 100.0,
+            4,
+        ).alias("mean_post_cuped"),
+        F.round("theta", 6).alias("theta"),
+        F.round("rho2", 6).alias("rho2"),
+    )
+
+
+@register(
+    "did_estimator",
+    oracle=f"""
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) + 14 AS cut FROM events),
+s AS (
+  SELECT {_ARM_HASH_DUCK} AS arm,
+         CASE WHEN CAST(ts AS DATE) <= b.cut THEN 0 ELSE 1 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events, b
+),
+c AS (
+  SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM s GROUP BY arm, post
+),
+p AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS a_pre,
+    MAX(CASE WHEN arm = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS a_post,
+    MAX(CASE WHEN arm = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS b_pre,
+    MAX(CASE WHEN arm = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS b_post
+  FROM c
+)
+SELECT ROUND(a_pre / 100.0, 4) AS mean_a_pre,
+       ROUND(a_post / 100.0, 4) AS mean_a_post,
+       ROUND(b_pre / 100.0, 4) AS mean_b_pre,
+       ROUND(b_post / 100.0, 4) AS mean_b_post,
+       ROUND(((b_post - b_pre) - (a_post - a_pre)) / 100.0, 4) AS did_estimate
+FROM p
+""",
+    doc="[beyond-ref] difference-in-differences estimator over the hash arms and the data-driven pre/post boundary",
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treatment-effect estimator when
+    arms differ at baseline — (B_post − B_pre) − (A_post − A_pre)
+    cancels both the arm-level offset and the common time trend. Same
+    hash arms and data-driven boundary as ``cuped_adjustment`` (the
+    two estimators share an experiment design; CUPED tightens the
+    post-only readout, DiD defends against baseline imbalance).
+
+    One full-table agg to 4 (arm × period) cells; the pivot to one row
+    is a MAX(CASE) over 4 rows; every mean a single division of exact
+    cents by an exact count; the DiD line is one shared double tree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.date_add(F.min(F.to_date("ts")), 14).alias("cut"))
+    s = ev.crossJoin(F.broadcast(b)).select(
+        F.expr(_ARM_HASH_SPARK).cast("long").alias("arm"),
+        F.when(F.to_date("ts") <= F.col("cut"), F.lit(0)).otherwise(F.lit(1)).alias(
+            "post"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    c = s.groupBy("arm", "post").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    mean = F.col("s").cast("double") / F.col("n")
+    p = c.agg(
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), mean)).alias("a_pre"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), mean)).alias("a_post"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias("b_pre"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias("b_post"),
+    )
+    return p.select(
+        F.round(F.col("a_pre") / 100.0, 4).alias("mean_a_pre"),
+        F.round(F.col("a_post") / 100.0, 4).alias("mean_a_post"),
+        F.round(F.col("b_pre") / 100.0, 4).alias("mean_b_pre"),
+        F.round(F.col("b_post") / 100.0, 4).alias("mean_b_post"),
+        F.round(
+            (
+                (F.col("b_post") - F.col("b_pre"))
+                - (F.col("a_post") - F.col("a_pre"))
+            )
+            / 100.0,
+            4,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "time_to_convert_percentiles",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(EPOCH_US(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t1
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > su.t0
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT su.user_id, pu.t1 - su.t0 AS dus FROM su JOIN pu ON su.user_id = pu.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY dus) / 1000000.0 AS p25_s,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY dus) / 1000000.0 AS p50_s,
+       PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY dus) / 1000000.0 AS p90_s
+FROM d
+""",
+    doc="[beyond-ref] signup-to-first-purchase latency percentiles (exact interpolation on integer microseconds)",
+)
+def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, first signup to first subsequent
+    purchase, summarized as P25/P50/P90 — the activation metric the
+    funnel (``event_funnel``) counts but doesn't time.
+
+    Scale shape: two user-keyed aggs (first signup; first purchase
+    after it, computed by joining the purchase stream against the
+    broadcast-eligible signup frame) and one user-keyed join — no
+    windows. The percentile interpolates on exact integer
+    MICROSECONDS (the ``daily_value_percentiles`` milli-unit trick),
+    so midpoints are dyadic and bit-identical across engines; the
+    single division to seconds happens after.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(su, "user_id")
+        .where(F.col("t") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    d = su.join(pu, "user_id").select((F.col("t1") - F.col("t0")).alias("dus"))
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        (F.percentile("dus", F.lit(0.25)) / 1000000.0).alias("p25_s"),
+        (F.percentile("dus", F.lit(0.5)) / 1000000.0).alias("p50_s"),
+        (F.percentile("dus", F.lit(0.9)) / 1000000.0).alias("p90_s"),
+    )

@@ -412,3 +412,40 @@ def test_bfs_bigram_rolling_invariants(spark):
             if day - dt.timedelta(days=k) in rd
         )
         assert r.users_7d <= cap
+
+
+def test_experimentation_tier_invariants(spark):
+    """Design-level invariants of the CUPED/DiD/latency tier."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    # CUPED: rho2 in [0,1]; adjustment preserves the overall weighted
+    # mean exactly in expectation form: sum n_a*(adj - raw) =
+    # -theta * sum n_a*(xbar_a - xbar) = 0 (up to the 4dp rounding)
+    cu = QUERIES["cuped_adjustment"].fn(spark, sf).collect()
+    assert len(cu) == 2
+    assert all(0.0 <= r.rho2 <= 1.0 for r in cu)
+    drift = sum(r.n_users * (r.mean_post_cuped - r.mean_post) for r in cu)
+    n_tot = sum(r.n_users for r in cu)
+    assert abs(drift / n_tot) < 1e-3  # 4dp rounding noise only
+
+    # DiD: the estimate equals the cell arithmetic of its own columns
+    d = QUERIES["did_estimator"].fn(spark, sf).collect()[0]
+    expect = (d.mean_b_post - d.mean_b_pre) - (d.mean_a_post - d.mean_a_pre)
+    assert abs(d.did_estimate - expect) < 1e-3
+
+    # latency percentiles: ordered, positive, and bounded by the
+    # observed event-time span
+    t = QUERIES["time_to_convert_percentiles"].fn(spark, sf).collect()[0]
+    assert t.n_converted > 0
+    assert 0 < t.p25_s <= t.p50_s <= t.p90_s
+    from soccer_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events")
+    span = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0
+    ).collect()[0][0]
+    assert t.p90_s <= span
