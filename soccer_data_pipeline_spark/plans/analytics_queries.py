@@ -4182,3 +4182,92 @@ def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile("dus", F.lit(0.5)) / 1000000.0).alias("p50_s"),
         (F.percentile("dus", F.lit(0.9)) / 1000000.0).alias("p90_s"),
     )
+
+
+@register(
+    "winsorized_revenue_stats",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+th AS (
+  SELECT PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY c) AS p5,
+         PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY c) AS p95
+  FROM v
+),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN c > th.p5 AND c < th.p95 THEN c ELSE 0 END) AS BIGINT) AS smid,
+         CAST(SUM(CASE WHEN c > th.p5 AND c < th.p95 THEN 1 ELSE 0 END) AS BIGINT) AS nmid,
+         CAST(SUM(CASE WHEN c <= th.p5 THEN 1 ELSE 0 END) AS BIGINT) AS nlo,
+         CAST(SUM(CASE WHEN c >= th.p95 THEN 1 ELSE 0 END) AS BIGINT) AS nhi,
+         MAX(th.p5) AS p5, MAX(th.p95) AS p95
+  FROM v, th
+)
+SELECT n,
+       ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS raw_mean,
+       ROUND((CAST(smid AS DOUBLE) + nlo * p5 + nhi * p95) / n / 100.0, 4)
+         AS winsorized_mean,
+       ROUND(CAST(smid AS DOUBLE) / nmid / 100.0, 4) AS trimmed_mean,
+       ROUND(p5 / 100.0, 4) AS p5_value,
+       ROUND(p95 / 100.0, 4) AS p95_value
+FROM ag
+""",
+    doc="[beyond-ref] winsorized + trimmed revenue means (5% tails): the outlier-robust KPI pair",
+)
+def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust order-value statistics: the 5 %-winsorized mean
+    (tails clamped to P5/P95) and the 5 %-trimmed mean (tails dropped)
+    next to the raw mean — the robust-KPI pair that keeps one whale
+    order from moving a dashboard; the spread between raw and robust
+    IS the outlier-influence signal (cf. ``mad_outlier_audit``).
+
+    Two passes: exact P5/P95 interpolated on integer cents (dyadic —
+    bit-identical both engines) ride back as a 1-row broadcast; the
+    second pass takes conditional integer sums against those
+    thresholds. The winsorized sum is reassembled algebraically
+    (S_mid + n_lo·p5 + n_hi·p95) rather than clamping per row, so the
+    float work is one shared tree over exact operands. Strict/non-
+    strict comparisons pair up exactly (>, <, <=, >=) on both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    th = v.agg(
+        F.percentile("c", F.lit(0.05)).alias("p5"),
+        F.percentile("c", F.lit(0.95)).alias("p95"),
+    )
+    mid = (F.col("c") > F.col("p5")) & (F.col("c") < F.col("p95"))
+    ag = v.crossJoin(F.broadcast(th)).agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.when(mid, F.col("c")).otherwise(F.lit(0))).alias("smid"),
+        F.sum(F.when(mid, F.lit(1)).otherwise(F.lit(0))).alias("nmid"),
+        F.sum(F.when(F.col("c") <= F.col("p5"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "nlo"
+        ),
+        F.sum(F.when(F.col("c") >= F.col("p95"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "nhi"
+        ),
+        F.max("p5").alias("p5"),
+        F.max("p95").alias("p95"),
+    )
+    return ag.select(
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias("raw_mean"),
+        F.round(
+            (
+                F.col("smid").cast("double")
+                + F.col("nlo") * F.col("p5")
+                + F.col("nhi") * F.col("p95")
+            )
+            / F.col("n")
+            / 100.0,
+            4,
+        ).alias("winsorized_mean"),
+        F.round(F.col("smid").cast("double") / F.col("nmid") / 100.0, 4).alias(
+            "trimmed_mean"
+        ),
+        F.round(F.col("p5") / 100.0, 4).alias("p5_value"),
+        F.round(F.col("p95") / 100.0, 4).alias("p95_value"),
+    )

@@ -2992,3 +2992,196 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(enc / F.lit(100.0), 4).alias("loo_encoding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination prefilter: the constant-memory membership
+# gate, audited against the exact join.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536
+_BLOOM_K = 3
+_SPLIT_HASH_SPARK = "conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 100"
+_SPLIT_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+_BLOOM_POS_SPARK = (
+    "conv(substring(md5(concat(cast({h} AS string), ':', text)), 1, 4), 16, 10)"
+    f" % {_BLOOM_M}"
+)
+_BLOOM_POS_DUCK = (
+    "CAST('0x' || SUBSTRING(md5(CAST({h} AS VARCHAR) || ':' || text), 1, 4)"
+    f" AS BIGINT) % {_BLOOM_M}"
+)
+
+
+@register(
+    "bloom_filter_fpr",
+    oracle=f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE {_SPLIT_HASH_DUCK} < 80),
+te AS (SELECT doc_id, text FROM documents WHERE {_SPLIT_HASH_DUCK} >= 80),
+bits AS (
+  SELECT DISTINCT {_BLOOM_POS_DUCK.format(h="h.h")} AS pos
+  FROM tr, range(0, {_BLOOM_K}) h(h)
+),
+probe AS (
+  SELECT te.doc_id, {_BLOOM_POS_DUCK.format(h="h.h")} AS pos
+  FROM te, range(0, {_BLOOM_K}) h(h)
+),
+hits AS (
+  SELECT p.doc_id
+  FROM probe p JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id HAVING COUNT(*) = {_BLOOM_K}
+),
+dup AS (
+  SELECT DISTINCT te.doc_id FROM te JOIN tr ON te.text = tr.text
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_test,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dup) AS n_true_dups,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+)
+SELECT n_test, n_bloom_hits, n_true_dups, n_bits_set,
+       CAST(n_bloom_hits - n_true_dups AS BIGINT) AS n_false_positives,
+       ROUND(CAST(n_bloom_hits - n_true_dups AS DOUBLE) / (n_test - n_true_dups), 6)
+         AS observed_fpr
+FROM c
+""",
+    doc="[beyond-ref] Bloom-filter (64Ki bits, k=3) train-text membership gate probed by the test split, audited against the exact join",
+)
+def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination prefilter: set k=3 md5 positions per
+    TRAIN text into a 65,536-bit filter, probe every TEST text, and
+    audit the hit set against the exact text join — the constant-
+    memory first pass a contamination scan (``benchmark_contamination``)
+    runs before paying for exact matching. Bloom never misses a true
+    duplicate (asserted in tests), so the audit reduces to the
+    false-positive rate, reported alongside the fill (n_bits_set) —
+    at growing sf the FIXED filter saturates and the observed FPR
+    climbs toward 1, which is exactly the sizing lesson: production
+    scales m with n (m ≈ −n·ln p/ln²2), this query keeps m constant so
+    the differential stays cross-engine-stable.
+
+    Scale shape: the bit set is a ≤ m-row distinct (the filter itself,
+    broadcast-eligible by construction); probes explode k=3 rows per
+    test doc and equi-join the bit set; the exact side is one
+    text-keyed semi-join. All counts integer; one final division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(_SPLIT_HASH_SPARK).cast("long")
+    tr = docs.where(split < 80).select("doc_id", "text")
+    te = docs.where(split >= 80).select("doc_id", "text")
+    hs = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("h")
+    bits = (
+        tr.select(hs, "text")
+        .select(F.expr(_BLOOM_POS_SPARK.format(h="h")).cast("long").alias("pos"))
+        .distinct()
+    )
+    probe = te.select(hs, "doc_id", "text").select(
+        "doc_id", F.expr(_BLOOM_POS_SPARK.format(h="h")).cast("long").alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_k"))
+        .where(F.col("_k") == _BLOOM_K)
+    )
+    dup = te.join(tr.select("text"), "text", "left_semi").select("doc_id").distinct()
+    c = (
+        te.agg(F.count("*").alias("n_test"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_bloom_hits"))))
+        .crossJoin(F.broadcast(dup.agg(F.count("*").alias("n_true_dups"))))
+        .crossJoin(F.broadcast(bits.agg(F.count("*").alias("n_bits_set"))))
+    )
+    return c.select(
+        "n_test",
+        "n_bloom_hits",
+        "n_true_dups",
+        "n_bits_set",
+        (F.col("n_bloom_hits") - F.col("n_true_dups")).alias("n_false_positives"),
+        F.round(
+            (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("double")
+            / (F.col("n_test") - F.col("n_true_dups")),
+            6,
+        ).alias("observed_fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language vocabulary overlap: corpus-comparison Jaccard matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_overlap_matrix",
+    oracle="""
+WITH lt AS (
+  SELECT DISTINCT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+),
+lt2 AS (SELECT lang, token FROM lt WHERE token <> ''),
+sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS vsize FROM lt2 GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM lt2 a JOIN lt2 b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, sa.vsize AS vocab_a, sb.vsize AS vocab_b, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE) / (sa.vsize + sb.vsize - i.n_shared), 6)
+         AS jaccard
+FROM inter i
+JOIN sz sa ON sa.lang = i.lang_a
+JOIN sz sb ON sb.lang = i.lang_b
+""",
+    doc="[beyond-ref] pairwise vocabulary Jaccard between languages — loanword/contamination signal for the lang-ID tier",
+)
+def vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every language pair — high overlap
+    between two labels means either heavy loanword traffic or lang-ID
+    mislabeling (the corpus-level companion of ``lang_id_confusion``,
+    which audits per-DOC labels; this audits the LEXICONS they imply).
+
+    Scale shape: the corpus collapses to distinct (lang, token) at the
+    first agg — the self-join is then token-keyed with per-token fanout
+    bounded by the language count (each token exists once per lang), so
+    pair expansion is ≤ C(|langs|,2) per token, never quadratic in
+    rows. Sizes come back via two broadcast-sized dim joins; Jaccard is
+    one division of exact longs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lt = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sz = lt.groupBy("lang").agg(F.count("*").alias("vsize"))
+    a, b = lt.alias("a"), lt.alias("b")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("lang").alias("lang_a"), F.col("vsize").alias("vocab_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("lang").alias("lang_b"), F.col("vsize").alias("vocab_b"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

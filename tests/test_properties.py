@@ -449,3 +449,37 @@ def test_experimentation_tier_invariants(spark):
         (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0
     ).collect()[0][0]
     assert t.p90_s <= span
+
+
+def test_bloom_vocab_winsor_invariants(spark):
+    """Definitional invariants for the Bloom/overlap/robust-stats batch."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    # Bloom: no false negatives is THE filter guarantee -> hits >=
+    # true dups; fpr in [0,1]; fill bounded by k * train size and m
+    bf = QUERIES["bloom_filter_fpr"].fn(spark, sf).collect()[0]
+    assert bf.n_bloom_hits >= bf.n_true_dups
+    assert 0.0 <= bf.observed_fpr <= 1.0
+    assert bf.n_bits_set <= 65536
+
+    # vocab overlap: symmetric-complete pair grid (a < b), jaccard in
+    # (0,1], shared bounded by the smaller vocabulary
+    vo = QUERIES["vocab_overlap_matrix"].fn(spark, sf).collect()
+    langs = {r.lang_a for r in vo} | {r.lang_b for r in vo}
+    assert len(vo) == len(langs) * (len(langs) - 1) // 2
+    for r in vo:
+        assert r.lang_a < r.lang_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_shared <= min(r.vocab_a, r.vocab_b)
+
+    # winsorized/trimmed: both robust means inside [p5, p95]; the
+    # winsorized mean dominated by raw iff upper tail heavier (no sign
+    # assertion), but all three must lie within the value range
+    w = QUERIES["winsorized_revenue_stats"].fn(spark, sf).collect()[0]
+    assert w.p5_value <= w.trimmed_mean <= w.p95_value
+    assert w.p5_value <= w.winsorized_mean <= w.p95_value
+    assert w.n > 0
