@@ -4271,3 +4271,129 @@ def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p5") / 100.0, 4).alias("p5_value"),
         F.round(F.col("p95") / 100.0, 4).alias("p95_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy tier: k-anonymity and deterministic differential privacy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_custkey
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, CAST(COUNT(*) AS BIGINT) AS gsize
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT gsize AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gsize) AS BIGINT) AS n_customers,
+       CAST(CASE WHEN gsize < 5 THEN 1 ELSE 0 END AS BIGINT) AS is_risky
+FROM g GROUP BY gsize
+""",
+    doc="[beyond-ref] k-anonymity audit (k=5) over the (nation, segment, balance-band) quasi-identifier: group-size histogram with risk flag",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (nation, market segment, account-balance band):
+    the group-size histogram with every size < k = 5 flagged — a
+    record in a group of size 1–4 is re-identifiable by an attacker
+    who knows those three public-ish attributes, and this histogram is
+    what a release-review board reads before an export (the
+    risk-measurement sibling of ``gdpr_delete_audit`` / ``pii_scrub``,
+    which handle the remediation side).
+
+    Scale shape: one QI-keyed hash agg collapses the table, a second
+    agg over GROUP SIZES (cardinality ≤ max group size) builds the
+    histogram. All integers.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    g = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("gsize"))
+    )
+    return g.groupBy(F.col("gsize").alias("group_size")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("gsize").alias("n_customers"),
+        F.max(
+            F.when(F.col("gsize") < 5, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("is_risky"),
+    )
+
+
+_DP_U_SPARK = (
+    "(conv(substring(md5(concat(n_name, ':dpseed')), 1, 8), 16, 10) + 0.5)"
+    " / 4294967296.0"
+)
+_DP_U_DUCK = (
+    "(CAST('0x' || SUBSTRING(md5(n_name || ':dpseed'), 1, 8) AS BIGINT) + 0.5)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+WITH c AS (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+u AS (SELECT n_name, n_customers, {_DP_U_DUCK} AS uu FROM c)
+SELECT n_name, n_customers,
+       ROUND(
+         n_customers
+         - (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+           * LN(1.0 - 2.0 * ABS(uu - 0.5)),
+         4
+       ) AS dp_count
+FROM u
+""",
+    doc="[beyond-ref] epsilon=1 Laplace-noised per-nation counts with deterministic md5-seeded inverse-CDF noise",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε = 1 differentially-private per-nation customer counts: the
+    released count is n + Laplace(1/ε) drawn by inverse CDF,
+    X = −b·sgn(u−½)·ln(1−2|u−½|) — the noise a DP release layer adds
+    so a single customer's presence can't be inferred from the
+    histogram (sensitivity of a count is 1, so b = 1/ε = 1).
+
+    The uniform u is DERIVED, not random: md5 of the group key + a
+    fixed seed tag, scaled by (h+0.5)/2³² so u ∈ (0,1) strictly (the
+    half-step keeps |u−½| < ½, so the ln argument is always positive).
+    That makes the query reproducible AND cross-engine identical —
+    both engines evaluate the same inverse-CDF tree on the same u; the
+    sign is an explicit CASE, not an engine SIGN() whose type varies.
+    (Production would swap the md5 for a per-release secret seed;
+    determinism-per-seed is a feature there too — it makes releases
+    auditable.) Scale shape: one dim-keyed agg, then a projection.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    u = c.withColumn("uu", F.expr(_DP_U_SPARK))
+    noise = F.when(F.col("uu") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(F.col("uu") - F.lit(0.5))
+    )
+    return u.select(
+        "n_name",
+        "n_customers",
+        F.round(F.col("n_customers") - noise, 4).alias("dp_count"),
+    )

@@ -1564,3 +1564,97 @@ def quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("route"),
         )
     )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 20000
+),
+j AS (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS pc, big.qc
+  FROM big
+  JOIN orders o ON o.o_orderkey = big.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pc DESC, o_orderkey) AS BIGINT) AS rk
+  FROM j QUALIFY rk <= 100
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(CAST(pc AS DOUBLE) / 100.0, 2) AS o_totalprice,
+       ROUND(CAST(qc AS DOUBLE) / 100.0, 2) AS sum_qty,
+       rk
+FROM r
+""",
+    doc="TPC-H Q18 shape: large-volume orders (quantity-sum gate) with customer, top-100 by price — the group-filter-join-topk composite",
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 ("large volume customer"): orders whose total line quantity
+    exceeds a gate, re-joined to header and customer, top-100 by order
+    value — TPC-H's canonical agg→HAVING→join→top-k composite and the
+    shape that exercises semi-join reduction (the `big` gate shrinks
+    orders BEFORE the customer join touches anything).
+
+    Quantities are summed as exact integer centi-units (l_quantity is
+    DOUBLE in the source; a float SUM would be association-ordered),
+    the gate compares integers, and the top-100 of the order-sized
+    survivor frame rides ``bounded_topk`` (TakeOrderedAndProject, total
+    order price DESC then orderkey) — never a single-partition window.
+    Reference parity: the reference's aggregation SQL family
+    (README.md:252-266) has no Q18 twin; this extends the engine's SQL
+    composite coverage alongside q3/q5/q10.
+    """
+    from ..operators.topk import bounded_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qc")
+        )
+        .where(F.col("qc") > 20000)
+    )
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+            "qc",
+        )
+    )
+    top = bounded_topk(
+        j,
+        100,
+        order=[F.col("pc").desc(), F.col("o_orderkey")],
+        encode=[
+            (-F.col("pc")).alias("neg_pc"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.col("c_name").alias("c_name"),
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("pc").alias("pc"),
+            F.col("qc").alias("qc"),
+        ],
+        fields=["c_name", "c_custkey", "o_orderkey", "o_orderdate", "pc", "qc"],
+    )
+    return top.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("pc").cast("double") / 100.0, 2).alias("o_totalprice"),
+        F.round(F.col("qc").cast("double") / 100.0, 2).alias("sum_qty"),
+        "rk",
+    )

@@ -483,3 +483,37 @@ def test_bloom_vocab_winsor_invariants(spark):
     assert w.p5_value <= w.trimmed_mean <= w.p95_value
     assert w.p5_value <= w.winsorized_mean <= w.p95_value
     assert w.n > 0
+
+
+def test_privacy_q18_invariants(spark):
+    """Invariants for the privacy tier and the Q18 composite."""
+    import pyspark.sql.functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    # k-anonymity: histogram conserves the customer count; risk flag
+    # is exactly (size < 5)
+    ka = QUERIES["k_anonymity_audit"].fn(spark, sf).collect()
+    n_cust = load_table(spark, sf, "customer").count()
+    assert sum(r.n_customers for r in ka) == n_cust
+    assert all(r.is_risky == (1 if r.group_size < 5 else 0) for r in ka)
+    assert all(r.n_customers == r.group_size * r.n_groups for r in ka)
+
+    # DP: one row per nation; noise magnitude plausible for b=1
+    # (P(|X|>20) = e^-20 — astronomically unlikely under the hash
+    # uniform), and dp_count differs from the exact count (noise != 0)
+    dp = QUERIES["dp_noisy_counts"].fn(spark, sf).collect()
+    n_nations = load_table(spark, sf, "nation").select("n_name").distinct().count()
+    assert len(dp) == n_nations
+    assert all(abs(r.dp_count - r.n_customers) < 20 for r in dp)
+    assert any(abs(r.dp_count - r.n_customers) > 1e-6 for r in dp)
+
+    # Q18: every emitted order's quantity sum exceeds the gate; ranks
+    # dense from 1; prices non-increasing in rank order
+    q = QUERIES["tpch_q18_shape"].fn(spark, sf).orderBy("rk").collect()
+    assert q and [r.rk for r in q] == list(range(1, len(q) + 1))
+    assert all(r.sum_qty > 200.0 for r in q)
+    assert all(q[i].o_totalprice >= q[i + 1].o_totalprice for i in range(len(q) - 1))
