@@ -143,6 +143,23 @@ HEADLINE = [
     "lpa_communities",
     "community_modularity",
     "tokenizer_fertility",
+    # round-7 late batch: sketches, experimentation, LM scoring, graph BFS
+    "bigram_lm_score",
+    "countmin_token_freq",
+    "bloom_filter_fpr",
+    "bfs_hops_supplier",
+    "rolling_distinct_users",
+    "cuped_adjustment",
+    "did_estimator",
+    "time_to_convert_percentiles",
+    "vocab_overlap_matrix",
+    "winsorized_revenue_stats",
+    "tpch_q18_shape",
+    "holt_linear_forecast",
+    "acf_daily_events",
+    "k_anonymity_audit",
+    "compaction_plan_bins",
+    "target_encoding_loo",
 ]
 
 
