@@ -220,3 +220,4 @@ from . import sql_surface  # noqa: E402,F401
 from . import curation_queries  # noqa: E402,F401
 from . import warehouse_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+from . import mleval_queries  # noqa: E402,F401

@@ -1658,3 +1658,170 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qc").cast("double") / 100.0, 2).alias("sum_qty"),
         "rk",
     )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+WITH top AS (
+  SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+  JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+  GROUP BY s.s_name
+)
+SELECT s_name, numwait,
+       CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS BIGINT) AS rk
+FROM top
+QUALIFY rk <= 10
+""",
+    doc=(
+        "TPC-H Q21 shape (suppliers who kept orders waiting): the "
+        "EXISTS + NOT-EXISTS double correlated subquery, rewritten "
+        "Spark-side as one per-(order,supplier) collapse — no self-join "
+        "of lineitem"
+    ),
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 ("suppliers who kept orders waiting"): late lines of finished
+    orders where SOME other supplier shares the order (EXISTS) but NO
+    other supplier was also late (NOT EXISTS), counted per supplier,
+    top 10.  Lateness adapts Q21's receipt-vs-commit test to this
+    schema: ``l_shipdate > o_orderdate + 60 days``.
+
+    The oracle keeps the textbook double correlated subquery.  The
+    Spark plan is the aggregate REWRITE — the point of the query: two
+    correlated passes over lineitem become ONE ``groupBy(orderkey,
+    suppkey)`` collapse, after which "another supplier exists" is
+    ``n_supp > 1`` and "no other late supplier" is ``n_late_supp = 1``
+    on the pair frame (l1 itself is late, so it is the one).  At 100 TB
+    lineitem is touched once (filter-joined to F-status orders, then
+    the pair collapse); everything downstream is pair/order-sized.
+    Equivalence to the subquery form is exactly what the oracle
+    differential certifies.  Top-10 rides ``bounded_topk``
+    (TakeOrderedAndProject), never a single-partition window; supplier
+    names come from a broadcast dim join.
+    """
+    from ..operators.topk import bounded_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .cast("int")
+        .alias("late"),
+    )
+    pairs = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").cast("long").alias("late_lines")
+    )
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    qual = pairs.where(F.col("late_lines") > 0).join(
+        stats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+    )
+    waits = (
+        qual.groupBy("l_suppkey")
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return bounded_topk(
+        waits,
+        10,
+        order=[F.col("numwait").desc(), F.col("s_name")],
+        encode=[
+            (-F.col("numwait")).alias("neg_w"),
+            F.col("s_name").alias("s_name"),
+            F.col("numwait").alias("numwait"),
+        ],
+        fields=["s_name", "numwait"],
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+WITH cnt AS (
+  SELECT p_brand, p_type, p_size,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand <> 'Brand#1'
+    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand, p_type, p_size, supplier_cnt,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size) AS BIGINT) AS rk
+FROM cnt
+QUALIFY rk <= 20
+""",
+    doc=(
+        "TPC-H Q16 shape: supplier diversity per part group — broadcast "
+        "anti-join exclusion list + COUNT(DISTINCT) agg, top-20"
+    ),
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 ("parts/supplier relationship"): how many distinct suppliers
+    serve each (brand, type, size) part group, excluding one brand,
+    restricting to 8 sizes, and dropping an exclusion list of suppliers
+    (Q16's complaint filter adapts to ``s_acctbal < 0`` — the schema
+    has no comment column).
+
+    Plan: part predicates push to the parquet scan of the broadcast
+    dim side; the exclusion list is a broadcast LEFT ANTI join (NOT IN
+    without the NULL trap — suppkey is non-null by schema, so the
+    forms agree); COUNT(DISTINCT) is one expand + partial-agg shuffle
+    keyed by the group; top-20 rides ``bounded_topk``.  Nothing scales
+    with lineitem except the first filter-join pass.
+    """
+    from ..operators.topk import bounded_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    cnt = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+    return bounded_topk(
+        cnt,
+        20,
+        order=[
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        ],
+        encode=[
+            (-F.col("supplier_cnt")).alias("neg_c"),
+            F.col("p_brand").alias("p_brand"),
+            F.col("p_type").alias("p_type"),
+            F.col("p_size").alias("p_size"),
+            F.col("supplier_cnt").alias("supplier_cnt"),
+        ],
+        fields=["p_brand", "p_type", "p_size", "supplier_cnt"],
+    )
