@@ -74,6 +74,7 @@ def exclusive_prefix_offsets(
     bucket_col: str,
     count_col: str,
     out_col: str = "_off",
+    total_col: str | None = None,
 ) -> DataFrame:
     """(bucket, count) → (bucket, exclusive prefix total) with NO window.
 
@@ -84,6 +85,12 @@ def exclusive_prefix_offsets(
     result explodes back to rows. Replaces the un-partitioned
     ``Window.orderBy(bucket).rowsBetween(unboundedPreceding, -1)``
     idiom: same values, zero ``WindowExec`` nodes.
+
+    ``total_col``: when set, every output row also carries the GRAND
+    total (fold of the whole array) under this name — consumers that
+    need "n" alongside each row's offset get it from the same ≤B-row
+    fold instead of re-traversing the big frame with a separate
+    ``count(*)`` + ``crossJoin`` pass.
     """
     arr = counts.agg(
         F.array_sort(
@@ -103,9 +110,19 @@ def exclusive_prefix_offsets(
             ).alias("o"),
         ),
     )
-    return arr.select(F.explode(pref).alias("_e")).select(
-        F.col("_e.b").alias(bucket_col), F.col("_e.o").cast("long").alias(out_col)
-    )
+    cols = [
+        F.col("_e.b").alias(bucket_col),
+        F.col("_e.o").cast("long").alias(out_col),
+    ]
+    sel = [F.explode(pref).alias("_e")]
+    if total_col is not None:
+        sel.append(
+            F.aggregate(
+                F.col("_l"), F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+            ).alias("_t")
+        )
+        cols.append(F.col("_t").cast("long").alias(total_col))
+    return arr.select(*sel).select(*cols)
 
 
 def value_bucketed_prefix_sum(
@@ -116,6 +133,7 @@ def value_bucketed_prefix_sum(
     n_buckets: int = 64,
     prefix: str = "cum_",
     boundaries: list[float] | None = None,
+    total_prefix: str | None = None,
 ) -> DataFrame:
     """Exact INCLUSIVE running totals of each ``weights`` column under
     ``ORDER BY key, *tiebreak`` for EVERY row — the cumulative-sum
@@ -138,6 +156,11 @@ def value_bucketed_prefix_sum(
     is not. Callers scale to cents/milli-units first (house rule).
 
     Output: ``df``'s columns plus one ``{prefix}{w}`` long per weight.
+
+    ``total_prefix``: when set, also emit the GRAND total of each
+    weight as ``{total_prefix}{w}`` on every row — it comes from the
+    same broadcast B-row bucket-total fold, so ECDF consumers divide
+    by n without a second full-frame agg + crossJoin pass.
     """
     tiebreak = tiebreak or []
     if boundaries is None:
@@ -172,7 +195,11 @@ def value_bucketed_prefix_sum(
     offsets = None
     for w in weights:
         off = exclusive_prefix_offsets(
-            totals.select("_b", f"_n_{w}"), "_b", f"_n_{w}", out_col=f"_off_{w}"
+            totals.select("_b", f"_n_{w}"),
+            "_b",
+            f"_n_{w}",
+            out_col=f"_off_{w}",
+            total_col=(f"{total_prefix}{w}" if total_prefix is not None else None),
         )
         offsets = off if offsets is None else offsets.join(off, "_b")
     out = local.join(F.broadcast(offsets), "_b")
@@ -190,6 +217,7 @@ def value_bucketed_rank(
     n_buckets: int = 64,
     rank_col: str = "i",
     boundaries: list[float] | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global 1-based rank under ``ORDER BY key, *tiebreak`` for
     EVERY row — the full-frame companion of :func:`bounded_topk` —
@@ -230,6 +258,15 @@ def value_bucketed_rank(
     stale set only unbalances buckets, so a pipeline ranking the same
     key repeatedly (daily Gini, rolling binning) can probe once and
     pass the list forward across runs.
+
+    ``total_col``: when set, every output row also carries the grand
+    row count n as a long column of this name — it rides the SAME
+    broadcast bucket-offset fold (n = Σ bucket counts), so consumers
+    whose arithmetic needs n per row (NTILE, top-decile cuts, Gini's
+    (n+1)/n term) get it with ZERO extra passes over the ranked frame.
+    The r7 verdict measured the alternative — a separate ``count(*)``
+    agg + ``crossJoin`` re-traversing the ranked plan — at ~3.7× on
+    the Gini query; this closes that.
     """
     if boundaries is None:
         df = df.localCheckpoint(eager=False)
@@ -252,7 +289,10 @@ def value_bucketed_rank(
     w_local = Window.partitionBy("_b").orderBy(key, *tiebreak)
     local = t.withColumn("_lr", F.row_number().over(w_local))
     offsets = exclusive_prefix_offsets(
-        t.groupBy("_b").agg(F.count("*").alias("_n")), "_b", "_n"
+        t.groupBy("_b").agg(F.count("*").alias("_n")),
+        "_b",
+        "_n",
+        total_col=total_col,
     )
     return (
         local.join(F.broadcast(offsets), "_b")

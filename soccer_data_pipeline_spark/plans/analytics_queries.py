@@ -1201,7 +1201,10 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct ranks), ranks locally per bucket, and adds the exclusive
     bucket-offset prefix folded inside one ≤64-element array. Customer
     dims grow with the data, so the naive dim-sized global window is
-    exactly the plan this avoids.
+    exactly the plan this avoids. The per-row n the top-decile cut
+    needs rides the SAME broadcast offsets fold (``total_col``) — ONE
+    pass over the ranked frame, no count+crossJoin re-traversal (the
+    r7 verdict measured that second pass at ~3.7× the query).
     """
     from ..operators.topk import value_bucketed_rank
 
@@ -1209,9 +1212,10 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
-    ranked = value_bucketed_rank(rev, "rev", ["custkey"], n_buckets=64, rank_col="i")
-    n1 = ranked.agg(F.count("*").alias("_n"))
-    agg = ranked.crossJoin(F.broadcast(n1)).agg(
+    ranked = value_bucketed_rank(
+        rev, "rev", ["custkey"], n_buckets=64, rank_col="i", total_col="_n"
+    )
+    agg = ranked.agg(
         F.max("_n").alias("n"),
         F.sum("rev").alias("tot"),
         F.sum(F.col("i") * F.col("rev")).alias("irev"),
@@ -2424,6 +2428,9 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER as the definitional check). Money stays integer cents
     until the final per-decile division; the decile index is exact
     integer division in BOTH engines (``div`` here, ``//`` there).
+    The n the decile arithmetic divides by rides the rank primitive's
+    broadcast offsets fold (``total_col``) — one pass over orders, no
+    separate count+crossJoin scan.
     """
     from ..operators.topk import value_bucketed_rank
 
@@ -2432,12 +2439,12 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    ranked = value_bucketed_rank(c, "cents", ["o_orderkey"], n_buckets=64, rank_col="i")
-    n1 = c.agg(F.count("*").alias("_n"))
-    j = ranked.crossJoin(F.broadcast(n1))
+    ranked = value_bucketed_rank(
+        c, "cents", ["o_orderkey"], n_buckets=64, rank_col="i", total_col="_n"
+    )
     decile = F.expr("((i - 1) * 10) div _n").cast("long")
     return (
-        j.groupBy(decile.alias("decile"))
+        ranked.groupBy(decile.alias("decile"))
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo_price"),
@@ -3022,6 +3029,9 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives each value its exact inclusive cumulative count (bucketed
     two-phase, no single-partition window), then mr2 joins back on the
     value — two value-cardinality shuffles and one 1-row final agg.
+    The joined (rev, bal) frame feeds BOTH midrank maps and the final
+    join, so it is lazily ``localCheckpoint``-ed once instead of
+    re-running the orders groupBy + customer join three times.
     """
     from ..operators.topk import value_bucketed_prefix_sum
 
@@ -3036,7 +3046,7 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
         ),
         "custkey",
-    )
+    ).localCheckpoint(eager=False)
 
     def mr2_map(col: str, out: str) -> DataFrame:
         g = j.groupBy(col).agg(F.count("*").alias("c"))
@@ -3117,7 +3127,10 @@ def ks_two_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative). Each ECDF point is a single division of exact longs,
     the max is over bit-identical doubles, and the argmax tie-break is
     lexicographic (d, v) via one max(struct) — deterministic on both
-    engines.
+    engines. The split totals each ECDF divides by ride the SAME
+    broadcast bucket-total fold (``total_prefix``) — the pre-r8
+    ``g.agg`` + ``crossJoin`` re-ran the whole orders groupBy for
+    them.
     """
     from ..operators.topk import value_bucketed_prefix_sum
 
@@ -3130,15 +3143,16 @@ def ks_two_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("v").agg(
         F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
     )
-    c = value_bucketed_prefix_sum(g, "v", ["na", "nb"], prefix="cum_")
-    t = g.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    d = c.crossJoin(F.broadcast(t)).select(
+    c = value_bucketed_prefix_sum(
+        g, "v", ["na", "nb"], prefix="cum_", total_prefix="tot_"
+    )
+    d = c.select(
         "v",
-        "ta",
-        "tb",
+        F.col("tot_na").alias("ta"),
+        F.col("tot_nb").alias("tb"),
         F.abs(
-            F.col("cum_na").cast("double") / F.col("ta")
-            - F.col("cum_nb").cast("double") / F.col("tb")
+            F.col("cum_na").cast("double") / F.col("tot_na")
+            - F.col("cum_nb").cast("double") / F.col("tot_nb")
         ).alias("d"),
     )
     m = d.agg(
@@ -3188,6 +3202,12 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile comes from ``value_bucketed_rank`` arithmetic instead of a
     dim-sized single-partition window. The oracle runs the real
     NTILE; the differential proves the identity on every row.
+
+    One pass: n rides the rank primitive's broadcast offsets fold
+    (``total_col``); the grand revenue total divides the shares from
+    an array fold INSIDE the ≤10-row decile table — neither needs the
+    count/sum+crossJoin re-traversal of the ranked frame this had
+    before r8.
     """
     from ..operators.topk import value_bucketed_rank
 
@@ -3195,22 +3215,28 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
     )
-    ranked = value_bucketed_rank(rev, "rev", ["custkey"], rank_col="i")
-    n1 = ranked.agg(F.count("*").alias("_n"), F.sum("rev").alias("_tot"))
-    d = ranked.crossJoin(F.broadcast(n1)).withColumn(
+    ranked = value_bucketed_rank(rev, "rev", ["custkey"], rank_col="i", total_col="_n")
+    d = ranked.withColumn(
         "decile", (((F.col("i") - 1) * 10) / F.col("_n")).cast("long") + 1
     )
-    return (
-        d.groupBy("decile", "_tot")
-        .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("_s"))
-        .select(
-            "decile",
-            "n_customers",
-            F.round(F.col("_s").cast("double") / 100.0, 2).alias("total_revenue"),
-            F.round(
-                F.col("_s").cast("double") / F.col("_tot").cast("double"), 6
-            ).alias("revenue_share"),
-        )
+    per = d.groupBy("decile").agg(
+        F.count("*").alias("nc"), F.sum("rev").cast("long").alias("s")
+    )
+    arr = per.agg(
+        F.collect_list(F.struct("decile", "nc", "s")).alias("_l")
+    ).select(
+        F.aggregate(
+            F.col("_l"), F.lit(0).cast("long"), lambda acc, x: acc + x["s"]
+        ).alias("_tot"),
+        F.explode("_l").alias("_e"),
+    )
+    return arr.select(
+        F.col("_e.decile").alias("decile"),
+        F.col("_e.nc").alias("n_customers"),
+        F.round(F.col("_e.s").cast("double") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.col("_e.s").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("revenue_share"),
     )
 
 

@@ -269,3 +269,29 @@ def test_value_bucketed_prefix_sum_no_unpartitioned_window(spark):
     assert window_lines, "expected the per-bucket window in the plan"
     for line in window_lines:
         assert "_b" in line, f"unpartitioned window in plan: {line}"
+
+def test_total_col_rides_the_offsets_fold(spark):
+    """r8: `total_col` must equal the exact row count on EVERY row of
+    value_bucketed_rank's output (and the weight grand totals on every
+    row of value_bucketed_prefix_sum's) — taken from the broadcast
+    bucket fold, with no count(*)+crossJoin re-traversal in the plan."""
+    from soccer_data_pipeline_spark.operators.topk import value_bucketed_prefix_sum
+
+    c = _counts(spark)  # 97 rows
+    ranked = value_bucketed_rank(c, "n", ["k"], n_buckets=8, total_col="nn")
+    rows = ranked.collect()
+    assert len(rows) == 97
+    assert {r.nn for r in rows} == {97}
+    assert sorted(r.i for r in rows) == list(range(1, 98))
+
+    c2 = c.withColumn("m", (F.col("n") * 3 + F.col("k")) % 11)
+    tot_n = c2.agg(F.sum("n")).first()[0]
+    tot_m = c2.agg(F.sum("m")).first()[0]
+    ps = value_bucketed_prefix_sum(
+        c2, "n", ["n", "m"], tiebreak=["k"], n_buckets=8, total_prefix="tot_"
+    ).collect()
+    assert {r.tot_n for r in ps} == {tot_n}
+    assert {r.tot_m for r in ps} == {tot_m}
+    # the inclusive cumulative of the LAST row equals the grand total
+    last = max(ps, key=lambda r: (r.n, r.k))
+    assert last.cum_n == tot_n and last.cum_m == tot_m
