@@ -160,7 +160,67 @@ HEADLINE = [
     "k_anonymity_audit",
     "compaction_plan_bins",
     "target_encoding_loo",
+    # round-8: previously-unbenched substantive plans (VERDICT r7 #3 —
+    # the bench roster now covers every registered query or names it in
+    # EXCLUDED below; the assertion in main() keeps that exhaustive)
+    "tpch_q16_shape",
+    "tpch_q21_shape",
+    "customer_value_deciles",
+    "ks_two_sample_split",
+    "spearman_spend_balance",
+    "auc_exact_rank",
+    "cube_orders",
+    "rollup_lineitem",
+    "sql_grouping_sets",
+    "weekday_seasonal_decompose",
+    "ab_test_proportions",
+    "calibration_bins",
+    "threshold_sweep_prf",
+    "dp_noisy_counts",
+    "source_diversity_index",
+    "dedup_minhash_signatures",
 ]
+
+# Every registered query is either benched (HEADLINE) or named here with
+# the reason it is not timed — the house "no silent caps" rule applied
+# to the bench roster (VERDICT r7 #3). main() asserts
+# HEADLINE ∪ EXCLUDED == registry with no overlap/stale entries, so a
+# future query that lands in neither fails the bench loudly.
+EXCLUDED = {
+    # per-function zoos: correctness fixtures for individual builtins;
+    # their codegen cost is benched via the combined composites
+    "array_functions_zoo": "function zoo; codegen benched via scalar_functions_combined",
+    "null_handling_zoo": "function zoo; codegen benched via scalar_functions_combined",
+    "string_functions_zoo": "function zoo; codegen benched via scalar_functions_combined",
+    "scalar_functions_dates": "function zoo; codegen benched via scalar_functions_combined",
+    "scalar_functions_docs": "function zoo; codegen benched via scalar_functions_combined",
+    "date_arithmetic": "function zoo; codegen benched via scalar_functions_combined",
+    "json_extract_events": "single-function demo; events scan benched via sessionize_events",
+    "explode_tokens": "single-operator demo; explode cost benched via tfidf_tokens",
+    "posexplode_tokens": "single-operator demo; explode cost benched via tfidf_tokens",
+    "string_agg_regions": "25-row region dim; timing is job-launch overhead only",
+    # single-operator demos whose plan is a strict subset of a benched
+    # composite on the same table
+    "filter_project_lineitem": "scan+filter subset of pricing_summary",
+    "global_aggregates": "no-key agg subset of pricing_summary",
+    "stats_aggregates": "moment-agg subset of ols_price_by_quantity",
+    "distinct_profile": "distinct-count subset of approx_distinct_gate",
+    "first_per_key": "min_by subset of latest_version_per_key plan (benched topk family)",
+    "champion_per_segment": "top-1-per-group subset of topk_orders_per_customer",
+    "lag_prev_order": "single lag window subset of window_function_zoo",
+    "latest_version_per_key": "version-sort subset of topk_orders_per_customer",
+    "unpivot_stack": "stack demo; unpivot benched inside agg composites (standings path)",
+    "alias_coalesce_join": "2-column coalesce demo; join benched via broadcast_lookup_join",
+    # tiny-dim join/set shapes: 25-row nation/region inputs — timings
+    # measure scheduler overhead, not the engine
+    "full_outer_join_nations": "25-row dim join; scheduler overhead only",
+    "semi_anti_join": "25-row dim semi/anti; scheduler overhead only",
+    "set_ops_nations": "25-row dim set ops; scheduler overhead only",
+    # SQL twins of benched DataFrame queries (same physical plan)
+    "sql_lateral_topn": "SQL twin of benched topk_orders_per_customer",
+    "sql_named_window": "SQL twin of benched window_function_zoo",
+    "subquery_shapes": "SQL-shape correctness demo; scans/aggs benched via sql_agg_orders",
+}
 
 
 def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
@@ -288,6 +348,19 @@ def main() -> None:
     from soccer_data_pipeline_spark.plans import QUERIES
     from soccer_data_pipeline_spark.session import get_spark
 
+    # Roster ledger (VERDICT r7 #3): benched ∪ excluded must equal the
+    # registry exactly — a query in neither (or both, or excluded but
+    # no longer registered) fails loudly instead of silently un-benched.
+    reg = set(QUERIES)
+    unaccounted = sorted(reg - set(HEADLINE) - set(EXCLUDED))
+    overlap = sorted(set(HEADLINE) & set(EXCLUDED))
+    stale = sorted(set(EXCLUDED) - reg)
+    unknown = sorted(set(HEADLINE) - reg)
+    assert not unaccounted, f"queries neither benched nor in EXCLUDED: {unaccounted}"
+    assert not overlap, f"queries both benched and excluded: {overlap}"
+    assert not stale, f"EXCLUDED entries not in the registry: {stale}"
+    assert not unknown, f"HEADLINE entries not in the registry: {unknown}"
+
     # The sf* tables are single ~MB-scale parquet files; the cluster
     # default 128m split puts a whole table in one task. Small splits
     # spread row groups across local cores (on a real cluster with
@@ -317,6 +390,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Sub-second queries are noise-dominated at n=3 (VERDICT r7 #2: 4 of
+    # 11 r7 flags were irreproducible — e.g. doc_length_histogram flagged
+    # 4.00x on a 0.5s spread, re-timed at 1.0x). Three gates, all from
+    # that adjudication: 5 samples when the committed baseline is
+    # sub-second, a minimum ABSOLUTE delta for sub-second baselines, and
+    # a confirm-by-rerun before any REGRESSION is recorded.
+    MIN_ABS_DELTA = 0.3
 
     # Baseline first: the canary phases and the in-loop spike retry both
     # need the committed medians.
@@ -378,8 +458,9 @@ def main() -> None:
             # warmup-run operator caches leaked into its timed runs via
             # the CacheManager, so small queries were partly warm; the
             # per-sample release makes every timed run cold.
-            samples, n = _time_query(spark, spec, sf_dir, release_session_blocks, n_runs)
             p = prev.get(name, 0.0)
+            runs = 5 if (p and 0 < p < 1.0 and n_runs < 5) else n_runs
+            samples, n = _time_query(spark, spec, sf_dir, release_session_blocks, runs)
             if p and p > 0 and samples[len(samples) // 2] / p > 1.5:
                 # Spike retry (VERDICT r5 #1): a >1.5× raw ratio is more
                 # often a transient load burst than a plan change — take
@@ -437,8 +518,12 @@ def main() -> None:
     # vs_prev: per-query regression diff against the last round's
     # recorded medians, so a 9× regression is a loud line at bench time
     # instead of a judge finding a round later (VERDICT r3 item 7).
-    # regr values are [raw_ratio, load_normalized_ratio]; a regression
-    # is flagged only if it survives load normalization.
+    # regr values are [raw_ratio, load_normalized_ratio,
+    # confirmed_ratio]; a regression is flagged only if it (a) survives
+    # load normalization, (b) clears the spread AND — for sub-second
+    # baselines — a MIN_ABS_DELTA absolute floor, and (c) reproduces in
+    # an immediate fresh 5-run re-check (VERDICT r7 #2: without (b)/(c),
+    # 4 of 11 r7 flags were session noise).
     regressions: dict[str, list[float]] = {}
     fixed: list[str] = []
     prev_total = 0.0
@@ -453,12 +538,43 @@ def main() -> None:
                 ratio = cur / p
                 norm = ratio / load_factor if load_factor > 0 else ratio
                 sp = spread.get(q, 0.0)
-                if ratio > 1.3 and cur - p > sp and norm > 1.3:
-                    regressions[q] = [round(ratio, 2), round(norm, 2)]
+                floor = max(sp, MIN_ABS_DELTA) if p < 1.0 else sp
+                if ratio > 1.3 and cur - p > floor and norm > 1.3:
+                    # confirm-by-rerun: 5 fresh cold samples after a GC
+                    # quiesce; the flag stands only if the confirmed
+                    # median still clears every gate.
+                    conf = ratio
+                    spec = QUERIES.get(q)
+                    if spec is not None:
+                        try:
+                            release_session_blocks(spark, gc=True)
+                            csamp, _ = _time_query(
+                                spark, spec, sf_dir, release_session_blocks, 5
+                            )
+                            cmed = csamp[len(csamp) // 2]
+                            csp = csamp[-1] - csamp[0]
+                            conf = cmed / p
+                            cfloor = max(csp, MIN_ABS_DELTA) if p < 1.0 else csp
+                            if not (
+                                conf > 1.3
+                                and cmed - p > cfloor
+                                and conf / load_factor > 1.3
+                            ):
+                                print(
+                                    f"# noise (unconfirmed) {q}: {ratio:.2f}x raw "
+                                    f"re-timed at {conf:.2f}x — not flagged",
+                                    file=sys.stderr,
+                                )
+                                release_session_blocks(spark, gc=True)
+                                continue
+                            release_session_blocks(spark, gc=True)
+                        except Exception:
+                            pass
+                    regressions[q] = [round(ratio, 2), round(norm, 2), round(conf, 2)]
                     print(
                         f"# REGRESSION {q}: {p:.3f}s -> {cur:.3f}s "
                         f"({ratio:.2f}x raw, {norm:.2f}x load-normalized, "
-                        f"spread {sp:.3f}s)",
+                        f"{conf:.2f}x confirmed, spread {sp:.3f}s)",
                         file=sys.stderr,
                     )
             elif cur < 0:
@@ -492,6 +608,7 @@ def main() -> None:
         "spread_sec": spread,
         "failed": failed,
         "vs_prev": {**vs_prev, "fixed": fixed},
+        "excluded": EXCLUDED,
     }
     detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
