@@ -74,7 +74,16 @@ def predict_champions(model, asm, df: DataFrame) -> DataFrame:
 
 
 def evaluate_topk(predictions: DataFrame, k: int = 3) -> dict[str, float]:
-    """top-1 / top-k champion accuracy per (league, season)."""
+    """top-1 / top-k champion accuracy per (league, season), plus ROC
+    AUC (reference README.md:136 names "top-1 & top-3 accuracy, ROC" —
+    this is the ROC leg).
+
+    AUC scores come from ``champion_prob`` when the frame was scored by
+    the model; for the rank-only baselines the score is ``-pred_rank``
+    (AUC is rank-invariant, so any order-preserving score is exact).
+    Returns NaN AUC on a single-class frame (AUC undefined), never
+    raises — walk-forward folds over short histories can be one-class.
+    """
     per_group = predictions.groupBy("league", "season").agg(
         F.max(F.when((F.col("pred_rank") == 1) & F.col("is_champion"), 1).otherwise(0)).alias("hit1"),
         F.max(
@@ -84,7 +93,27 @@ def evaluate_topk(predictions: DataFrame, k: int = 3) -> dict[str, float]:
     row = per_group.agg(
         F.avg("hit1").alias("top1"), F.avg("hitk").alias("topk"), F.count("*").alias("n")
     ).first()
-    return {"top1_accuracy": row.top1, f"top{k}_accuracy": row.topk, "n_groups": row.n}
+    out = {"top1_accuracy": row.top1, f"top{k}_accuracy": row.topk, "n_groups": row.n}
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    score = (
+        F.col("champion_prob").cast("double")
+        if "champion_prob" in predictions.columns
+        else (-F.col("pred_rank")).cast("double")
+    )
+    scored = predictions.select(
+        score.alias("_score"), F.col("is_champion").cast("double").alias("_label")
+    )
+    n_classes = scored.select("_label").distinct().count()
+    if n_classes < 2:
+        out["roc_auc"] = float("nan")
+    else:
+        ev = BinaryClassificationEvaluator(
+            rawPredictionCol="_score", labelCol="_label", metricName="areaUnderROC"
+        )
+        out["roc_auc"] = ev.evaluate(scored)
+    return out
 
 
 def baseline_points_leader(features_df: DataFrame) -> DataFrame:

