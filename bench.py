@@ -179,6 +179,7 @@ HEADLINE = [
     "dp_noisy_counts",
     "source_diversity_index",
     "dedup_minhash_signatures",
+    "bitext_mining_ann",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with
