@@ -112,8 +112,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",
     "dedup_connected_clusters",
     "dedup_simhash_groups",
-    "ngram_jaccard_pairs",
     "fuzzy_levenshtein_pairs",
+    # rank statistics / experimentation (r8: spearman carries the
+    # family's hard rows AND the value_bucketed_prefix_sum midrank path)
+    "spearman_spend_balance",
     # similarity search (LSH-blocked near-dup, ANN recall gates)
     "embedding_near_dup_banded",
     "similarity_ann_recall",
@@ -194,6 +196,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # gap cadence, skew audit, shingle containment, lang-ID confusion,
 # referential integrity, PQ+rerank recall — take local oracle + bench
 # coverage next to their nearest in-window relatives.
+# Round 8: one swap (VERDICT r7 #6 — the window had six dedup reps and
+# zero rank-statistics/experimentation reps): ngram_jaccard_pairs ceded
+# (shingle-Jaccard semantics are superset-exercised in-window by
+# dedup_minhash_lsh_pairs, which minhash-approximates the same Jaccard
+# over the same shingles; the exact-Jaccard form plus
+# shingle_containment_pairs stay local-oracle + benched) for
+# spearman_spend_balance (rank statistics: exact tie-averaged midranks
+# via doubled-midrank integer discipline — the family rep for
+# spearman/cuped/rolling-distinct, and a live hash check on the r8
+# value_bucketed_prefix_sum total_prefix path).
 
 
 def _ordered_names() -> list[str]:

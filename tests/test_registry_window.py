@@ -40,8 +40,13 @@ FAMILY_REPRESENTATIVES = {
     "dedup_lsh": "dedup_minhash_lsh_pairs",
     "dedup_cc": "dedup_connected_clusters",
     "dedup_simhash": "dedup_simhash_groups",
-    "dedup_ngram": "ngram_jaccard_pairs",
+    # r8: ngram_jaccard_pairs ceded its slot — shingle-Jaccard semantics
+    # are superset-exercised by the minhash tier (same shingles, same
+    # Jaccard, approximated); exact-Jaccard stays local-oracle + benched
+    "dedup_ngram": "dedup_minhash_lsh_pairs",
     "dedup_editdist": "fuzzy_levenshtein_pairs",
+    # r8: rank statistics / experimentation family (VERDICT r7 #6)
+    "rank_statistics": "spearman_spend_balance",
     # r5: window form is the banded production path with a sampled
     # exact audit; the full-exact form stays local-oracle-covered
     "similarity_near_dup": "embedding_near_dup_banded",
