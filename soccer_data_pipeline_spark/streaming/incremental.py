@@ -157,10 +157,17 @@ def run_incremental_merge(
     checkpoint_path: str,
     key: str,
     seq_col: str | None = None,
+    post_write_hook=None,
 ) -> int:
     """Streaming → warehouse with exactly-once MERGE semantics: an
     AvailableNow file source whose ``foreachBatch`` upserts each
     micro-batch into a versioned parquet snapshot.
+
+    ``post_write_hook(batch_id)`` is a failure-injection seam for
+    tests: it runs after the snapshot write and before foreachBatch
+    returns (i.e. before the checkpoint commit), so raising from it
+    simulates the executor dying in exactly the window the
+    exactly-once recipe exists for — snapshot written, commit absent.
 
     foreachBatch is at-least-once by itself: the checkpoint's commit
     log means a COMMITTED batch is never redelivered, but a batch that
@@ -197,6 +204,8 @@ def run_incremental_merge(
             )
         )
         merged.write.mode("overwrite").parquet(f"{warehouse_path}/v={batch_id}")
+        if post_write_hook is not None:
+            post_write_hook(batch_id)
         batches["n"] += 1
 
     q = (

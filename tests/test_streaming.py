@@ -628,3 +628,96 @@ def test_sharded_heavy_hitters_misra_gries(spark, tmp_path):
     assert est["hot"] >= 60 - n_hot_shard / (capacity + 1)
     if "warm" in est:
         assert est["warm"] <= 20
+
+
+def test_foreach_batch_merge_crash_after_write_before_commit(spark, tmp_path):
+    """Failure injection for the exactly-once MERGE sink (VERDICT r7
+    #8): the batch dies AFTER its v=<id> snapshot write but BEFORE the
+    checkpoint commit — the at-least-once redelivery window. Restart
+    must replay the batch under the SAME epoch id (offsets WAL, not the
+    commit log, names the batch), overwrite its own orphaned snapshot
+    instead of minting a new version, and converge value-identically to
+    a crash-free run."""
+    import os
+    import re
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from soccer_data_pipeline_spark.streaming import run_incremental_merge
+
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("updated_at", T.LongType()),
+        ]
+    )
+    src, wh, ckpt = (str(tmp_path / d) for d in ("src", "wh", "ckpt"))
+
+    def versions():
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(wh)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+        )
+
+    def snapshot(version):
+        rows = spark.read.schema(schema).parquet(f"{wh}/v={version}").collect()
+        return {r.order_id: r.price_cents for r in rows}
+
+    # batch 0 commits cleanly
+    spark.createDataFrame([(1, 100, 1), (2, 200, 1)], schema).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    n1 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n1 == 1 and snapshot(0) == {1: 100, 2: 200}
+
+    # batch 1 writes its snapshot, then the process dies pre-commit
+    spark.createDataFrame([(2, 250, 2), (3, 300, 2)], schema).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    armed = {"on": True}
+
+    def crash(batch_id):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError(f"injected crash after v={batch_id} write")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_incremental_merge(
+            spark,
+            f"{src}/*",
+            schema,
+            wh,
+            ckpt,
+            key="order_id",
+            seq_col="updated_at",
+            post_write_hook=crash,
+        )
+    # the write happened, the commit did not: v=1 is an orphan
+    assert versions() == [0, 1]
+    commits = {
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    }
+    assert commits == {"0"}, commits
+
+    # restart: batch 1 replays under the SAME id — no v=2, no dupes,
+    # final state identical to a crash-free run
+    n2 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n2 == 1
+    assert versions() == [0, 1]
+    assert snapshot(1) == {1: 100, 2: 250, 3: 300}
+    assert "1" in {
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    }
+
+    # and the replayed state is stable: nothing new → no batch, no drift
+    n3 = run_incremental_merge(
+        spark, f"{src}/*", schema, wh, ckpt, key="order_id", seq_col="updated_at"
+    )
+    assert n3 == 0 and snapshot(1) == {1: 100, 2: 250, 3: 300}
