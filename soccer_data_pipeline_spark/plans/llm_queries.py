@@ -853,12 +853,19 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 
 _BANDED_RECALL_FLOOR = 0.8
 
+# Audit sampling modulus: the exact O(block²) audit runs on labels
+# ≡ 0 (mod this). It must GROW with corpus size — the r8 sf1 rehearsal
+# (BENCH_NOTES.md issue 1) measured the audit side going 24× for 10×
+# data with the modulus held at 4, exactly the quadratic the docstring
+# warns about. 4 is the driver-scale setting; a 10× corpus wants ~8-12.
+_BANDED_AUDIT_MOD = 4
+
 
 @register(
     "embedding_near_dup_banded",
-    oracle="""
+    oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE label % 4 = 0)
+           FROM embeddings WHERE label % {_BANDED_AUDIT_MOD} = 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine,
@@ -881,7 +888,7 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    sampled = emb.where(F.col("label") % 4 == 0).select(
+    sampled = emb.where(F.col("label") % _BANDED_AUDIT_MOD == 0).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -1987,10 +1994,10 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dedup_clusters",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE label % 4 = 0
+  FROM embeddings WHERE label % {_BANDED_AUDIT_MOD} = 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2033,7 +2040,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    sampled = emb.where(F.col("label") % 4 == 0).select(
+    sampled = emb.where(F.col("label") % _BANDED_AUDIT_MOD == 0).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
