@@ -180,6 +180,11 @@ HEADLINE = [
     "source_diversity_index",
     "dedup_minhash_signatures",
     "bitext_mining_ann",
+    "peak_concurrent_users",
+    "tpch_q7_shape",
+    "embedding_covariance_audit",
+    "brier_decomposition",
+    "duplicate_substring_audit",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -4423,3 +4423,107 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.round(F.col("n_customers") - noise, 4).alias("dp_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval analytics [beyond-ref]: sweep-line concurrency — the classic
+# "how many intervals overlap at the busiest instant" question (peak
+# simultaneous sessions/users, connection-pool sizing, license audits).
+# The naive per-instant self-join is quadratic; the sweep-line is two
+# rows per interval and one global prefix sum — which is exactly the
+# two-phase bucketed primitive.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_concurrent_users",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+d AS (
+  SELECT epoch_us(s) AS t, 1 AS p, 0 AS m FROM iv
+  UNION ALL
+  SELECT epoch_us(e) AS t, 0 AS p, 1 AS m FROM iv
+),
+g AS (
+  SELECT t, CAST(SUM(p) AS BIGINT) AS p, CAST(SUM(m) AS BIGINT) AS m
+  FROM d GROUP BY t
+),
+c AS (
+  SELECT t, m,
+         CAST(SUM(p) OVER (ORDER BY t) AS BIGINT) AS cum_p,
+         CAST(SUM(m) OVER (ORDER BY t) AS BIGINT) AS cum_m
+  FROM g
+),
+pk AS (
+  SELECT CAST(make_timestamp(t) AS DATE) AS day,
+         CAST(MAX(cum_p - cum_m + m) AS BIGINT) AS peak_concurrent
+  FROM c GROUP BY 1
+),
+n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM iv GROUP BY day)
+SELECT n.day, n.n_intervals, pk.peak_concurrent
+FROM n JOIN pk ON pk.day = n.day
+""",
+    doc=(
+        "[beyond-ref] sweep-line interval concurrency: daily peak count of "
+        "simultaneously-active user intervals via +1/-1 deltas and a "
+        "two-phase global prefix sum (no per-instant self-join)"
+    ),
+)
+def peak_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak number of simultaneously-active users, where a user's
+    activity interval on a day is [first event, last event] (inclusive
+    ends: an interval is active AT its endpoints, so a user whose
+    session ends the instant another's starts counts as overlapping —
+    the conservative capacity answer).
+
+    Sweep-line exactness: per distinct instant t, with P(t) starts and
+    M(t) ends, active(t) = cum_P(t) − cum_M(t) + M(t) (ends subtract
+    only strictly AFTER their instant). All integer; ties at the same
+    microsecond collapse in the (t)-keyed pre-agg, so no within-key
+    ordering ambiguity exists at all.
+
+    Scale shape: 2 rows per interval → one t-keyed agg (map-side
+    combined) → ``value_bucketed_prefix_sum`` for the global running
+    totals (range-bucketed two-phase — never a single-partition window
+    even though the sweep order is global) → day-keyed max. The naive
+    form this replaces joins every interval against every instant
+    (quadratic); the oracle runs the naive WINDOW cumulative as the
+    definitional check. The interval frame feeds the delta union twice
+    and the per-day count once, so it is lazily localCheckpoint-ed.
+    """
+    from ..operators.topk import value_bucketed_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .localCheckpoint(eager=False)
+    )
+    d = iv.select(
+        F.unix_micros("s").alias("t"),
+        F.lit(1).alias("p"),
+        F.lit(0).alias("m"),
+    ).unionAll(
+        iv.select(
+            F.unix_micros("e").alias("t"),
+            F.lit(0).alias("p"),
+            F.lit(1).alias("m"),
+        )
+    )
+    g = d.groupBy("t").agg(
+        F.sum("p").cast("long").alias("p"), F.sum("m").cast("long").alias("m")
+    )
+    c = value_bucketed_prefix_sum(g, "t", ["p", "m"], prefix="cum_")
+    pk = (
+        c.select(
+            F.to_date(F.timestamp_micros(F.col("t"))).alias("day"),
+            (F.col("cum_p") - F.col("cum_m") + F.col("m")).alias("active"),
+        )
+        .groupBy("day")
+        .agg(F.max("active").cast("long").alias("peak_concurrent"))
+    )
+    n = iv.groupBy("day").agg(F.count("*").alias("n_intervals"))
+    return n.join(pk, "day").select("day", "n_intervals", "peak_concurrent")

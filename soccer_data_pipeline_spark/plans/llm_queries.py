@@ -3358,3 +3358,287 @@ def vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding second-moment audit [beyond-ref]: the covariance/correlation
+# structure of an embedding column — the statistic whitening, PCA
+# dimension-choice, and anisotropy checks start from (a collapsed or
+# highly-correlated pair of dimensions means wasted index capacity in
+# every ANN structure downstream).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_covariance_audit",
+    oracle="""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+e AS (
+  SELECT UNNEST(flatten(list_transform(q, (xi, i1) ->
+           list_transform(q[i1:], (xj, j2) ->
+             struct_pack(pid := (i1 - 1) * 64 + (i1 - 1) + (j2 - 1),
+                         xy := xi * xj, xi := xi, xj := xj))))) AS s
+  FROM q
+),
+g AS (
+  SELECT s.pid AS pid, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s.xy) AS BIGINT) AS sxy,
+         CAST(SUM(s.xi) AS BIGINT) AS sx,
+         CAST(SUM(s.xj) AS BIGINT) AS sy
+  FROM e GROUP BY 1
+),
+cv AS (
+  SELECT CAST(pid // 64 AS BIGINT) AS dim_i, CAST(pid % 64 AS BIGINT) AS dim_j,
+         (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000000000.0 AS cov
+  FROM g
+),
+dg AS (SELECT dim_i AS d, cov AS var FROM cv WHERE dim_i = dim_j),
+offd AS (
+  SELECT cv.dim_i, cv.dim_j, cv.cov,
+         cv.cov / SQRT(di.var * dj.var) AS corr
+  FROM cv JOIN dg di ON di.d = cv.dim_i JOIN dg dj ON dj.d = cv.dim_j
+  WHERE cv.dim_i < cv.dim_j
+)
+SELECT dim_i, dim_j, ROUND(cov, 6) AS cov, ROUND(corr, 6) AS corr,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(corr) DESC, dim_i, dim_j) AS rk
+  FROM offd
+) WHERE rk <= 10
+""",
+    doc=(
+        "[beyond-ref] embedding covariance/correlation audit: exact "
+        "second moments of the 64-d embedding column via one "
+        "pair-exploded map-side-combined agg; top-10 most-correlated "
+        "dimension pairs (whitening/PCA precheck)"
+    ),
+)
+def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most-correlated embedding dimension pairs, with exact
+    covariance and Pearson correlation — the anisotropy audit run
+    before whitening/PCA or trusting an ANN index (two collinear
+    dimensions contribute one dimension of discrimination at two
+    dimensions of cost).
+
+    Exactness: components quantize to integer micro-units, so Σxᵢxⱼ,
+    Σxᵢ, Σxⱼ are exact longs (|x| < 1 → |q| < 10⁶, pair products
+    < 10¹²; int64 holds Σ to ~9·10⁶ audit rows — promote to DECIMAL
+    sums past that, same discipline as the Gini note). cov/corr then
+    form in ONE identical double expression per engine, and the
+    ranking orders by |corr| with a full (dim_i, dim_j) tiebreak.
+
+    Scale shape: one generator expression explodes each row into its
+    d(d+1)/2 = 2080 upper-triangle pair structs (pid, xᵢxⱼ, xᵢ, xⱼ);
+    the groupBy(pid) agg is map-side combined so the shuffle carries
+    2080 rows per task regardless of corpus size; everything after is
+    a 2080-row frame (self-joined to its 64-row diagonal for the
+    variances). The d² blowup is in FLOPs, not shuffle — same layout a
+    mapInArrow/BLAS version would use; at d ≫ 64, switch the inner
+    product accumulation to that vectorized form, same plan shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    # Spark's transform index is 0-based; slice() start is 1-based.
+    pairs = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("q"), i + 1, F.lit(64)),
+                lambda xj, j2: F.struct(
+                    (i * 64 + i + j2).alias("pid"),
+                    (xi * xj).alias("xy"),
+                    xi.alias("xi"),
+                    xj.alias("xj"),
+                ),
+            ),
+        )
+    )
+    e = (
+        emb.select(q.alias("q"))
+        .select(F.explode(pairs).alias("s"))
+        .select("s.pid", "s.xy", "s.xi", "s.xj")
+    )
+    # the 2080-row moment table feeds the diagonal (twice, via the two
+    # broadcast variance joins) AND the off-diagonal branch — checkpoint
+    # lazily so the pair-explode agg runs once, not three times
+    g = e.groupBy("pid").agg(
+        F.count("*").alias("n"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+    ).localCheckpoint(eager=False)
+    nD = F.col("n").cast("double")
+    cov = (
+        F.col("sxy").cast("double") / nD
+        - (F.col("sx").cast("double") / nD) * (F.col("sy").cast("double") / nD)
+    ) / F.lit(1000000000000.0)
+    cv = g.select(
+        (F.col("pid") / 64).cast("long").alias("dim_i"),
+        (F.col("pid") % 64).cast("long").alias("dim_j"),
+        cov.alias("cov"),
+    )
+    dg = cv.where(F.col("dim_i") == F.col("dim_j")).select(
+        F.col("dim_i").alias("d"), F.col("cov").alias("var")
+    )
+    offd = (
+        cv.where(F.col("dim_i") < F.col("dim_j"))
+        .join(F.broadcast(dg.withColumnRenamed("d", "di").withColumnRenamed("var", "vi")), F.col("dim_i") == F.col("di"))
+        .join(F.broadcast(dg.withColumnRenamed("d", "dj").withColumnRenamed("var", "vj")), F.col("dim_j") == F.col("dj"))
+        .select(
+            "dim_i",
+            "dim_j",
+            "cov",
+            (F.col("cov") / F.sqrt(F.col("vi") * F.col("vj"))).alias("corr"),
+        )
+    )
+    from ..operators.topk import bounded_topk
+
+    top = bounded_topk(
+        offd,
+        10,
+        order=[F.abs(F.col("corr")).desc(), F.col("dim_i"), F.col("dim_j")],
+        encode=[
+            (-F.abs(F.col("corr"))).alias("neg_a"),
+            F.col("dim_i").alias("dim_i"),
+            F.col("dim_j").alias("dim_j"),
+            F.col("cov").alias("cov"),
+            F.col("corr").alias("corr"),
+        ],
+        fields=["dim_i", "dim_j", "cov", "corr"],
+    )
+    return top.select(
+        "dim_i",
+        "dim_j",
+        F.round("cov", 6).alias("cov"),
+        F.round("corr", 6).alias("corr"),
+        F.col("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring audit [beyond-ref]: the substring-level
+# exact-dedup probe ("Deduplicating Training Data Makes Language Models
+# Better", Lee et al. 2022, arXiv:2107.06499 — the ExactSubstr
+# criterion). Full suffix-array ExactSubstr is sequential; the
+# distributed form probes a geometric ladder of window lengths: a doc
+# has a duplicated run of >= L chars iff one of its L-windows appears
+# verbatim in another doc, and probing L in {16,32,64,128} brackets the
+# true max duplicated-run length within a factor of 2.
+# ---------------------------------------------------------------------------
+
+_DUP_SUBSTR_LENGTHS = (16, 32, 64, 128)
+
+
+@register(
+    "duplicate_substring_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, L
+  FROM documents, UNNEST({list(_DUP_SUBSTR_LENGTHS)}) AS t(L)
+  WHERE LENGTH(text) >= L
+),
+pos_t AS (
+  SELECT doc_id, L, text,
+         UNNEST(range(1, LENGTH(text) - L + 2)) AS pos
+  FROM d
+),
+sh AS (
+  SELECT DISTINCT doc_id, L,
+         md5(substring(text, CAST(pos AS INTEGER), CAST(L AS INTEGER))) AS h
+  FROM pos_t
+),
+dup AS (SELECT L, h FROM sh GROUP BY L, h HAVING COUNT(*) >= 2),
+hit AS (
+  SELECT s.doc_id, MAX(s.L) AS max_dup_len
+  FROM sh s JOIN dup USING (L, h) GROUP BY s.doc_id
+),
+per AS (
+  SELECT dd.doc_id, COALESCE(h.max_dup_len, 0) AS max_dup_len
+  FROM (SELECT doc_id FROM documents) dd LEFT JOIN hit h USING (doc_id)
+)
+SELECT CAST(max_dup_len AS BIGINT) AS max_dup_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1
+""",
+    doc=(
+        "[beyond-ref] exact duplicated-substring audit (ExactSubstr "
+        "probe, Lee et al. 2022): per-doc max window length L in "
+        "{16,32,64,128} whose text appears verbatim in another doc, "
+        "histogrammed"
+    ),
+)
+def duplicate_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of docs by the longest probed window length (16/32/64/
+    128 chars) duplicated verbatim in ANOTHER document — the corpus-
+    level ExactSubstr health metric (how much literal copying the
+    near-dup tiers above would miss or underweight).
+
+    Semantics: a doc counts at level L if ANY of its L-char windows
+    (every start position, character-based in both engines) equals any
+    window of a different doc; max over L; 0 = no duplicated window at
+    even the shortest probe.
+
+    Window identity is by hash — xxhash64 on the Spark side (8-byte
+    shuffle/agg keys; the md5-string form measured ~4× heavier and
+    tripped AGGREGATE_OUT_OF_MEMORY in a vanilla 1 GiB session at
+    sf0.1), md5 in the DuckDB oracle. The engines need NOT agree on
+    the hash function — the differential compares only the final
+    histogram, which matches unless a same-length hash collision pairs
+    two UNEQUAL windows across docs (~(4C)²/2⁶⁵ ≈ 10⁻⁶ at sf0.1, and
+    deterministic either way).
+
+    Scale shape: the window explode is linear in total chars × |L|
+    ladder (4·C rows); per-doc DISTINCT collapses repeats before the
+    (L, hash)-keyed shuffle, the duplicated-window set is the HAVING
+    >= 2 groupBy (map-side combined), and membership joins back
+    hash-keyed (left_semi — never a text-payload shuffle). The window
+    frame feeds both the group and the semi join, so it is lazily
+    localCheckpoint-ed. At 100 TB, additionally shard the (L, h)
+    space; the plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lengths = F.array(*[F.lit(L) for L in _DUP_SUBSTR_LENGTHS])
+    d = docs.select("doc_id", "text", F.explode(lengths).alias("L")).where(
+        F.length("text") >= F.col("L")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            "L",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.col("L") + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "L",
+            F.xxhash64(F.expr("substring(text, pos, L)")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sh.groupBy("L", "h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("L", "h")
+    )
+    hit = (
+        sh.join(dup, ["L", "h"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("L").alias("max_dup_len"))
+    )
+    per = docs.select("doc_id").join(hit, "doc_id", "left").select(
+        F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len")
+    )
+    return per.groupBy("max_dup_len").agg(F.count("*").alias("n_docs"))

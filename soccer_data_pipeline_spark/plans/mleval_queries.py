@@ -281,3 +281,141 @@ def threshold_sweep_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1_at"),
     )
+
+
+@register(
+    "brier_decomposition",
+    oracle=f"""
+WITH {_SCORED_DUCK.strip()},
+{_GROUPS_DUCK.strip()},
+arr AS (
+  SELECT LIST(struct_pack(s := score, np := np, nn := nn) ORDER BY score) AS l
+  FROM g
+),
+t AS (
+  SELECT l,
+         CAST(LIST_SUM(LIST_TRANSFORM(l, x -> x.np + x.nn)) AS BIGINT) AS n,
+         CAST(LIST_SUM(LIST_TRANSFORM(l, x -> x.np)) AS BIGINT) AS p,
+         CAST(LIST_SUM(LIST_TRANSFORM(l,
+              x -> x.np * (x.s - 1000) * (x.s - 1000) + x.nn * x.s * x.s))
+              AS BIGINT) AS bnum
+  FROM arr
+),
+d AS (
+  SELECT n, p, bnum,
+         CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), LIST_TRANSFORM(l, x ->
+             CAST((x.s * (x.np + x.nn) - 1000 * x.np) AS DOUBLE)
+             * CAST((x.s * (x.np + x.nn) - 1000 * x.np) AS DOUBLE)
+             / (1000000.0 * CAST(x.np + x.nn AS DOUBLE)))),
+             (a, b) -> a + b) AS relnum,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), LIST_TRANSFORM(l, x ->
+             CAST(x.np + x.nn AS DOUBLE)
+             * (CAST(x.np AS DOUBLE) / CAST(x.np + x.nn AS DOUBLE)
+                - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(x.np AS DOUBLE) / CAST(x.np + x.nn AS DOUBLE)
+                - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))),
+             (a, b) -> a + b) AS resnum
+  FROM t
+)
+SELECT n AS n_docs,
+       ROUND(CAST(bnum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 6) AS brier,
+       ROUND(relnum / CAST(n AS DOUBLE), 6) AS reliability,
+       ROUND(resnum / CAST(n AS DOUBLE), 6) AS resolution,
+       ROUND(ybar * (1.0 - ybar), 6) AS uncertainty
+FROM d
+""",
+    doc=(
+        "[beyond-ref] Murphy decomposition of the Brier score "
+        "(reliability − resolution + uncertainty) for the marker-rate "
+        "scorer at per-score granularity — exact identity, ordered-fold "
+        "float determinism"
+    ),
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the per-mille scorer (as probability s/1000
+    against the lang='en' label) with the Murphy decomposition at
+    per-distinct-score granularity — the calibration diagnostic that
+    splits total error into miscalibration (reliability), discrimination
+    (resolution), and irreducible class spread (uncertainty). At
+    per-score bins the identity brier = rel − res + unc is EXACT, not
+    the usual binned approximation.
+
+    Determinism: the Brier numerator is all-int64
+    (np·(s−1000)² + nn·s², ≤ 10⁶·n — int64 to ~9·10¹² docs); the two
+    double sums (reliability/resolution) fold over the ≤ 1001-element
+    score-sorted array in the SAME order in both engines (the house
+    ordered-fold idiom, as in ``source_diversity_index``), and ȳ enters
+    each term as the identical p/n expression. One row out.
+
+    Scale shape: the corpus collapses to the shared ≤ 1001-row
+    distinct-score frame at the only data-sized shuffle; the fold is
+    driver-free and bounded.
+    """
+    g = _score_groups(spark, sf_dir)
+    arr = g.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("score").alias("s"),
+                    F.col("np").alias("np"),
+                    F.col("nn").alias("nn"),
+                )
+            )
+        ).alias("l")
+    )
+    lsum = lambda f: F.aggregate(  # noqa: E731
+        F.col("l"), F.lit(0).cast("long"), lambda acc, x: acc + f(x)
+    )
+    dsum = lambda f: F.aggregate(  # noqa: E731
+        F.col("l"), F.lit(0.0), lambda acc, x: acc + f(x)
+    )
+    t = arr.select(
+        "l",
+        lsum(lambda x: x["np"] + x["nn"]).alias("n"),
+        lsum(lambda x: x["np"]).alias("p"),
+        lsum(
+            lambda x: x["np"] * (x["s"] - 1000) * (x["s"] - 1000)
+            + x["nn"] * x["s"] * x["s"]
+        ).alias("bnum"),
+    )
+    nD = F.col("n").cast("double")
+    pD = F.col("p").cast("double")
+    ybar = pD / nD
+    d = t.select(
+        "n",
+        "bnum",
+        ybar.alias("ybar"),
+        dsum(
+            lambda x: (
+                (x["s"] * (x["np"] + x["nn"]) - 1000 * x["np"]).cast("double")
+                * (x["s"] * (x["np"] + x["nn"]) - 1000 * x["np"]).cast("double")
+                / (F.lit(1000000.0) * (x["np"] + x["nn"]).cast("double"))
+            )
+        ).alias("relnum"),
+        dsum(
+            lambda x: (
+                (x["np"] + x["nn"]).cast("double")
+                * (
+                    x["np"].cast("double") / (x["np"] + x["nn"]).cast("double")
+                    - pD / nD
+                )
+                * (
+                    x["np"].cast("double") / (x["np"] + x["nn"]).cast("double")
+                    - pD / nD
+                )
+            )
+        ).alias("resnum"),
+    )
+    nD2 = F.col("n").cast("double")
+    return d.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("bnum").cast("double") / (F.lit(1000000.0) * nD2), 6).alias(
+            "brier"
+        ),
+        F.round(F.col("relnum") / nD2, 6).alias("reliability"),
+        F.round(F.col("resnum") / nD2, 6).alias("resolution"),
+        F.round(F.col("ybar") * (F.lit(1.0) - F.col("ybar")), 6).alias(
+            "uncertainty"
+        ),
+    )

@@ -1825,3 +1825,83 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fields=["p_brand", "p_type", "p_size", "supplier_cnt"],
     )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+""",
+    doc=(
+        "TPC-H Q7 shape: bilateral volume shipping between two nations by "
+        "ship year (double-dimension join with a disjunctive cross-nation "
+        "predicate)"
+    ),
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between a nation pair in both
+    directions by ship year. The interesting shape is the DISJUNCTIVE
+    nation predicate across two different dimension roles (supplier's
+    nation vs customer's nation) — two broadcast joins against the same
+    dim under different aliases, with the filter applied after both, so
+    Catalyst pushes each half of the disjunction into the matching
+    broadcast side. Money follows the exact-cents discipline (price ×
+    (100 − discount) in integer cent-basis-points, one final division).
+
+    Scale shape: lineitem joins orders/supplier/customer on their keys
+    (the two dims broadcast; orders/customer co-shuffle), and the
+    year-pair group-by is 2·|years| groups — map-side combinable.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
