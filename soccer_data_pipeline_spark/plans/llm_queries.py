@@ -3615,34 +3615,63 @@ def duplicate_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     two UNEQUAL windows across docs (~(4C)²/2⁶⁵ ≈ 10⁻⁶ at sf0.1, and
     deterministic either way).
 
-    Scale shape: the window explode is linear in total chars × |L|
-    ladder (4·C rows); per-doc DISTINCT collapses repeats before the
-    (L, hash)-keyed shuffle, the duplicated-window set is the HAVING
-    >= 2 groupBy (map-side combined), and membership joins back
-    hash-keyed (left_semi — never a text-payload shuffle). The window
-    frame feeds both the group and the semi join, so it is lazily
-    localCheckpoint-ed. At 100 TB, additionally shard the (L, h)
-    space; the plan shape is unchanged.
+    Scale shape (r8 rewrite, measured 136.8 s → see BENCH_NOTES at
+    sf1): window hashes build HIERARCHICALLY inside each row — the
+    base h16 array hashes every 16-char window once, then each doubled
+    level pairs adjacent hashes (h32[p] = hash(h16[p], h16[p+16]), so
+    an L-window's hash is equal across docs iff the underlying text
+    is, modulo the same collision argument) — no 32/64/128-char
+    substring is ever materialized. The per-(L, h) duplicated-window
+    set is ONE count_distinct(doc_id) groupBy (map-side partial
+    distinct; replaces the old separate 4C-row DISTINCT shuffle +
+    checkpoint, whose cached blocks were most of the memory bill), and
+    membership joins back hash-keyed (left_semi — never a text-payload
+    shuffle). At 100 TB, additionally shard the (L, h) space; the plan
+    shape is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lengths = F.array(*[F.lit(L) for L in _DUP_SUBSTR_LENGTHS])
-    d = docs.select("doc_id", "text", F.explode(lengths).alias("L")).where(
-        F.length("text") >= F.col("L")
+    n = F.length("text")
+    empty = F.array().cast("array<bigint>")
+
+    def base16(col):
+        seq = F.sequence(F.lit(1), n - F.lit(15))
+        return F.when(
+            n >= 16,
+            F.transform(seq, lambda p: F.xxhash64(F.substring(col, p, 16))),
+        ).otherwise(empty)
+
+    def doubled(prev, step):
+        m = F.size(prev) - F.lit(step)
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.xxhash64(
+                    F.element_at(prev, i), F.element_at(prev, i + F.lit(step))
+                ),
+            ),
+        ).otherwise(empty)
+
+    t = (
+        docs.withColumn("h16", base16(F.col("text")))
+        .withColumn("h32", doubled(F.col("h16"), 16))
+        .withColumn("h64", doubled(F.col("h32"), 32))
+        .withColumn("h128", doubled(F.col("h64"), 64))
+    )
+    def level_structs(L):
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # bind the second parameter to the ELEMENT INDEX
+        return F.transform(
+            F.col(f"h{L}"),
+            lambda h: F.struct(F.lit(L).cast("int").alias("L"), h.alias("h")),
+        )
+
+    levels = F.flatten(
+        F.array(*[level_structs(L) for L in _DUP_SUBSTR_LENGTHS])
     )
     sh = (
-        d.select(
-            "doc_id",
-            "L",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - F.col("L") + 1)
-            ).alias("pos"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "L",
-            F.xxhash64(F.expr("substring(text, pos, L)")).alias("h"),
-        )
+        t.select("doc_id", F.explode(levels).alias("w"))
+        .select("doc_id", "w.L", "w.h")
         .distinct()
         .localCheckpoint(eager=False)
     )
