@@ -185,6 +185,7 @@ HEADLINE = [
     "embedding_covariance_audit",
     "brier_decomposition",
     "duplicate_substring_audit",
+    "winnowing_candidate_pairs",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -3690,3 +3690,123 @@ def duplicate_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len")
     )
     return per.groupBy("max_dup_len").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints [beyond-ref]: the MOSS document-fingerprinting
+# algorithm (Schleimer, Wilkerson, Aiken, SIGMOD 2003) — the principled
+# SCALE path for substring-level dedup that duplicate_substring_audit's
+# exact ladder audits: selecting the min k-gram hash in every window of
+# w consecutive positions guarantees that any verbatim match of length
+# >= w + k − 1 shares at least one fingerprint, while keeping ~2/(w+1)
+# of the positions instead of all of them.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 16  # k-gram length (chars)
+_WINNOW_W = 8  # winnowing window (positions) → guarantee t = w+k−1 = 23
+_WINNOW_DF_CAP = 50  # drop fingerprints in more docs than this (boilerplate)
+_WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+@register(
+    "winnowing_candidate_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, LENGTH(text) - {_WINNOW_K - 2}),
+            i -> CAST('0x' || SUBSTRING(md5(substring(text, CAST(i AS INTEGER),
+                                        {_WINNOW_K})), 1, 15) AS BIGINT)) AS hs
+  FROM documents
+  WHERE LENGTH(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+fp AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+       i -> list_min(hs[i:i + {_WINNOW_W - 1}])))) AS f
+  FROM h
+),
+keep AS (
+  SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WINNOW_DF_CAP}
+),
+fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+""",
+    doc=(
+        "[beyond-ref] winnowing fingerprint candidate pairs (MOSS, "
+        "SIGMOD'03): min-hash-per-window document fingerprints with the "
+        "guarantee that any verbatim match >= w+k-1 chars shares one; "
+        "DF-capped fingerprint join"
+    ),
+)
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-verbatim document pairs by shared winnowing
+    fingerprints — the MOSS selection: hash every k=16-gram, keep the
+    MIN hash of each window of w=8 consecutive positions. Any verbatim
+    match of length >= w+k−1 = 23 chars shares a fingerprint
+    (guaranteed); reporting pairs with >= 2 shared fingerprints trades
+    that guarantee up slightly for precision. This is the linear-work
+    production tier whose recall the exact ladder
+    (``duplicate_substring_audit``) audits.
+
+    Cross-engine determinism: the hash is the first 15 hex chars of
+    md5 as int64 (< 2⁶⁰ — identical in both engines), so the MIN
+    selection picks the SAME k-grams everywhere; counts of shared
+    fingerprints are then exact integers. Fingerprints in more than
+    50 docs are dropped before the self-join (boilerplate
+    suppression AND the hot-key cap — the same discipline as the
+    minhash band join; the cap is part of the declared semantics, not
+    a silent truncation, and the oracle applies it identically).
+
+    Scale shape: fingerprint construction is per-row array work (no
+    shuffle); per-doc DISTINCT fingerprints shrink to ~2/(w+1) of
+    positions; the DF cap bounds every fingerprint's join fanout so the
+    self-join is sum-of-df² over kept fingerprints — never O(docs²).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    hs = F.transform(
+        F.sequence(F.lit(1), n - F.lit(_WINNOW_K - 1)),
+        lambda p: F.conv(
+            F.substring(F.md5(F.substring(F.col("text"), p, _WINNOW_K)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    base = docs.where(n >= _WINNOW_K + _WINNOW_W - 1).select(
+        "doc_id", hs.alias("hs")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        )
+    )
+    fp = (
+        base.select("doc_id", F.explode(fps).alias("f"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    keep = (
+        fp.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _WINNOW_DF_CAP)
+        .select("f")
+    )
+    fk = fp.join(keep, "f", "left_semi")
+    a, b = fk.alias("a"), fk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
