@@ -186,6 +186,8 @@ HEADLINE = [
     "brier_decomposition",
     "duplicate_substring_audit",
     "winnowing_candidate_pairs",
+    "aqp_sample_mean",
+    "join_cardinality_estimate",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

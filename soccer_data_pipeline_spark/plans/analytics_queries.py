@@ -4527,3 +4527,198 @@ def peak_concurrent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = iv.groupBy("day").agg(F.count("*").alias("n_intervals"))
     return n.join(pk, "day").select("day", "n_intervals", "peak_concurrent")
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing [beyond-ref]: sample-based estimation
+# with a confidence interval, audited against the exact answer — the
+# "answer in seconds from a 1% sample, not hours from 100 TB" tier.
+# The sample is a deterministic md5 slice so both engines (and every
+# re-run) see the identical sample — estimator reproducibility is part
+# of the declared semantics, exactly as in the split/sampling tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aqp_sample_mean",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT)
+           % 100 = 0 AS in_sample
+  FROM orders
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(cents) AS BIGINT) AS exact_cents,
+         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+         CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN in_sample THEN cents * cents ELSE 0 END) AS BIGINT) AS s2
+  FROM c
+),
+d AS (
+  SELECT n_total, n_s, exact_cents, s1, s2,
+         CAST(n_total AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+           AS est_cents,
+         CAST(n_total AS DOUBLE)
+           * SQRT((CAST(s2 AS DOUBLE) / CAST(n_s AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_s AS DOUBLE)))
+                  / CAST(n_s AS DOUBLE)) AS se_cents
+  FROM t
+)
+SELECT n_total AS n_orders, n_s AS n_sample,
+       ROUND(est_cents / 100.0, 2) AS est_total,
+       ROUND(CAST(exact_cents AS DOUBLE) / 100.0, 2) AS exact_total,
+       ROUND((est_cents - CAST(exact_cents AS DOUBLE))
+             / CAST(exact_cents AS DOUBLE), 6) AS rel_err,
+       ROUND((est_cents - 1.96 * se_cents) / 100.0, 2) AS ci_lo,
+       ROUND((est_cents + 1.96 * se_cents) / 100.0, 2) AS ci_hi,
+       est_cents - 1.96 * se_cents <= CAST(exact_cents AS DOUBLE)
+         AND CAST(exact_cents AS DOUBLE) <= est_cents + 1.96 * se_cents
+         AS within_ci
+FROM d
+""",
+    doc=(
+        "[beyond-ref] approximate query processing: deterministic-1%-sample "
+        "total-revenue estimator with a 95% CI, audited against the exact "
+        "answer in the same plan"
+    ),
+)
+def aqp_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate total order revenue from the deterministic 1 % md5
+    sample (Horvitz–Thompson with equal inclusion: N·sample-mean) with
+    a 95 % normal CI, next to the exact total and a ``within_ci``
+    verdict — the AQP pattern: at 100 TB only the sample branch runs
+    (one narrow scan of 1 % of the data); this audited form is how you
+    earn trust in it.
+
+    Determinism: sample membership is the md5-slice idiom (identical
+    rows in both engines, re-run-stable); all moments (Σx, Σx², both
+    sides) are exact int64 cents (Σx² ≈ 10¹⁸ at sf1-scale price
+    ranges — promote to DECIMAL for >10⁷-row samples, house note);
+    estimator/SE/CI form in one shared double tree. ONE map-side-
+    combinable agg computes the sample AND exact sides as conditional
+    sums over a single scan — no second pass, no join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    in_s = (
+        F.expr(
+            "conv(substring(md5(cast(o_orderkey as string)), 1, 4), 16, 10)"
+        ).cast("long")
+        % 100
+        == 0
+    )
+    c = orders.select(cents.alias("cents"), in_s.alias("in_sample"))
+    t = c.agg(
+        F.count("*").alias("n_total"),
+        F.sum("cents").alias("exact_cents"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_s"),
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("in_sample"), F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("s2"),
+    )
+    nT = F.col("n_total").cast("double")
+    nS = F.col("n_s").cast("double")
+    mean = F.col("s1").cast("double") / nS
+    est = nT * mean
+    se = nT * F.sqrt(
+        (F.col("s2").cast("double") / nS - mean * mean) / nS
+    )
+    d = t.select(
+        "n_total", "n_s", "exact_cents", est.alias("est_cents"), se.alias("se_cents")
+    )
+    estc, sec = F.col("est_cents"), F.col("se_cents")
+    exc = F.col("exact_cents").cast("double")
+    return d.select(
+        F.col("n_total").alias("n_orders"),
+        F.col("n_s").alias("n_sample"),
+        F.round(estc / 100.0, 2).alias("est_total"),
+        F.round(exc / 100.0, 2).alias("exact_total"),
+        F.round((estc - exc) / exc, 6).alias("rel_err"),
+        F.round((estc - 1.96 * sec) / 100.0, 2).alias("ci_lo"),
+        F.round((estc + 1.96 * sec) / 100.0, 2).alias("ci_hi"),
+        (
+            (estc - 1.96 * sec <= exc) & (exc <= estc + 1.96 * sec)
+        ).alias("within_ci"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-statistics audit [beyond-ref]: histogram-based join
+# cardinality estimation vs the exact join size — the cost-based-
+# optimizer arithmetic (equi-width key histograms, containment
+# assumption) made inspectable. A CBO that mis-estimates by 100× picks
+# the wrong join order at 100 TB; this query measures that error on
+# the engine's own data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_rows FROM k),
+h AS (
+  SELECT user_id % 16 AS bucket,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM k GROUP BY user_id % 16
+),
+est AS (
+  SELECT CAST(SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              / CAST(d AS DOUBLE)) AS DOUBLE) AS est_rows
+  FROM h
+)
+SELECT (SELECT exact_rows FROM exact) AS exact_rows,
+       ROUND((SELECT est_rows FROM est), 2) AS est_rows,
+       ROUND((SELECT est_rows FROM est)
+             / CAST((SELECT exact_rows FROM exact) AS DOUBLE), 6) AS est_ratio
+""",
+    doc=(
+        "[beyond-ref] CBO statistics audit: equi-width-histogram join "
+        "cardinality estimate (uniform-within-bucket assumption) vs the "
+        "exact self-join size on the events user_id key"
+    ),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well does histogram arithmetic predict a join's output size?
+    For the events-to-events equi-join on user_id: exact size =
+    Σ_keys c(k)² (computed from the key-count frame, never by
+    materializing the join); the estimate is the textbook CBO form on a
+    16-bucket equi-width histogram — per bucket (Σc)²/d, i.e. uniform
+    frequency within the bucket. ``est_ratio`` is the mis-estimation
+    factor a cost-based optimizer would carry into join planning.
+
+    Scale shape: everything flows from ONE key-count agg (corpus
+    collapses at the first shuffle); the histogram is a 16-row agg of
+    that; exact Σc² is int64 (promote past ~10⁹-row hot keys, house
+    note); the estimate divides in one shared double tree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    exact = k.agg(F.sum(F.col("c") * F.col("c")).alias("exact_rows"))
+    h = k.groupBy((F.col("user_id") % 16).alias("bucket")).agg(
+        F.sum("c").alias("n"), F.count("*").alias("d")
+    )
+    est = h.agg(
+        F.sum(
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            / F.col("d").cast("double")
+        ).alias("est_rows")
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    return j.select(
+        F.col("exact_rows"),
+        F.round(F.col("est_rows"), 2).alias("est_rows"),
+        F.round(
+            F.col("est_rows") / F.col("exact_rows").cast("double"), 6
+        ).alias("est_ratio"),
+    )
