@@ -188,6 +188,7 @@ HEADLINE = [
     "winnowing_candidate_pairs",
     "aqp_sample_mean",
     "join_cardinality_estimate",
+    "jaccard_prefix_join",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

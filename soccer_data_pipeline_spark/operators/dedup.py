@@ -564,3 +564,97 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
         )
         .where(F.col("group_size") > 1)
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, tau_num: int = 9, tau_den: int = 10
+) -> DataFrame:
+    """Exact, COMPLETE token-set-Jaccard >= τ pairs via prefix
+    filtering (All-Pairs/PPJoin family, Bayardo et al. WWW'07) — no DF
+    cap, no candidate loss.
+
+    Canonical token order = (global document frequency asc, token):
+    any pair with J >= τ = tau_num/tau_den must share a token within
+    each side's first |T| − ceil(τ|T|) + 1 tokens, so the candidate
+    join runs only on those prefix tokens — the RAREST in the corpus,
+    so fanout is small by construction. Verification carries each
+    doc's sorted token array to the candidate row and intersects
+    in-row (array_intersect), with the integer cross-multiplied
+    threshold (tau_den + tau_num)·|A∩B| >= tau_num·(|A|+|B|) — exact,
+    no float compare. Completeness is property-tested against brute
+    force in tests/test_dedup_caps.py.
+
+    Input: (doc_id, text). Output: (doc_a, doc_b, ints, sa, sb) with
+    doc_a < doc_b — one row per qualifying pair.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df = tok.groupBy("token").agg(F.count("*").alias("d"))
+    w_rank = Window.partitionBy("doc_id").orderBy("d", "token")
+    w_sz = Window.partitionBy("doc_id")
+    r = (
+        tok.join(df, "token")
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(w_sz))
+    )
+    ceil_tau_sz = (
+        (tau_num * F.col("sz") + tau_den - 1) / tau_den
+    ).cast("long")
+    pref = r.where(F.col("rnk") <= F.col("sz") - ceil_tau_sz + 1).select(
+        "doc_id", "token"
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("ts"),
+        F.count("*").alias("s"),
+    )
+    # per-doc arrays ride to each candidate row; broadcast is right at
+    # test/driver scale, and the same joins run hash-partitioned on the
+    # doc keys at 100 TB — fanout-free either way
+    ints = F.size(F.array_intersect(F.col("ta_"), F.col("tb_"))).cast("long")
+    scored = (
+        cand.join(
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("ts").alias("ta_"),
+                    F.col("s").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("ts").alias("tb_"),
+                    F.col("s").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", ints.alias("ints"), "sa", "sb")
+    )
+    return scored.where(
+        (tau_den + tau_num) * F.col("ints")
+        >= tau_num * (F.col("sa") + F.col("sb"))
+    )

@@ -160,3 +160,51 @@ def test_incremental_candidates_from_persisted_signature_store(spark, tmp_path):
         ).collect()
     }
     assert from_store == in_memory and from_store
+
+
+def test_jaccard_prefix_join_complete_vs_brute_force(spark):
+    """Prefix-filter completeness (the whole point: NO candidate loss,
+    unlike the DF-capped tiers): on seeded random corpora with planted
+    dup clusters, jaccard_prefix_pairs finds EXACTLY the brute-force
+    J >= tau pair set, several taus."""
+    import random
+
+    from soccer_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    did = 0
+    for cluster in range(8):
+        base = rng.sample(vocab, rng.randrange(6, 20))
+        for member in range(rng.randrange(1, 5)):
+            t = list(base)
+            for _ in range(rng.randrange(0, 3)):  # light perturbation
+                if rng.random() < 0.5 and len(t) > 4:
+                    t.pop(rng.randrange(len(t)))
+                else:
+                    t.append(rng.choice(vocab))
+            rng.shuffle(t)
+            docs.append((did, " ".join(t)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(tau_num, tau_den):
+        sets = {d: set(t.split()) for d, t in docs}
+        out = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if (tau_den + tau_num) * inter >= tau_num * (
+                    len(sets[a]) + len(sets[b])
+                ):
+                    out.add((a, b, inter, len(sets[a]), len(sets[b])))
+        return out
+
+    for tau_num, tau_den in ((1, 2), (4, 5), (9, 10), (2, 3)):
+        got = {
+            (r.doc_a, r.doc_b, r.ints, r.sa, r.sb)
+            for r in jaccard_prefix_pairs(df, tau_num, tau_den).collect()
+        }
+        assert got == brute(tau_num, tau_den), (tau_num, tau_den)
