@@ -137,3 +137,28 @@ def test_scan_budget_preflight(spark, tmp_path):
         full.where(F.col("bucket") == 1).join(dim, "bucket").groupBy("bname").count()
     )
     assert preflight_scan_bytes(pruned_join) < est_join
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Source-side schema evolution (the 100 TB reality: years of
+    files, columns added over time): mergeSchema unions the per-file
+    schemas, old files read the new column as NULL, and an explicit
+    reader schema keeps working against both vintages."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v")).write.parquet(
+        f"{p}/batch=1"
+    )
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(7).alias("added")
+    ).write.parquet(f"{p}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "v", "added"}
+    rows = {r.id: r.added for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 7 and len(rows) == 8
+
+    # explicit reader schema: stable projection over both vintages
+    explicit = spark.read.schema("id long, v string, added int").parquet(p)
+    assert explicit.where(F.col("added").isNull()).count() == 5
