@@ -658,3 +658,39 @@ def jaccard_prefix_pairs(
         (tau_den + tau_num) * F.col("ints")
         >= tau_num * (F.col("sa") + F.col("sb"))
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 16, w: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS selection): hash every k-char window, keep the
+    MIN hash of each window of w consecutive positions. GUARANTEE: two
+    docs sharing any verbatim run of >= w + k − 1 chars share at least
+    one fingerprint (property-tested in tests/test_dedup_caps.py).
+
+    The hash is the first 15 md5 hex chars as int64 (< 2⁶⁰) so any SQL
+    engine reproduces the identical MIN selection — which k-grams are
+    kept is part of the semantics, not an implementation detail.
+
+    Input: (doc_id, text). Output: distinct (doc_id, f) fingerprint
+    incidence — all per-row array work before the final DISTINCT, no
+    shuffle until then. Docs shorter than w + k − 1 chars emit nothing.
+    """
+    n = F.length("text")
+    hs = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda p: F.conv(
+            F.substring(F.md5(F.substring(F.col("text"), p, k)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    base = docs.where(n >= k + w - 1).select("doc_id", hs.alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+        )
+    )
+    return base.select("doc_id", F.explode(fps).alias("f")).distinct()

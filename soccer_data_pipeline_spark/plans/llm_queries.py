@@ -3766,30 +3766,12 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions; the DF cap bounds every fingerprint's join fanout so the
     self-join is sum-of-df² over kept fingerprints — never O(docs²).
     """
+    from ..operators.dedup import winnowing_fingerprints
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = F.length("text")
-    hs = F.transform(
-        F.sequence(F.lit(1), n - F.lit(_WINNOW_K - 1)),
-        lambda p: F.conv(
-            F.substring(F.md5(F.substring(F.col("text"), p, _WINNOW_K)), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-    )
-    base = docs.where(n >= _WINNOW_K + _WINNOW_W - 1).select(
-        "doc_id", hs.alias("hs")
-    )
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - F.lit(_WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
-        )
-    )
-    fp = (
-        base.select("doc_id", F.explode(fps).alias("f"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    fp = winnowing_fingerprints(
+        docs, k=_WINNOW_K, w=_WINNOW_W
+    ).localCheckpoint(eager=False)
     keep = (
         fp.groupBy("f")
         .agg(F.count("*").alias("df"))

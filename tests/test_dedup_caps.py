@@ -208,3 +208,59 @@ def test_jaccard_prefix_join_complete_vs_brute_force(spark):
             for r in jaccard_prefix_pairs(df, tau_num, tau_den).collect()
         }
         assert got == brute(tau_num, tau_den), (tau_num, tau_den)
+
+
+def test_winnowing_guarantee_shared_fingerprint(spark):
+    """The SIGMOD'03 winnowing theorem, tested: any two docs sharing a
+    verbatim run of >= w + k - 1 chars share at least one fingerprint
+    — across random contexts, boundary placements, and (k, w) configs.
+    Also the converse sanity: docs with no shared content share none."""
+    import random
+    import string
+
+    from soccer_data_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(11)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    for k, w in ((16, 8), (8, 4), (5, 3)):
+        t = w + k - 1
+        docs = []
+        expected_pairs = set()
+        did = 0
+        for trial in range(6):
+            shared = rand_text(t + rng.randrange(0, 5))
+            a = rand_text(rng.randrange(0, 30)) + shared + rand_text(rng.randrange(0, 30))
+            b = rand_text(rng.randrange(0, 30)) + shared + rand_text(rng.randrange(0, 30))
+            docs += [(did, a), (did + 1, b)]
+            expected_pairs.add((did, did + 1))
+            did += 2
+        # plus two unrelated docs (no planted overlap)
+        docs += [(did, rand_text(200)), (did + 1, rand_text(200))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        import pyspark.sql.functions as F
+
+        fp = winnowing_fingerprints(df, k=k, w=w)
+        a, b = fp.alias("a"), fp.alias("b")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in a.join(
+                b,
+                (F.col("a.f") == F.col("b.f"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        missing = expected_pairs - got
+        assert not missing, (k, w, missing)
+        # the two unrelated 200-char random docs share nothing (26^5
+        # k-gram space at the smallest k makes a chance 5-gram repeat
+        # across two 200-char strings vanishingly unlikely at this seed)
+        assert (did, did + 1) not in got, (k, w)
