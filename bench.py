@@ -189,6 +189,7 @@ HEADLINE = [
     "aqp_sample_mean",
     "join_cardinality_estimate",
     "jaccard_prefix_join",
+    "code_switching_audit",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -3924,3 +3924,120 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(band.alias("band_20th")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-switching audit [beyond-ref]: per-SENTENCE language ID vs the
+# document label — multilingual corpora carry mixed-language documents
+# (quotes, code-switching, boilerplate in a second language), and a
+# doc-level lang label silently mislabels those sentences for any
+# monolingual downstream filter or per-language token budget.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "code_switching_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, sid, sentence FROM (
+    SELECT doc_id, lang,
+           UNNEST(STRING_SPLIT_REGEX(text, '[.!?]+[ ]+')) AS sentence,
+           UNNEST(range(1, LEN(STRING_SPLIT_REGEX(text, '[.!?]+[ ]+')) + 1)) AS sid
+    FROM documents)
+  WHERE TRIM(sentence) <> ''
+),
+tok AS (
+  SELECT doc_id, lang, sid, UNNEST(STRING_SPLIT(sentence, ' ')) AS token FROM s
+),
+m(token, marker_lang) AS (VALUES {_MARKER_VALUES}),
+v AS (
+  SELECT doc_id, lang, sid, marker_lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok JOIN m USING (token) GROUP BY doc_id, lang, sid, marker_lang
+),
+p AS (
+  SELECT doc_id, lang, MIN(struct_pack(nc := -c, ml := marker_lang)) AS b
+  FROM v GROUP BY doc_id, lang, sid
+),
+per AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_cls,
+         CAST(SUM(CASE WHEN b.ml <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+  FROM p GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_cls) AS BIGINT) AS n_sentences_classified,
+       CAST(SUM(n_mis) AS BIGINT) AS n_mismatch,
+       ROUND(CAST(SUM(n_mis) AS DOUBLE) / CAST(SUM(n_cls) AS DOUBLE), 6)
+         AS mixed_rate,
+       CAST(SUM(CASE WHEN n_mis > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_switch
+FROM per GROUP BY lang
+""",
+    doc=(
+        "[beyond-ref] code-switching audit: per-sentence marker-vote "
+        "language vs the document label — mixed-language rate per "
+        "labeled language (multilingual corpus health)"
+    ),
+)
+def code_switching_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per labeled language: how many sentences inside its documents
+    classify as a DIFFERENT language under the same marker-vote scorer
+    the doc-level ``lang_id_heuristic`` uses — the code-switching /
+    embedded-boilerplate rate a per-language token budget needs to
+    correct for. Sentences with zero marker hits are unclassified and
+    excluded (no evidence, no verdict).
+
+    Determinism: the per-sentence argmax is ``min(struct(-votes,
+    marker_lang))`` — exact integer votes, lexicographic tiebreak,
+    identical in both engines; ``mixed_rate`` divides two exact long
+    sums once. Sentence splitting uses the same lookbehind-free
+    ``[.!?]+[ ]+`` delimiter as the readability query.
+
+    Scale shape: sentence + token explode is narrow; the only
+    data-sized shuffle is the (doc, sentence, marker_lang)-keyed vote
+    agg (map-side combinable, key space bounded by sentences ×
+    |langs|); everything above that is |docs|- then |langs|-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(_LANG_MARKERS, ["token", "marker_lang"])
+    s = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+[ ]+")).alias(
+                "sid", "sentence"
+            ),
+        )
+        .where(F.trim(F.col("sentence")) != "")
+    )
+    tok = s.select(
+        "doc_id", "lang", "sid", F.explode(F.split("sentence", " ")).alias("token")
+    )
+    v = (
+        tok.join(F.broadcast(markers), "token")
+        .groupBy("doc_id", "lang", "sid", "marker_lang")
+        .agg(F.count("*").alias("c"))
+    )
+    p = v.groupBy("doc_id", "lang", "sid").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("marker_lang").alias("ml"))
+        ).alias("b")
+    )
+    per = p.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_cls"),
+        F.sum(F.when(F.col("b.ml") != F.col("lang"), 1).otherwise(0)).alias(
+            "n_mis"
+        ),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_cls").alias("n_sentences_classified"),
+        F.sum("n_mis").alias("n_mismatch"),
+        F.round(
+            F.sum("n_mis").cast("double") / F.sum("n_cls").cast("double"), 6
+        ).alias("mixed_rate"),
+        F.sum(F.when(F.col("n_mis") > 0, 1).otherwise(0)).alias(
+            "n_docs_with_switch"
+        ),
+    )
