@@ -190,6 +190,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "jaccard_prefix_join",
     "code_switching_audit",
+    "minhash_estimation_error",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

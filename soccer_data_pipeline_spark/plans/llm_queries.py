@@ -4041,3 +4041,133 @@ def code_switching_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_with_switch"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy audit [beyond-ref]: the recall gates above answer
+# "did the sketch FIND the pairs"; this answers "how well does the
+# sketch ESTIMATE the similarity" — the error histogram of the k=16
+# match-fraction estimator vs exact shingle Jaccard over the banded
+# candidates. E[matches/k] = J exactly (Broder), sd = sqrt(J(1-J)/k)
+# ≈ 0.125 at k=16 — the histogram makes the variance visible, which is
+# what justifies (or indicts) thresholding decisions made on sketches.
+# ---------------------------------------------------------------------------
+
+_EST_MATCH_SQL = " + ".join(
+    f"CAST(sa.h{i} = sb.h{i} AS BIGINT)" for i in range(_K)
+)
+
+
+@register(
+    "minhash_estimation_error",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES},
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST({_EST_MATCH_SQL} AS BIGINT) AS m
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+),
+jx AS (
+  SELECT e.m,
+         CAST(COALESCE(co.n_common, 0) AS BIGINT) AS i,
+         CAST(ca.n_sh + cb.n_sh - COALESCE(co.n_common, 0) AS BIGINT) AS u
+  FROM est e
+  LEFT JOIN co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+  JOIN counts ca ON ca.doc_id = e.doc_a
+  JOIN counts cb ON cb.doc_id = e.doc_b
+)
+SELECT CAST((m * u - {_K} * i + {_K} * u) // (2 * u) AS BIGINT) AS err_band_8th,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM jx GROUP BY 1
+""",
+    doc=(
+        "[beyond-ref] MinHash accuracy audit: histogram of "
+        "(match-fraction estimate − exact shingle Jaccard) in 1/8th "
+        "bands over the banded candidate pairs (band 8 = error ≈ 0)"
+    ),
+)
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error distribution of the k=16 MinHash similarity estimator on
+    the production banded candidates: per pair, estimate = matching
+    signature components / k, truth = exact shingle Jaccard, and the
+    histogram bands floor(8·(err+1)) — band 8 holds |err| < 1/8, the
+    tails show how often a sketch-thresholded keep/drop decision
+    disagrees with the exact one.
+
+    Exactness: the band index is pure integer arithmetic —
+    (m·u − k·i + k·u) div (2u) over match count m, intersection i,
+    union u — identical in both engines (non-negative, so div == floor
+    everywhere). Candidates that share a band but no shingle (possible
+    via band-hash coincidence) count i = 0 via the left join.
+
+    Scale shape: shingles and signatures come from the shared
+    checkpointed frames (each feeds two+ consumers); the estimate is a
+    per-pair projection after two |docs|-row signature joins; the
+    exact side intersects the two per-doc shingle arrays IN-ROW
+    (array_intersect — the same fanout-free verify as
+    jaccard_prefix_join), and the pair set is the hot-bucket-capped
+    LSH candidate set, never corpus².
+    """
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles as mk_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = mk_shingles(docs, n=3).localCheckpoint(eager=False)
+    sig = minhash_signatures(sh, k=_K).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        sig, bands=_BANDS, rows_per_band=_RPB, max_bucket_size=_MAX_BUCKET
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_K)],
+    )
+    m = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(_K)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", m.alias("m")
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("ss"),
+        F.count("*").alias("n_sh"),
+    )
+    jx = (
+        est.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ss").alias("sa_"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ss").alias("sb_"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "m",
+            F.size(F.array_intersect(F.col("sa_"), F.col("sb_")))
+            .cast("long")
+            .alias("i"),
+            "na",
+            "nb",
+        )
+        .select(
+            "m", "i", (F.col("na") + F.col("nb") - F.col("i")).alias("u")
+        )
+    )
+    band = F.expr(f"(m * u - {_K} * i + {_K} * u) div (2 * u)").cast("long")
+    return jx.groupBy(band.alias("err_band_8th")).agg(
+        F.count("*").alias("n_pairs")
+    )
