@@ -191,6 +191,7 @@ HEADLINE = [
     "jaccard_prefix_join",
     "code_switching_audit",
     "minhash_estimation_error",
+    "dsir_importance_weights",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -4171,3 +4171,158 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jx.groupBy(band.alias("err_band_8th")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights [beyond-ref]: Data Selection with Importance
+# Resampling (Xie et al. 2023, arXiv:2302.03169) — score every raw
+# document by how much more likely its features are under a TARGET
+# distribution than under the raw corpus, log p_t(doc) − log p_r(doc)
+# over add-1-smoothed unigram models. The standard modern recipe for
+# "give me web data that looks like my curated slice", and entirely
+# aggregate-shaped: two vocabulary-keyed count tables + one per-doc
+# ordered fold.
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT d.doc_id, d.source, t.t AS token
+  FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) AS t(t)
+  WHERE t.t <> ''
+),
+tf AS (
+  SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, source, token
+),
+cr AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY token),
+ct AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS ct FROM tf
+  WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY token
+),
+tots AS (
+  SELECT CAST((SELECT SUM(cr) FROM cr) AS BIGINT) AS nr,
+         CAST((SELECT COALESCE(SUM(ct), 0) FROM ct) AS BIGINT) AS nt,
+         CAST((SELECT COUNT(*) FROM cr) AS BIGINT) AS v
+),
+lr AS (
+  SELECT cr.token,
+         LN(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+            / CAST(tots.nt + tots.v AS DOUBLE))
+         - LN(CAST(cr.cr + 1 AS DOUBLE) / CAST(tots.nr + tots.v AS DOUBLE))
+           AS lr
+  FROM cr LEFT JOIN ct USING (token) CROSS JOIN tots
+),
+ag AS (
+  SELECT tf.doc_id, MIN(tf.source) AS source,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         LIST_SUM(
+           LIST_TRANSFORM(
+             LIST(struct_pack(tf := tf.tf, lr := lr.lr) ORDER BY tf.token),
+             r -> r.tf * r.lr
+           )
+         ) AS w
+  FROM tf JOIN lr USING (token) GROUP BY tf.doc_id
+)
+SELECT doc_id, source, n_tokens, ROUND(w, 6) AS dsir_weight,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rk FROM ag
+) WHERE rk <= 10
+""",
+    doc=(
+        "[beyond-ref] DSIR importance weights (Xie et al. 2023): "
+        "log-likelihood ratio of each doc under the target-slice vs "
+        "raw-corpus add-1 unigram models; top-10 most target-like docs"
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 raw documents that look most like the target slice
+    (sources src0-src3 — in production, the curated corpus you want
+    more of), scored by the DSIR importance log-weight
+    Σ_t tf_t·(ln p_target(t) − ln p_raw(t)) with add-1 smoothing over
+    the raw vocabulary. Resampling with these weights is the selection
+    step; the top-k here is the inspectable head of that ranking.
+
+    Cross-engine float determinism: per-token log-ratios form in one
+    identical double tree (counts and totals are exact longs), and the
+    per-doc Σ tf·lr folds IN TOKEN ORDER on both engines — the same
+    discipline as unigram_cross_entropy. Ranking orders by the
+    unrounded weight with a doc_id tiebreak.
+
+    Scale shape: tf is one (doc, token)-keyed hash agg; both model
+    count tables are vocabulary-sized aggs OF tf (the corpus is never
+    re-touched); the smoothing totals ride a 1-row broadcast; the
+    per-doc reduce shuffles one row per distinct (doc, token); and the
+    final ranking is `bounded_topk` (TakeOrderedAndProject — doc
+    frames grow with the data, no global window).
+    """
+    from ..operators.topk import bounded_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
+    cr = tf.groupBy("token").agg(F.sum("tf").alias("cr"))
+    ct = (
+        tf.where(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    base = cr.join(ct, "token", "left").select(
+        "token", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+    ).localCheckpoint(eager=False)
+    tots = base.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    lr = base.crossJoin(F.broadcast(tots)).select(
+        "token",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            )
+        ).alias("lr"),
+    )
+    j = tf.join(lr, "token")
+    ag = j.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.sum("tf").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "tf", "lr"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["tf"] * r["lr"],
+        ).alias("w"),
+    )
+    top = bounded_topk(
+        ag,
+        10,
+        order=[F.col("w").desc(), F.col("doc_id")],
+        encode=[
+            (-F.col("w")).alias("nw"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("source").alias("source"),
+            F.col("n_tokens").alias("n_tokens"),
+            F.col("w").alias("w"),
+        ],
+        fields=["doc_id", "source", "n_tokens", "w"],
+    )
+    return top.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round("w", 6).alias("dsir_weight"),
+        F.col("rk"),
+    )
