@@ -192,6 +192,7 @@ HEADLINE = [
     "code_switching_audit",
     "minhash_estimation_error",
     "dsir_importance_weights",
+    "quality_selection_curve",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

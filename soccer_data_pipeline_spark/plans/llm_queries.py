@@ -4326,3 +4326,142 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("dsir_weight"),
         F.col("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality selection curve [beyond-ref]: the threshold-setting tool for
+# quality filtering — rank the corpus by an integer quality score, cut
+# it into exact deciles, and report how many TOKENS survive if you
+# keep the top q deciles. "Keep docs above quality X" is really "keep
+# Y % of tokens"; this is the curve that converts between them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_selection_curve",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tok,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a')))
+           AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tok,
+         CAST(LEAST(n_tok, 50) * 20
+              - CASE WHEN n_tok >= 20 AND 100 * n_stop >= n_tok
+                          AND 2 * n_stop <= n_tok
+                     THEN 0 ELSE 500 END AS BIGINT) AS qpm
+  FROM s
+),
+r AS (
+  SELECT doc_id, n_tok, qpm,
+         CAST(ROW_NUMBER() OVER (ORDER BY qpm, doc_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM q
+),
+d AS (
+  SELECT CAST(((i - 1) * 10) // n + 1 AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM r GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM d),
+c AS (
+  SELECT decile, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_top
+  FROM d
+)
+SELECT c.decile, c.n_docs, c.n_tokens,
+       ROUND(CAST(c.cum_top AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS retained_token_share
+FROM c, t
+""",
+    doc=(
+        "[beyond-ref] quality selection curve: integer per-mille quality "
+        "deciles (scale-safe rank) with top-down retained-token share — "
+        "the quality-threshold <-> token-budget conversion table"
+    ),
+)
+def quality_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-retention curve over quality deciles: decile 10 holds the
+    highest-quality docs; ``retained_token_share`` of decile q is the
+    fraction of corpus tokens you keep if you cut below q — the table a
+    curation run consults to turn a token budget into a quality
+    threshold (or vice versa).
+
+    The score is integer per-mille: min(n_tok, 50)·20, minus a flat 500
+    if the doc fails the stopword band (the same band as
+    ``quality_score``, tested integer-exact: 100·n_stop >= n_tok and
+    2·n_stop <= n_tok) — all ranking keys exact longs, ties by doc_id.
+
+    Scale shape: the rank is ``value_bucketed_rank`` with the per-row n
+    riding ``total_col`` (no count+crossJoin pass — the r8 primitive);
+    the decile agg collapses the corpus to 10 rows, and the top-down
+    cumulative + total fold INSIDE the 10-element array (the
+    customer_value_deciles pattern) — no window over anything
+    data-sized, one pass end to end.
+    """
+    from ..operators.topk import value_bucketed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long")
+    band_ok = (
+        (n_tok >= 20) & (100 * n_stop >= n_tok) & (2 * n_stop <= n_tok)
+    )
+    qpm = (
+        F.least(n_tok, F.lit(50).cast("long")) * 20
+        - F.when(band_ok, 0).otherwise(500)
+    ).cast("long")
+    q = docs.select("doc_id", n_tok.alias("n_tok"), qpm.alias("qpm"))
+    ranked = value_bucketed_rank(
+        q, "qpm", ["doc_id"], rank_col="i", total_col="_n"
+    )
+    d = ranked.groupBy(
+        (F.expr("((i - 1) * 10) div _n") + 1).cast("long").alias("decile")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct("decile", "n_docs", "n_tokens"))).alias(
+            "_l"
+        )
+    ).select(
+        F.aggregate(
+            F.col("_l"), F.lit(0).cast("long"), lambda acc, x: acc + x["n_tokens"]
+        ).alias("_tot"),
+        "_l",
+    )
+    # cum_top for decile q = Σ n_tokens over deciles >= q, folded over
+    # the sorted ≤10-element array
+    ex = arr.select(
+        "_tot",
+        F.explode(
+            F.transform(
+                F.col("_l"),
+                lambda e, i: F.struct(
+                    e["decile"].alias("decile"),
+                    e["n_docs"].alias("n_docs"),
+                    e["n_tokens"].alias("n_tokens"),
+                    F.aggregate(
+                        F.slice(F.col("_l"), i + 1, F.size(F.col("_l")) - i),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["n_tokens"],
+                    ).alias("cum_top"),
+                ),
+            )
+        ).alias("_e"),
+    )
+    return ex.select(
+        F.col("_e.decile").alias("decile"),
+        F.col("_e.n_docs").alias("n_docs"),
+        F.col("_e.n_tokens").alias("n_tokens"),
+        F.round(
+            F.col("_e.cum_top").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("retained_token_share"),
+    )
