@@ -582,8 +582,16 @@ def main() -> None:
                                 release_session_blocks(spark, gc=True)
                                 continue
                             release_session_blocks(spark, gc=True)
-                        except Exception:
-                            pass
+                        except Exception as e:
+                            # conf stays == raw ratio (conservative), but a
+                            # persistent failure in the confirmation path
+                            # itself must be visible, not swallowed
+                            print(
+                                f"# confirm-rerun failed for {q}: "
+                                f"{type(e).__name__}: {e} — recording raw "
+                                f"ratio as confirmed",
+                                file=sys.stderr,
+                            )
                     regressions[q] = [round(ratio, 2), round(norm, 2), round(conf, 2)]
                     print(
                         f"# REGRESSION {q}: {p:.3f}s -> {cur:.3f}s "

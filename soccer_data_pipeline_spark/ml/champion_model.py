@@ -79,10 +79,15 @@ def evaluate_topk(predictions: DataFrame, k: int = 3) -> dict[str, float]:
     this is the ROC leg).
 
     AUC scores come from ``champion_prob`` when the frame was scored by
-    the model; for the rank-only baselines the score is ``-pred_rank``
-    (AUC is rank-invariant, so any order-preserving score is exact).
-    Returns NaN AUC on a single-class frame (AUC undefined), never
-    raises — walk-forward folds over short histories can be one-class.
+    the model (a global score, so the pooled AUC is exact); for the
+    rank-only baselines the score is ``-pred_rank``, a PER-GROUP rank —
+    rank-invariance of AUC holds within one (league, season) group, but
+    pooling ranks across groups is not order-preserving of any global
+    score, so the baseline figure is a cross-group rank-pooled
+    approximation, comparable to the model's pooled-probability AUC
+    only as a coarse reference (ADVICE r8). Returns NaN AUC on a
+    single-class frame (AUC undefined), never raises — walk-forward
+    folds over short histories can be one-class.
     """
     per_group = predictions.groupBy("league", "season").agg(
         F.max(F.when((F.col("pred_rank") == 1) & F.col("is_champion"), 1).otherwise(0)).alias("hit1"),

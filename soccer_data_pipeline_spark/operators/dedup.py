@@ -567,7 +567,10 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def jaccard_prefix_pairs(
-    docs: DataFrame, tau_num: int = 9, tau_den: int = 10
+    docs: DataFrame,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Exact, COMPLETE token-set-Jaccard >= τ pairs via prefix
     filtering (All-Pairs/PPJoin family, Bayardo et al. WWW'07) — no DF
@@ -627,13 +630,17 @@ def jaccard_prefix_pairs(
         F.sort_array(F.collect_list("token")).alias("ts"),
         F.count("*").alias("s"),
     )
-    # per-doc arrays ride to each candidate row; broadcast is right at
-    # test/driver scale, and the same joins run hash-partitioned on the
-    # doc keys at 100 TB — fanout-free either way
+    # per-doc arrays ride to each candidate row. broadcast_verify=True
+    # forces the hint — right ONLY when the per-doc array frame fits the
+    # driver (test/driver scale). A 100 TB caller MUST pass False so the
+    # verify joins run hash-partitioned on the doc keys (AQE may still
+    # choose broadcast if the frame turns out small); an unconditional
+    # hint here would be a driver OOM at scale (ADVICE r8).
+    _hint = F.broadcast if broadcast_verify else (lambda d: d)
     ints = F.size(F.array_intersect(F.col("ta_"), F.col("tb_"))).cast("long")
     scored = (
         cand.join(
-            F.broadcast(
+            _hint(
                 arrs.select(
                     F.col("doc_id").alias("doc_a"),
                     F.col("ts").alias("ta_"),
@@ -643,7 +650,7 @@ def jaccard_prefix_pairs(
             "doc_a",
         )
         .join(
-            F.broadcast(
+            _hint(
                 arrs.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("ts").alias("tb_"),

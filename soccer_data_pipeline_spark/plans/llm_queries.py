@@ -4090,7 +4090,9 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error distribution of the k=16 MinHash similarity estimator on
     the production banded candidates: per pair, estimate = matching
     signature components / k, truth = exact shingle Jaccard, and the
-    histogram bands floor(8·(err+1)) — band 8 holds |err| < 1/8, the
+    histogram bands floor(8·(err+1)) — band 8 holds 0 <= err < 1/8 and
+    band 7 holds -1/8 <= err < 0 (the floor puts the two half-bands of
+    |err| < 1/8 on either side of the 7/8 boundary; ADVICE r8); the
     tails show how often a sketch-thresholded keep/drop decision
     disagrees with the exact one.
 

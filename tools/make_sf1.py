@@ -5,8 +5,10 @@ The driver's testdata stops at sf0.1; the 100 TB contract needs at
 least one 10x rehearsal per round (VERDICT r7 #7) to see which plans
 drift quadratic and whether the prefit/bucketed paths engage. Tiling
 preserves every distribution exactly (each replica is the sf0.1 data
-with keys offset by replica * max_key), with two deliberate
-perturbations:
+with keys offset by replica * (max_key + 1) — the +1 keeps 0-based
+key ranges disjoint across replicas; ADVICE r8 caught the off-by-one
+that collided each replica's key 0 with the previous replica's max),
+with two deliberate perturbations:
 
 - documents: replicas > 0 get a ' rN' suffix token so exact/minhash
   dedup sees realistic within-replica duplicates instead of a 10x
@@ -79,7 +81,7 @@ def main() -> None:
             for c in cols:
                 if c in offs:
                     base = maxes[offs[c]]
-                    sel.append(f"({c} + {r} * {base}) AS {c}")
+                    sel.append(f"({c} + {r} * ({base} + 1)) AS {c}")
                 elif t == "documents" and c == "text" and r > 0:
                     sel.append(f"(text || ' r{r}') AS text")
                 elif t == "documents" and c == "n_chars" and r > 0:
