@@ -834,12 +834,13 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 # above pays an O(label²) exact join over EVERY label block because its
 # oracle must recompute the full exact pair list. This variant keeps hash-
 # verifiability while bounding the exact side to a deterministic AUDIT
-# SAMPLE of label blocks (label % 4 = 0 → 3 of the 10 corpus labels): the
+# SAMPLE of label blocks (label % 4 = 0 → 3 of the 10 corpus labels),
+# row-strided to a fixed audit budget (see _BANDED_AUDIT_ROW_BUDGET): the
 # production banded path runs over the FULL corpus (linear in corpus size —
 # the ids-only recall join cannot prune it, there is no label predicate
 # linking the two sides), and the quadratic exact join shrinks to the
-# sampled blocks. At 100× data, sample a 100× smaller label fraction and
-# the audit cost stays flat while the hot path stays linear.
+# budgeted sample, so the audit cost stays FLAT at any corpus size while
+# the hot path stays linear.
 #
 # Threshold provenance (same discipline as above): measured full-corpus
 # banded recall on the SAMPLED blocks, deterministic per (seed=42, corpus):
@@ -853,19 +854,33 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 
 _BANDED_RECALL_FLOOR = 0.8
 
-# Audit sampling modulus: the exact O(block²) audit runs on labels
-# ≡ 0 (mod this). It must GROW with corpus size — the r8 sf1 rehearsal
-# (BENCH_NOTES.md issue 1) measured the audit side going 24× for 10×
-# data with the modulus held at 4, exactly the quadratic the docstring
-# warns about. 4 is the driver-scale setting; a 10× corpus wants ~8-12.
+# Audit sampling: the exact O(audit²) recall audit runs on labels
+# ≡ 0 (mod _BANDED_AUDIT_MOD), further row-subsampled by
+# vec_id % stride = 0 where stride = max(1, ceil(n_rows / ROW_BUDGET)).
+# Label cardinality is FIXED (10) at every sf, so a label modulus alone
+# cannot bound the audit: the r8 sf1 rehearsal (BENCH_NOTES.md issue 1)
+# measured the audit side going 24× for 10× data with only the pinned
+# `% 4` — blocks grew linearly and the quadratic exact join grew ~100×.
+# The vec_id stride is the budget knob (VERDICT r8 #1): audit rows stay
+# ≈ ROW_BUDGET·(|sampled labels|/|labels|) at ANY corpus size, so the
+# audit cost is FLAT while the production banded path stays linear.
+# ROW_BUDGET = 2000 makes stride exactly 1 at every driver sf
+# (500/500/2000 rows → driver hashes unchanged) and 10 at the sf1
+# rehearsal (20000 rows → same audit row count as sf0.1). The stride is
+# derived IN-PLAN (1-row broadcast agg) and by the SAME expression in
+# the DuckDB oracle's scalar subquery, so the differential stays exact.
 _BANDED_AUDIT_MOD = 4
+_BANDED_AUDIT_ROW_BUDGET = 2000
 
 
 @register(
     "embedding_near_dup_banded",
     oracle=f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE label % {_BANDED_AUDIT_MOD} = 0)
+WITH st AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_BANDED_AUDIT_ROW_BUDGET}.0) AS BIGINT)) AS s
+            FROM embeddings),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings, st
+      WHERE label % {_BANDED_AUDIT_MOD} = 0 AND vec_id % st.s = 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine,
@@ -877,8 +892,8 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
     doc=(
         "[beyond-ref] embedding near-dup via the production banded path over "
         "the full corpus, recall-gated against an exact audit sample "
-        "(label % 4 = 0 blocks) — the 100 TB-shaped window form of "
-        "embedding_near_dup (SURVEY §2.10)"
+        "(label % 4 = 0 blocks, row-strided to a fixed audit budget) — the "
+        "100 TB-shaped window form of embedding_near_dup (SURVEY §2.10)"
     ),
 )
 def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,10 +903,27 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    sampled = emb.where(F.col("label") % _BANDED_AUDIT_MOD == 0).select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    # audit-row budget → vec_id stride, derived in-plan (1-row broadcast;
+    # one column-pruned count scan) — never a pinned constant, so the
+    # exact-audit cost stays flat at any corpus size (provenance at
+    # _BANDED_AUDIT_ROW_BUDGET above)
+    stride = emb.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count("*") / float(_BANDED_AUDIT_ROW_BUDGET)).cast("long"),
+        ).alias("_stride")
+    )
+    sampled = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(
+            (F.col("label") % _BANDED_AUDIT_MOD == 0)
+            & (F.col("vec_id") % F.col("_stride") == 0)
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
     )
     sampled = sampled.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = sampled.alias("a")
@@ -2663,10 +2695,11 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through the bucket-local ANN tier (ann_lsh_cosine, the same operator
 # similarity_ann_recall gates) instead of broadcasting the whole pivot
 # language against the whole target corpus; the exact crossJoin of
-# bitext_mining_pairs is demoted to a SAMPLED recall audit (fr_doc % 4 = 0
-# — the same deterministic-slice pattern embedding_near_dup_banded
-# established). Output rows are the exact audit slice (SQL-reproducible);
-# the gate column carries the production path's health.
+# bitext_mining_pairs is demoted to a SAMPLED recall audit (fr_doc %
+# stride = 0, budget-strided — the same deterministic-slice pattern
+# embedding_near_dup_banded established). Output rows are the exact audit
+# slice (SQL-reproducible); the gate column carries the production path's
+# health.
 #
 # Threshold provenance (house discipline): measured candidate recall of
 # the default config (n_planes=6, Hamming radius 4 → probes 57/64 of
@@ -2680,16 +2713,30 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BITEXT_ANN_RECALL_FLOOR = 0.75
 
+# Audit-slice stride (VERDICT r8 #1): fr_doc % stride = 0 where stride =
+# 4 · max(1, ceil(n_docs / 5000)) — exactly 4 at every driver sf
+# (500/500/5000 docs → driver hashes unchanged) and 40 at the sf1
+# rehearsal (50000 docs), keeping the audited fr-doc count FLAT
+# (~|fr|/4 at sf0.1 ≈ 186) at any corpus size. The audit side is then
+# broadcast-sample × target corpus — linear in the corpus, never
+# quadratic (the r8 rehearsal measured the pinned `% 4` slice growing
+# 10× with the corpus, 100× in pair count). Derived in-plan and by the
+# same expression in the oracle's scalar subquery.
+_BITEXT_AUDIT_DOC_BUDGET = 5000
+
 
 @register(
     "bitext_mining_ann",
-    oracle="""
-WITH q AS (
+    oracle=f"""
+WITH st AS (SELECT 4 * GREATEST(1, CAST(CEIL(COUNT(*) / {_BITEXT_AUDIT_DOC_BUDGET}.0) AS BIGINT)) AS s
+            FROM documents),
+q AS (
   SELECT d.doc_id AS fr_doc, CAST(e.embedding AS DOUBLE[]) AS v,
          SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
                                CAST(e.embedding AS DOUBLE[]))) AS nrm
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-  WHERE d.lang = 'fr' AND d.doc_id % 4 = 0
+  CROSS JOIN st
+  WHERE d.lang = 'fr' AND d.doc_id % st.s = 0
 ),
 t AS (
   SELECT d.doc_id AS en_doc, CAST(e.embedding AS DOUBLE[]) AS v,
@@ -2731,17 +2778,19 @@ def bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin criterion (best/second-best, as in ``bitext_mining_pairs``)
     applies unchanged to the ANN candidates. The exact broadcast
     crossJoin survives only as the audit: on the deterministic
-    ``fr_doc % 4 = 0`` sample it recomputes the true top-1/top-2 margin
-    rows (the oracle-checked output), and ``ann_recall_ok`` reports
-    whether the exact best en_doc appeared in the ANN top-2 for >= 75 %
-    of the sample — the in-plan health check of the production path
-    (recall provenance in the block comment above).
+    budget-strided ``fr_doc % stride = 0`` sample (stride grows with
+    corpus size — provenance at ``_BITEXT_AUDIT_DOC_BUDGET``) it
+    recomputes the true top-1/top-2 margin rows (the oracle-checked
+    output), and ``ann_recall_ok`` reports whether the exact best
+    en_doc appeared in the ANN top-2 for >= 75 % of the sample — the
+    in-plan health check of the production path (recall provenance in
+    the block comment above).
 
-    Scale shape: the ANN side is bucket-local joins only; the audit side
-    is broadcast-sample × corpus, and at 100× data you sample a 100×
-    smaller fraction so the audit cost stays flat while the mining path
-    stays linear. The top-2 ranks partition BY QUERY DOC (never a
-    global window).
+    Scale shape: the ANN side is bucket-local joins only; the audit
+    side is broadcast-sample × corpus with the sampled fraction
+    shrinking as the corpus grows (the stride derivation), so the
+    audited doc count stays flat while the mining path stays linear.
+    The top-2 ranks partition BY QUERY DOC (never a global window).
     """
     from ..operators.similarity import ann_lsh_cosine
 
@@ -2768,9 +2817,20 @@ def bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("hit"),
     )
 
-    # audit: exact top-1/top-2 margin on the sampled slice
+    # audit: exact top-1/top-2 margin on the budget-strided slice
+    # (stride derivation + provenance at _BITEXT_AUDIT_DOC_BUDGET)
+    astride = docs.agg(
+        (
+            F.lit(4)
+            * F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.count("*") / float(_BITEXT_AUDIT_DOC_BUDGET)).cast("long"),
+            )
+        ).alias("_astride")
+    )
     qs = (
-        q_full.where(F.col("doc_id") % 4 == 0)
+        q_full.crossJoin(F.broadcast(astride))
+        .where(F.col("doc_id") % F.col("_astride") == 0)
         .select(F.col("doc_id").alias("fr_doc"), F.col("v").alias("qv"))
         .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     )
