@@ -5,9 +5,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is fully executed (collect-to-count via ``df.count()`` after
-a no-op cache-free run) so timings include scan→shuffle→agg, not just
-plan construction.
+Each query is FULLY executed: every output column is computed and fed
+to the `noop` sink (``df.write.format("noop")``), so timings include
+scan→shuffle→agg→project of the whole declared result. Rounds 1-8
+timed ``df.count()`` instead — discovered in r9 to be dishonest:
+count() lets Catalyst prune every subtree not needed for the row
+count, including unused aggregate expressions, projection columns,
+and gate-column LEFT JOINs (the entire ANN production side of the
+recall-gated similarity family dropped out of the count plan — 4 of 8
+joins). SPARK_GRAFT_BENCH_EVAL=count restores the legacy mode for
+apples-to-apples drift checks against pre-r9 baselines; per-query
+regression gating auto-disables when the baseline was recorded under
+a different eval mode.
 """
 
 from __future__ import annotations
@@ -237,10 +246,13 @@ EXCLUDED = {
 }
 
 
-def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
+def _prev_round_medians(sf: float) -> tuple[str, dict[str, float], str]:
     """Latest committed per-query medians at the SAME scale factor —
     the baseline for the vs_prev regression diff; cross-sf ratios
-    would be meaningless. ('', {}) if none.
+    would be meaningless. ('', {}, 'count') if none. The third element
+    is the eval mode the baseline was recorded under ('count' when the
+    artifact predates the r9 `eval` field) — per-query regression
+    gating is only valid when it matches the current EVAL_MODE.
 
     Preferred source (r7): the newest committed BENCH_DETAIL.json in
     git history whose sf matches — the driver's stdout BENCH_r*.json
@@ -284,7 +296,11 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
                     and q
                     and abs(float(doc.get("sf", -1)) - sf) < 1e-9
                 ):
-                    return (f"BENCH_DETAIL@{commit[:8]}", q)
+                    return (
+                        f"BENCH_DETAIL@{commit[:8]}",
+                        q,
+                        str(doc.get("eval", "count")),
+                    )
             except Exception:
                 continue
     except Exception:
@@ -318,7 +334,7 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
                 entries.append((os.path.basename(path), json.load(open(path))))
             except Exception:
                 entries.append((os.path.basename(path), None))
-    best = ("", {})
+    best = ("", {}, "count")
     for name, doc in entries:
         parsed = doc.get("parsed") if isinstance(doc, dict) else None
         if (
@@ -326,7 +342,7 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
             and isinstance(parsed.get("queries"), dict)
             and abs(float(parsed.get("sf", -1)) - sf) < 1e-9
         ):
-            best = (name, parsed["queries"])
+            best = (name, parsed["queries"], str(parsed.get("eval", "count")))
     return best
 
 
@@ -341,14 +357,48 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float]]:
 CANARIES = ["pricing_summary", "quality_score", "text_stats"]
 
 
+EVAL_MODE = os.environ.get("SPARK_GRAFT_BENCH_EVAL", "noop")
+
+
+def _exec_full(df):
+    """Fully execute a query result; returns the row count (or -1).
+
+    noop mode (default): every output column is computed and handed to
+    the no-op sink — the honest cost of the declared result. count
+    mode (legacy, rounds 1-8): Catalyst prunes everything the row
+    count doesn't need, silently skipping unused aggregates, projected
+    columns, and non-duplicating gate-column left joins (r9 found the
+    recall-gated family's whole ANN side missing from count plans).
+    """
+    if EVAL_MODE == "count":
+        return df.count()
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def _time_query(spark, spec, sf_dir, release_session_blocks, n_runs):
-    """warmup + n_runs cold timed samples; returns (sorted samples, rows)."""
-    n = spec.fn(spark, sf_dir).count()
+    """warmup + n_runs cold timed samples; returns (sorted samples, rows).
+
+    The warmup run carries an Observation so the row count is reported
+    without a separate count() execution; timed runs are plain full
+    executions (the CollectMetrics node is warmup-only, so timed plans
+    are exactly the query's own)."""
+    if EVAL_MODE == "count":
+        n = spec.fn(spark, sf_dir).count()
+    else:
+        from pyspark.sql import Observation
+        import pyspark.sql.functions as _F
+
+        obs = Observation()
+        spec.fn(spark, sf_dir).observe(
+            obs, _F.count(_F.lit(1)).alias("rows")
+        ).write.format("noop").mode("overwrite").save()
+        n = obs.get["rows"]
     samples = []
     for _ in range(n_runs):
         release_session_blocks(spark)
         t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
+        _exec_full(spec.fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
     samples.sort()
     return samples, n
@@ -414,11 +464,28 @@ def main() -> None:
 
     # Baseline first: the canary phases and the in-loop spike retry both
     # need the committed medians.
-    prev_name, prev = _prev_round_medians(sf)
+    prev_name, prev, prev_eval = _prev_round_medians(sf)
+    # Per-query ratios are only meaningful within one eval methodology:
+    # count-mode baselines under-measured every prunable subtree (see
+    # module docstring), so comparing noop timings against them flags
+    # the measurement turning honest as a "regression". When the modes
+    # differ the raw shared ratio is still recorded (marked), but
+    # regression gating, spike retries, and canary load normalization
+    # are disabled for the round; the next round re-baselines cleanly.
+    comparable = bool(prev) and prev_eval == EVAL_MODE
+    if prev and not comparable:
+        print(
+            f"# baseline {prev_name} recorded under eval={prev_eval}, "
+            f"current eval={EVAL_MODE} — per-query regression gating "
+            "disabled this run (methodology change, not a perf change)",
+            file=sys.stderr,
+        )
 
     def canary_ratios(phase: str) -> list[float]:
         """Per-canary (current median / committed median) ratios for one
         phase; the two phases are combined conservatively below."""
+        if not comparable:
+            return []
         ratios = []
         for cname in CANARIES:
             cspec = QUERIES.get(cname)
@@ -448,7 +515,7 @@ def main() -> None:
     heavy_warm = QUERIES.get("flagship_top_customers")
     if heavy_warm is not None:
         try:
-            heavy_warm.fn(spark, sf_dir).count()
+            _exec_full(heavy_warm.fn(spark, sf_dir))
         except Exception:
             pass
         release_session_blocks(spark, gc=True)
@@ -472,7 +539,7 @@ def main() -> None:
             # warmup-run operator caches leaked into its timed runs via
             # the CacheManager, so small queries were partly warm; the
             # per-sample release makes every timed run cold.
-            p = prev.get(name, 0.0)
+            p = prev.get(name, 0.0) if comparable else 0.0
             runs = 5 if (p and 0 < p < 1.0 and n_runs < 5) else n_runs
             samples, n = _time_query(spark, spec, sf_dir, release_session_blocks, runs)
             if p and p > 0 and samples[len(samples) // 2] / p > 1.5:
@@ -482,7 +549,7 @@ def main() -> None:
                 # median re-settle before the regression gate sees it.
                 release_session_blocks(spark, gc=True)
                 t0 = time.perf_counter()
-                n = spec.fn(spark, sf_dir).count()
+                _exec_full(spec.fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
                 samples.sort()
         except Exception as exc:  # a failing query must not kill the suite
@@ -553,7 +620,7 @@ def main() -> None:
                 norm = ratio / load_factor if load_factor > 0 else ratio
                 sp = spread.get(q, 0.0)
                 floor = max(sp, MIN_ABS_DELTA) if p < 1.0 else sp
-                if ratio > 1.3 and cur - p > floor and norm > 1.3:
+                if comparable and ratio > 1.3 and cur - p > floor and norm > 1.3:
                     # confirm-by-rerun: 5 fresh cold samples after a GC
                     # quiesce; the flag stands only if the confirmed
                     # median still clears every gate.
@@ -606,6 +673,7 @@ def main() -> None:
     shared_ratio = round(shared_cur / shared_prev, 3) if shared_prev else None
     vs_prev = {
         "ref": prev_name,
+        "eval_changed": bool(prev) and not comparable,
         "shared_ratio": shared_ratio,
         "load_factor": round(load_factor, 3),
         "shared_ratio_norm": (
@@ -617,6 +685,44 @@ def main() -> None:
         "fixed_count": len(fixed),
     }
 
+    # Cumulative drift anchor (VERDICT r8 #6): shared-ratio against a
+    # PINNED committed snapshot (BENCH_ANCHOR.json) alongside vs-prev,
+    # so consecutive small per-round drifts are provably noise or
+    # provably accretion — a constant creeping in under the per-query
+    # noise floor shows up here as a monotonically growing ratio even
+    # while every vs-prev reads ~1.0x. The anchor is only comparable at
+    # the same sf AND eval mode; re-pin (copy BENCH_DETAIL.json fields)
+    # whenever the methodology changes, as r9's count→noop switch did.
+    vs_anchor = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_ANCHOR.json")) as fh:
+            anchor = json.load(fh)
+        aq = anchor.get("queries") or {}
+        if (
+            abs(float(anchor.get("sf", -1)) - sf) < 1e-9
+            and str(anchor.get("eval", "count")) == EVAL_MODE
+            and aq
+        ):
+            a_cur = sum(timings[q] for q in aq if timings.get(q, -1) > 0 and aq[q] > 0)
+            a_prev = sum(aq[q] for q in aq if timings.get(q, -1) > 0 and aq[q] > 0)
+            if a_prev > 0:
+                vs_anchor = {
+                    "ref": str(anchor.get("pinned", "BENCH_ANCHOR")),
+                    "shared_ratio": round(a_cur / a_prev, 3),
+                    "shared_ratio_norm": (
+                        round(a_cur / a_prev / load_factor, 3)
+                        if load_factor > 0
+                        else None
+                    ),
+                    "n_shared": sum(
+                        1 for q in aq if timings.get(q, -1) > 0 and aq[q] > 0
+                    ),
+                }
+    except FileNotFoundError:
+        pass
+    except Exception as e:
+        print(f"# anchor unreadable: {type(e).__name__}: {e}", file=sys.stderr)
+
     # Full-detail artifact on disk (spreads, fixed list, machine info);
     # the stdout line must stay under the driver's 2000-char tail buffer
     # or it is recorded truncated/unparseable (ADVICE r3, BENCH_r03).
@@ -624,12 +730,14 @@ def main() -> None:
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
+        "eval": EVAL_MODE,
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
         "spread_sec": spread,
         "failed": failed,
         "vs_prev": {**vs_prev, "fixed": fixed},
+        "vs_anchor": vs_anchor,
         "excluded": EXCLUDED,
     }
     detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
@@ -640,10 +748,12 @@ def main() -> None:
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
+        "eval": EVAL_MODE,
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
         "vs_prev": vs_prev,
+        "vs_anchor": vs_anchor,
     }
     # progressively slim to fit the tail buffer; each step is re-checked
     # (the first slimmed form is itself near the cap at ~57 query names —
@@ -654,6 +764,7 @@ def main() -> None:
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line_obj["vs_prev"] = {
             "ref": prev_name,
+            "eval_changed": vs_prev["eval_changed"],
             "shared_ratio": vs_prev["shared_ratio"],
             "load_factor": vs_prev["load_factor"],
             "shared_ratio_norm": vs_prev["shared_ratio_norm"],
