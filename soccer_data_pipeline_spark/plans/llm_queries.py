@@ -2702,13 +2702,16 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # health.
 #
 # Threshold provenance (house discipline): measured candidate recall of
-# the default config (n_planes=6, Hamming radius 4 → probes 57/64 of
+# the driver-sf config (n_planes=6, Hamming radius 4 → probes 57/64 of
 # bucket space, still bucket-local) for "exact best en_doc ∈ ANN top-2"
 # on this corpus (near-uniform random 64-d — the ANN worst case):
 # 1.0 @sf0.001 (18/18), 0.90 @sf0.01 (18/20), 0.9875 @sf0.1 (79/80).
-# Floor 0.75 → margins +0.25/+0.15/+0.2375, all >= 0.1. At real corpus
-# scale (clustered multilingual embeddings, not uniform noise) the same
-# recall needs far fewer probes; retune = add radius or drop planes.
+# Floor 0.75 → margins +0.25/+0.15/+0.2375, all >= 0.1. The config is a
+# measured LADDER over corpus size (r9, VERDICT r8 #2 — see the in-plan
+# comment): n_en >= 4096 switches to (10, 4), which probes 37.7 % of
+# bucket space and measured recall 0.82 at 21.8x over exact at the sf1
+# rehearsal. Full frontier in tools/tune_bitext_ann.py output,
+# reproduced in BENCH_NOTES.md.
 # ---------------------------------------------------------------------------
 
 _BITEXT_ANN_RECALL_FLOOR = 0.75
@@ -2806,10 +2809,35 @@ def bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_full = side.where(F.col("lang") == "fr").select("doc_id", "v")
     t_full = side.where(F.col("lang") == "en").select("doc_id", "v")
 
+    # ANN config ladder (VERDICT r8 #2) — measured frontier, r9, via
+    # tools/tune_bitext_ann.py (recall = exact-best-in-ANN-top-2 on the
+    # audit slice; speedups vs the exact crossJoin, both noop-executed):
+    #   n_en=808 (sf0.1): (6,4) probes 57/64 = 89 % of bucket space,
+    #     recall 0.9875; EVERY sparser config fails the 0.75 floor
+    #     (p8r3 0.59, p10r4 0.69, IVF c128p16 0.825 at only 1.9x) — at
+    #     sub-4k corpora near-brute-force is simply correct, and (6,4)
+    #     keeps the measured driver-sf provenance unchanged
+    #     (1.0 / 0.90 / 0.9875 at sf0.001/0.01/0.1).
+    #   n_en=8080 (sf1): (10,4) probes 386/1024 = 37.7 %, recall 0.82,
+    #     10.0 s vs exact 217.6 s = 21.8x (the r8 finding was (6,4)
+    #     degenerating to 89 %-probed near-brute-force there: 46.2 s);
+    #     (9,4) = recall 0.90 at 6.0x is the high-recall fallback when
+    #     a +0.1 gate margin is required.
+    # Caveat (BENCH_NOTES.md): near-uniform random vectors are the ANN
+    # worst case — recall tracks probed fraction. The sf1 tiling's
+    # shared per-replica jitter adds the mild pair structure real
+    # multilingual embeddings have; a NEW corpus tier needs a measured
+    # retune (rerun the tuning tool), not a formula extrapolation.
+    n_en = t_full.count()  # driver-side scalar: the plan STRUCTURE
+    # (probe-mask count) depends on it, so unlike the audit stride it
+    # cannot ride in-plan; one narrow count, corpus-catalog stats at
+    # real scale
+    n_planes, radius = (6, 4) if n_en < 4096 else (10, 4)
+
     # production path: bucket-local ANN top-2 per fr doc, full pivot side
     ann = ann_lsh_cosine(
-        q_full, t_full, k=2, n_planes=6, dim=64, id_col="doc_id",
-        vec_col="v", multiprobe=4,
+        q_full, t_full, k=2, n_planes=n_planes, dim=64, id_col="doc_id",
+        vec_col="v", multiprobe=radius,
     )
     cand = ann.select(
         F.col("query_id").alias("fr_doc"),
