@@ -1,7 +1,8 @@
 """[beyond-ref] Corpus cleaning decisions as a reusable operator.
 
 The keep/drop policy the training-data tier applies before assembly:
-quality gate → exact-dup keeper → near-dup cluster keeper, with fixed
+quality gate → exact-dup keeper → cluster keeper over the UNION of
+MinHash near-dup and winnowing verbatim-overlap edges, with fixed
 precedence. Extracted from the registered ``corpus_clean_decisions``
 query (plans/llm_queries.py keeps the DuckDB oracle that hash-checks
 this exact composition, recursive-CTE components included) so the
@@ -33,11 +34,27 @@ def clean_decisions(
     min_tokens: int = 20,
     stop_lo: float = 0.01,
     stop_hi: float = 0.5,
+    winnow_k: int = 16,
+    winnow_w: int = 8,
+    winnow_df_cap: int = 50,
+    winnow_min_shared: int | None = 2,
 ) -> DataFrame:
     """→ (doc_id, decision) with decision ∈ {keep, drop_quality,
-    drop_exact_dup, drop_near_dup}; precedence quality → exact → near.
-    Keeper = min doc_id per exact-hash group / per near-dup cluster."""
-    from .dedup import minhash_near_dup_pairs
+    drop_exact_dup, drop_near_dup, drop_verbatim_overlap}; precedence
+    quality → exact → near/verbatim. Keeper = min doc_id per exact-hash
+    group / per consolidated cluster.
+
+    Substring tier (VERDICT r8 #3): winnowing candidate pairs with
+    >= ``winnow_min_shared`` shared fingerprints feed the SAME
+    connected-components consolidation as the MinHash pairs — a second
+    edge source, so a corpus riddled with >= winnow_k + 2·winnow_w − 1
+    char verbatim quoting (31 at defaults) no longer passes cleaning on
+    MinHash similarity alone. A dropped non-keeper's reason is
+    ``drop_near_dup`` when the doc itself has any MinHash edge, else
+    ``drop_verbatim_overlap`` (it was pulled into its cluster only by
+    verbatim-run evidence). ``winnow_min_shared=None`` disables the
+    tier (the pre-r9 behavior)."""
+    from .dedup import minhash_near_dup_pairs, winnowing_pairs
     from .graph import connected_components
 
     toks = F.filter(F.split("text", " "), lambda x: x != "")
@@ -63,8 +80,29 @@ def clean_decisions(
         docs, n=3, k=k, bands=bands, threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
-    clusters = connected_components(pairs).select(
+    edges = pairs.select("doc_a", "doc_b")
+    if winnow_min_shared is not None:
+        wpairs = winnowing_pairs(
+            docs.select("doc_id", "text"),
+            k=winnow_k,
+            w=winnow_w,
+            df_cap=winnow_df_cap,
+            min_shared=winnow_min_shared,
+        ).select("doc_a", "doc_b")
+        # union of the two evidence tiers; CC tolerates duplicate edges,
+        # so no distinct shuffle is spent here
+        edges = edges.unionByName(wpairs)
+    clusters = connected_components(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+    # reason attribution: docs with at least one MinHash edge of their
+    # own keep the drop_near_dup reason; cluster members connected only
+    # by verbatim-run evidence surface as drop_verbatim_overlap
+    nd_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_has_nd", F.lit(True))
     )
 
     q = (
@@ -76,17 +114,24 @@ def clean_decisions(
             (F.col("doc_id") == F.col("_exact_keeper")).alias("_exact_keep"),
         )
     )
-    return q.join(clusters, "doc_id", "left").select(
-        "doc_id",
-        F.when(~F.col("_q_ok"), "drop_quality")
-        .when(~F.col("_exact_keep"), "drop_exact_dup")
-        .when(
-            F.col("cluster_id").isNotNull()
-            & (F.col("doc_id") != F.col("cluster_id")),
-            "drop_near_dup",
+    dropped_in_cluster = F.col("cluster_id").isNotNull() & (
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return (
+        q.join(clusters, "doc_id", "left")
+        .join(nd_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("_q_ok"), "drop_quality")
+            .when(~F.col("_exact_keep"), "drop_exact_dup")
+            .when(
+                dropped_in_cluster & F.coalesce(F.col("_has_nd"), F.lit(False)),
+                "drop_near_dup",
+            )
+            .when(dropped_in_cluster, "drop_verbatim_overlap")
+            .otherwise("keep")
+            .alias("decision"),
         )
-        .otherwise("keep")
-        .alias("decision"),
     )
 
 

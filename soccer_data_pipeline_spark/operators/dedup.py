@@ -701,3 +701,50 @@ def winnowing_fingerprints(
         )
     )
     return base.select("doc_id", F.explode(fps).alias("f")).distinct()
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-verbatim pairs by shared winnowing fingerprints —
+    the full MOSS candidate stage over :func:`winnowing_fingerprints`.
+
+    GUARANTEE ladder: a shared verbatim run of >= w + k − 1 chars shares
+    >= 1 fingerprint; winnowing's density bound (one selected position
+    can cover at most w consecutive windows) makes a run of
+    > k + 2w − 2 chars share >= 2, so ``min_shared=2`` keeps the
+    guarantee for runs of >= k + 2w − 1 chars (31 at the 16/8 defaults)
+    while suppressing single-fingerprint md5 coincidences.
+
+    ``df_cap`` drops fingerprints present in more docs (boilerplate
+    suppression AND the hot-key cap — declared semantics, same
+    discipline as the MinHash band join), bounding the self-join at
+    sum-of-df² over kept fingerprints — never O(docs²).
+
+    Input: (doc_id, text). Output: (doc_a, doc_b, n_shared), doc_a <
+    doc_b. Consumers: the registered ``winnowing_candidate_pairs``
+    query and the ``verbatim_overlap`` tier of corpus.clean_decisions.
+    """
+    fp = winnowing_fingerprints(docs, k=k, w=w).localCheckpoint(eager=False)
+    keep = (
+        fp.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("f")
+    )
+    fk = fp.join(keep, "f", "left_semi")
+    a, b = fk.alias("a"), fk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1865,12 +1865,56 @@ def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # End-to-end corpus cleaning [beyond-ref]: the decision table a training-
 # data pipeline actually emits — one row per document with keep/drop and
-# the reason, composing quality scoring, exact dedup, and near-dup
-# cluster consolidation with fixed precedence (quality → exact → near).
-# The oracle recomputes the whole policy, including true connected
-# components via the recursive CTE, so the composition is hash-checked,
-# not just its parts.
+# the reason, composing quality scoring, exact dedup, and near-dup +
+# verbatim-overlap cluster consolidation with fixed precedence (quality →
+# exact → near/verbatim). The oracle recomputes the whole policy,
+# including true connected components via the recursive CTE over the
+# UNION of both edge tiers, so the composition is hash-checked, not just
+# its parts.
+#
+# Substring tier (VERDICT r8 #3): winnowing candidate pairs (MOSS,
+# SIGMOD'03 — constants below, also used by winnowing_candidate_pairs)
+# feed the cluster consolidation as a second edge source; a non-keeper
+# connected only by verbatim-run evidence drops as
+# 'drop_verbatim_overlap'. Guarantee at the 16/8/min-2 defaults: any
+# pair sharing a verbatim run >= k + 2w − 1 = 31 chars shares >= 2
+# fingerprints, so MinHash-invisible verbatim quoting no longer passes
+# cleaning (golden test in tests/test_corpus_pipeline.py).
 # ---------------------------------------------------------------------------
+
+_WINNOW_K = 16  # k-gram length (chars)
+_WINNOW_W = 8  # winnowing window (positions) → 1-fp guarantee t = w+k−1 = 23
+_WINNOW_DF_CAP = 50  # drop fingerprints in more docs than this (boilerplate)
+_WINNOW_MIN_SHARED = 2  # pairs sharing >= this many fps (run >= k+2w−1 = 31)
+
+# Shared winnowing CTE chain (hash = first 15 md5 hex chars as int64 —
+# engine-identical MIN selection); consumed by corpus_clean_decisions
+# and winnowing_candidate_pairs.
+_WINNOW_CTES = f"""h_w AS (
+  SELECT doc_id,
+         list_transform(range(1, LENGTH(text) - {_WINNOW_K - 2}),
+            i -> CAST('0x' || SUBSTRING(md5(substring(text, CAST(i AS INTEGER),
+                                        {_WINNOW_K})), 1, 15) AS BIGINT)) AS hs
+  FROM documents
+  WHERE LENGTH(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+fp_w AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+       i -> list_min(hs[i:i + {_WINNOW_W - 1}])))) AS f
+  FROM h_w
+),
+keep_w AS (
+  SELECT f FROM fp_w GROUP BY f HAVING COUNT(*) <= {_WINNOW_DF_CAP}
+),
+fk_w AS (SELECT fp_w.doc_id, fp_w.f FROM fp_w JOIN keep_w USING (f)),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fk_w a JOIN fk_w b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)"""
 
 
 @register(
@@ -1878,10 +1922,15 @@ def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE {_MINHASH_PAIRS_CTES},
 pairs AS ({_MINHASH_PAIRS_SELECT}),
+{_WINNOW_CTES},
 und AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs
+  UNION
+  SELECT doc_a AS u, doc_b AS v FROM wpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM wpairs
 ),
 reach AS (
   SELECT u, v FROM und
@@ -1906,12 +1955,25 @@ SELECT q.doc_id,
               AND CAST(q.n_stop AS DOUBLE) / NULLIF(q.n_tokens, 0) BETWEEN 0.01 AND 0.5)
       THEN 'drop_quality'
     WHEN q.doc_id <> q.exact_keeper THEN 'drop_exact_dup'
-    WHEN c.doc_id IS NOT NULL AND q.doc_id <> c.cluster_id THEN 'drop_near_dup'
+    WHEN c.doc_id IS NOT NULL AND q.doc_id <> c.cluster_id
+      -- IN, not a join: DuckDB's WITH RECURSIVE block skips the UNION
+      -- dedup of non-recursive member CTEs, so a distinct-docs CTE
+      -- here came back with duplicates and multiplied the left join
+      THEN CASE WHEN q.doc_id IN (SELECT doc_a FROM pairs
+                                  UNION ALL SELECT doc_b FROM pairs)
+                THEN 'drop_near_dup'
+                ELSE 'drop_verbatim_overlap' END
     ELSE 'keep'
   END AS decision
-FROM quality q LEFT JOIN clusters c ON c.doc_id = q.doc_id
+FROM quality q
+LEFT JOIN clusters c ON c.doc_id = q.doc_id
 """,
-    doc="[beyond-ref] end-to-end corpus cleaning decision table: quality -> exact dedup -> near-dup clusters, keep/drop + reason per doc (SURVEY §2.10 training-data tier)",
+    doc=(
+        "[beyond-ref] end-to-end corpus cleaning decision table: quality -> "
+        "exact dedup -> near-dup + verbatim-overlap clusters (MinHash and "
+        "winnowing edges consolidated in one CC), keep/drop + reason per "
+        "doc (SURVEY §2.10 training-data tier)"
+    ),
 )
 def corpus_clean_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Policy body lives in operators/corpus.clean_decisions (r6) so the
@@ -3788,40 +3850,16 @@ def duplicate_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w consecutive positions guarantees that any verbatim match of length
 # >= w + k − 1 shares at least one fingerprint, while keeping ~2/(w+1)
 # of the positions instead of all of them.
+# (The _WINNOW_* constants live next to corpus_clean_decisions, whose
+# oracle also interpolates them — the substring tier feeds cleaning.)
 # ---------------------------------------------------------------------------
-
-_WINNOW_K = 16  # k-gram length (chars)
-_WINNOW_W = 8  # winnowing window (positions) → guarantee t = w+k−1 = 23
-_WINNOW_DF_CAP = 50  # drop fingerprints in more docs than this (boilerplate)
-_WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
 
 
 @register(
     "winnowing_candidate_pairs",
     oracle=f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform(range(1, LENGTH(text) - {_WINNOW_K - 2}),
-            i -> CAST('0x' || SUBSTRING(md5(substring(text, CAST(i AS INTEGER),
-                                        {_WINNOW_K})), 1, 15) AS BIGINT)) AS hs
-  FROM documents
-  WHERE LENGTH(text) >= {_WINNOW_K + _WINNOW_W - 1}
-),
-fp AS (
-  SELECT DISTINCT doc_id, UNNEST(
-    list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
-       i -> list_min(hs[i:i + {_WINNOW_W - 1}])))) AS f
-  FROM h
-),
-keep AS (
-  SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WINNOW_DF_CAP}
-),
-fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+WITH {_WINNOW_CTES}
+SELECT doc_a, doc_b, n_shared FROM wpairs
 """,
     doc=(
         "[beyond-ref] winnowing fingerprint candidate pairs (MOSS, "
@@ -3854,31 +3892,15 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions; the DF cap bounds every fingerprint's join fanout so the
     self-join is sum-of-df² over kept fingerprints — never O(docs²).
     """
-    from ..operators.dedup import winnowing_fingerprints
+    from ..operators.dedup import winnowing_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = winnowing_fingerprints(
-        docs, k=_WINNOW_K, w=_WINNOW_W
-    ).localCheckpoint(eager=False)
-    keep = (
-        fp.groupBy("f")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= _WINNOW_DF_CAP)
-        .select("f")
-    )
-    fk = fp.join(keep, "f", "left_semi")
-    a, b = fk.alias("a"), fk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.f") == F.col("b.f"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    return winnowing_pairs(
+        docs,
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        df_cap=_WINNOW_DF_CAP,
+        min_shared=_WINNOW_MIN_SHARED,
     )
 
 

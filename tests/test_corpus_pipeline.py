@@ -121,6 +121,45 @@ def test_shuffle_order_seed_reshuffles(spark):
     assert set(a) == set(b) and a != b
 
 
+def test_verbatim_overlap_caught_where_minhash_misses(spark):
+    """Golden (VERDICT r8 #3): two otherwise-unrelated docs sharing one
+    >= 31-char verbatim quote (the winnowing k+2w-1 two-fingerprint
+    guarantee at the 16/8 defaults) must be consolidated by the
+    substring tier — clean_decisions drops the non-keeper with reason
+    'drop_verbatim_overlap' — even though their token-shingle Jaccard
+    is far below the MinHash tier's 0.5 threshold (no near-dup pair)."""
+    from soccer_data_pipeline_spark.operators.corpus import clean_decisions
+    from soccer_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        winnowing_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    a_body = " ".join(f"alpha{i}" for i in range(40))
+    b_body = " ".join(f"beta{i}" for i in range(40))
+    # 'the'/'a' tokens keep the stop-word ratio inside [0.01, 0.5]
+    docs = spark.createDataFrame(
+        [
+            (1, f"a {a_body} {quote} {a_body}"),
+            (2, f"a {b_body} {quote} {b_body}"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = minhash_near_dup_pairs(docs, n=3, k=16, bands=4, threshold=0.5).collect()
+    assert mh == [], f"fixture broken: MinHash found {mh}"
+    wp = winnowing_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b) for r in wp] == [(1, 2)]
+    assert wp[0].n_shared >= 2
+    got = {r.doc_id: r.decision for r in clean_decisions(docs).collect()}
+    assert got == {1: "keep", 2: "drop_verbatim_overlap"}
+    # tier off reproduces the pre-r9 blind spot (both kept)
+    off = {
+        r.doc_id: r.decision
+        for r in clean_decisions(docs, winnow_min_shared=None).collect()
+    }
+    assert off == {1: "keep", 2: "keep"}
+
+
 def test_corpus_build_train_order(spark):
     """order_seed adds a train_order column that (a) matches
     shuffle_order over exactly the kept docs and (b) is a permutation

@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Per-round sf1 scale rehearsal artifact (VERDICT r8 #8).
+
+Runs the HEAVY query tier at sf0.1 and at the 10x-tiled sf1 rehearsal
+data (tools/make_sf1.py) in one session — one cold noop-executed run
+per (query, sf) — and writes BENCH_SF1_r{N}.json with per-query
+timings, the x10-data ratio, and a de-noised superlinearity gate:
+a query is flagged only if its ratio exceeds RATIO_FLAG and a fresh
+confirm rerun at sf1 reproduces it (same discipline as bench.py's
+regression gate: a one-off GC/session burst must not record a finding).
+
+Usage: python3 tools/bench_sf1.py <round> [sf1_dir]
+  e.g.: python3 tools/bench_sf1.py 9 testdata_sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Heavy tier: every query the r7/r8 rehearsals tracked, plus the r9
+# substring/set-similarity family. Linear-scaling cheap queries are
+# covered by the main bench; this artifact exists to catch plans that
+# drift superlinear with data size.
+HEAVY = [
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_connected_clusters",
+    "dedup_simhash_groups",
+    "corpus_clean_decisions",
+    "similarity_ann_recall",
+    "similarity_ivf_recall",
+    "pagerank_suppliers",
+    "kcore_peel_suppliers",
+    "revenue_concentration",
+    "customer_value_deciles",
+    "equi_depth_binning",
+    "ks_two_sample_split",
+    "spearman_spend_balance",
+    "pack_sequences",
+    "corpus_shuffle_order",
+    "embedding_near_dup_banded",
+    "bitext_mining_ann",
+    "peak_concurrent_users",
+    "tpch_q7_shape",
+    "embedding_covariance_audit",
+    "duplicate_substring_audit",
+    "winnowing_candidate_pairs",
+    "jaccard_prefix_join",
+]
+
+# 10x data should cost <= ~10x wall for a linear plan; the bucketed /
+# banded / capped designs are expected sub-linear. Flag only clearly
+# superlinear growth (the r8 findings were 24x and 37x).
+RATIO_FLAG = 12.0
+
+
+def _exec_full(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    rnd = int(sys.argv[1])
+    sf1_dir = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
+    sf01_dir = "/root/testdata/sf0.1"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.session import get_spark
+    from soccer_data_pipeline_spark.operators.cache import release_session_blocks
+
+    spark = get_spark(
+        app_name="bench_sf1",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
+
+    # suite warmup: JIT/codegen + parquet footers (discarded)
+    warm = QUERIES.get("dedup_exact_documents")
+    if warm is not None:
+        _exec_full(warm.fn(spark, sf01_dir))
+        release_session_blocks(spark, gc=True)
+
+    def one_cold(name: str, sf_dir: str) -> float:
+        spec = QUERIES[name]
+        release_session_blocks(spark, gc=True)
+        t0 = time.perf_counter()
+        _exec_full(spec.fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        release_session_blocks(spark, gc=True)
+        return dt
+
+    rows = {}
+    flagged = {}
+    for name in HEAVY:
+        if name not in QUERIES:
+            print(f"# {name}: not registered, skipped", file=sys.stderr)
+            continue
+        try:
+            t01 = one_cold(name, sf01_dir)
+            t1 = one_cold(name, sf1_dir)
+        except Exception as exc:
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            rows[name] = {"sf0.1": -1.0, "sf1": -1.0, "ratio": None}
+            continue
+        ratio = t1 / t01 if t01 > 0 else None
+        if ratio is not None and ratio > RATIO_FLAG:
+            # confirm-by-rerun before recording a superlinearity finding
+            t1c = one_cold(name, sf1_dir)
+            conf = t1c / t01
+            if conf > RATIO_FLAG:
+                flagged[name] = round(min(ratio, conf), 2)
+                print(
+                    f"# SUPERLINEAR {name}: {t01:.2f}s -> {t1:.2f}s "
+                    f"({ratio:.1f}x raw, {conf:.1f}x confirmed for 10x data)",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"# noise (unconfirmed) {name}: {ratio:.1f}x re-timed "
+                    f"at {conf:.1f}x — not flagged",
+                    file=sys.stderr,
+                )
+            t1 = min(t1, t1c)
+            ratio = t1 / t01
+        rows[name] = {
+            "sf0.1": round(t01, 2),
+            "sf1": round(t1, 2),
+            "ratio": round(ratio, 2) if ratio is not None else None,
+        }
+        print(
+            f"# {name}: sf0.1 {t01:.2f}s, sf1 {t1:.2f}s ({ratio:.1f}x)",
+            file=sys.stderr,
+        )
+
+    # vs the previous round's committed artifact (same eval mode only)
+    prev = None
+    for r in range(rnd - 1, 0, -1):
+        p = os.path.join(root, f"BENCH_SF1_r{r:02d}.json")
+        if os.path.exists(p):
+            try:
+                doc = json.load(open(p))
+                if doc.get("eval") == "noop":
+                    prev = (f"BENCH_SF1_r{r:02d}", doc.get("queries", {}))
+            except Exception:
+                pass
+            break
+    regr = {}
+    if prev:
+        for q, cur in rows.items():
+            pq = prev[1].get(q, {})
+            p1 = pq.get("sf1", -1)
+            if p1 and p1 > 0 and cur["sf1"] > 0 and cur["sf1"] / p1 > 1.5:
+                t1c = one_cold(q, sf1_dir)
+                if t1c / p1 > 1.5:
+                    regr[q] = round(t1c / p1, 2)
+
+    doc = {
+        "metric": "sf1_heavy_tier",
+        "round": rnd,
+        "eval": "noop",
+        "ratio_flag": RATIO_FLAG,
+        "queries": rows,
+        "superlinear": flagged,
+        "vs_prev": {"ref": prev[0] if prev else None, "regr": regr},
+        "sf1_rows": {"lineitem": 6000000, "documents": 50000, "embeddings": 20000},
+    }
+    out = os.path.join(root, f"BENCH_SF1_r{rnd:02d}.json")
+    with open(out, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps({k: doc[k] for k in ("metric", "round", "superlinear")}))
+    print(f"# wrote {out}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
