@@ -2,7 +2,9 @@
 of ``pipeline.run_soccer_etl``: ONE lazy composition from a raw
 documents frame to the training-ready artifact frames.
 
-    clean (quality → exact dedup → near-dup clusters)
+    clean (quality → exact dedup → near-dup + verbatim-overlap clusters)
+      → select (optional: budgeted keep set under a token budget,
+                quality-score or DSIR-weight ranked)
       → split (hash-deterministic train/val/test)
       → shard (md5-bucket output sharding)
       → manifest (per split × shard audit)
@@ -44,6 +46,7 @@ class CorpusBuildOutputs:
     decisions: DataFrame  # (doc_id, decision) — every input doc, keep/drop + reason
     corpus: DataFrame  # kept docs + (split, shard_id) assignment columns
     manifest: DataFrame  # per (split, shard_id): n_docs, total_chars
+    selection: DataFrame | None = None  # budgeted-selection ledger (token_budget runs)
 
 
 def run_corpus_build(
@@ -52,6 +55,9 @@ def run_corpus_build(
     train_pct: int = 80,
     val_pct: int = 10,
     order_seed: str | None = None,
+    token_budget: int | None = None,
+    selection: str = "quality",
+    dsir_target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
     **clean_kwargs,
 ) -> CorpusBuildOutputs:
     """Build the full corpus-assembly plan (lazy — caller writes).
@@ -66,13 +72,49 @@ def run_corpus_build(
     streams each shard ORDER BY train_order and the epoch order is
     reproducible on any cluster (re-seeding re-shuffles; sharding
     stays put, so only the read order changes between experiments).
+
+    ``token_budget`` (optional, VERDICT r8 #4) adds a SELECTION stage
+    between cleaning and splitting: the post-clean docs are ranked by
+    ``selection`` ("quality" = the integer per-mille score whose
+    threshold↔token-budget curve ``quality_selection_curve`` publishes;
+    "dsir" = the DSIR importance log-weight of
+    ``dsir_importance_weights`` against ``dsir_target_sources``) and
+    kept greedily best-first while the inclusive cumulative token count
+    stays within the budget (doc-granular, two-phase prefix sum — see
+    :func:`operators.corpus.budget_select`). Deterministic: pure
+    function of (text, doc_id), so re-runs reproduce the identical
+    kept set. The per-doc ledger lands in ``outputs.selection``.
     """
-    from .operators.corpus import clean_decisions, shuffle_order
+    from .operators.corpus import (
+        budget_select,
+        clean_decisions,
+        dsir_log_weights,
+        quality_pm,
+        shuffle_order,
+    )
 
     decisions = clean_decisions(docs, **clean_kwargs)
     kept = docs.join(
         decisions.where(F.col("decision") == "keep"), "doc_id", "left_semi"
     )
+    selection_df = None
+    if token_budget is not None:
+        if selection == "quality":
+            scored = quality_pm(kept)
+        elif selection == "dsir":
+            scored = dsir_log_weights(kept, dsir_target_sources).select(
+                "doc_id",
+                F.col("n_tokens").alias("n_tok"),
+                F.col("w").alias("score"),
+            )
+        else:
+            raise ValueError(f"unknown selection scorer: {selection!r}")
+        selection_df = budget_select(scored, token_budget)
+        kept = kept.join(
+            selection_df.where(F.col("selected")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     split_bucket = md5_bucket(F.col("doc_id"), 100)
     corpus = kept.select(
         "*",
@@ -91,4 +133,9 @@ def run_corpus_build(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    return CorpusBuildOutputs(decisions=decisions, corpus=corpus, manifest=manifest)
+    return CorpusBuildOutputs(
+        decisions=decisions,
+        corpus=corpus,
+        manifest=manifest,
+        selection=selection_df,
+    )

@@ -135,6 +135,118 @@ def clean_decisions(
     )
 
 
+def quality_pm(docs: DataFrame) -> DataFrame:
+    """→ (doc_id, n_tok, score): the integer per-mille quality score of
+    the registered ``quality_selection_curve`` query (min(n_tok, 50)·20
+    minus a flat 500 when the doc fails the stop-word band) — extracted
+    so the corpus build's budgeted selection ranks by EXACTLY the score
+    whose threshold↔token-budget curve that query publishes."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long")
+    band_ok = (n_tok >= 20) & (100 * n_stop >= n_tok) & (2 * n_stop <= n_tok)
+    qpm = (
+        F.least(n_tok, F.lit(50).cast("long")) * 20
+        - F.when(band_ok, 0).otherwise(500)
+    ).cast("long")
+    return docs.select("doc_id", n_tok.alias("n_tok"), qpm.alias("score"))
+
+
+def dsir_log_weights(
+    docs: DataFrame, target_sources: tuple[str, ...]
+) -> DataFrame:
+    """→ (doc_id, source, n_tokens, w): DSIR importance log-weights
+    (Xie et al. 2023, arXiv:2302.03169) — Σ_t tf_t·(ln p_target(t) −
+    ln p_raw(t)) over add-1-smoothed unigram models. Extracted from the
+    registered ``dsir_importance_weights`` query (which keeps its
+    bounded-topk head + rounding on top of this) so the corpus build's
+    selection stage consumes the same hash-checked computation.
+
+    Scale shape (unchanged): tf is one (doc, token)-keyed hash agg;
+    both model count tables are vocabulary-sized aggs OF tf; smoothing
+    totals ride a 1-row broadcast; the per-doc Σ tf·lr folds IN TOKEN
+    ORDER (cross-engine float determinism).
+    """
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = (
+        tok.groupBy("doc_id", "source", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cr = tf.groupBy("token").agg(F.sum("tf").alias("cr"))
+    ct = (
+        tf.where(F.col("source").isin(*target_sources))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    base = (
+        cr.join(ct, "token", "left")
+        .select("token", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+    tots = base.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    lr = base.crossJoin(F.broadcast(tots)).select(
+        "token",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            )
+        ).alias("lr"),
+    )
+    return tf.join(lr, "token").groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.sum("tf").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "tf", "lr"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["tf"] * r["lr"],
+        ).alias("w"),
+    )
+
+
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tok",
+    tiebreak: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Budgeted keep set: under ORDER BY (score DESC, *tiebreak), mark
+    each doc ``selected`` iff its INCLUSIVE cumulative token count stays
+    within ``token_budget`` — the doc-granular application of the
+    threshold↔token-budget conversion ``quality_selection_curve``
+    publishes at decile granularity.
+
+    Scale shape: the cumulative sum is
+    :func:`..operators.topk.value_bucketed_prefix_sum` on the negated
+    score (two-phase bucket prefix sum — no corpus-sized window
+    partition anywhere); deterministic by construction (pure function
+    of score + tiebreak, exact long token arithmetic).
+
+    Output: ``scored``'s columns plus (cum_tokens, selected).
+    """
+    from .topk import value_bucketed_prefix_sum
+
+    neg = scored.withColumn("_neg", -F.col(score_col))
+    out = value_bucketed_prefix_sum(
+        neg, "_neg", [token_col], tiebreak=list(tiebreak), prefix="_cum_"
+    )
+    return out.select(
+        *scored.columns,
+        F.col(f"_cum_{token_col}").alias("cum_tokens"),
+        (F.col(f"_cum_{token_col}") <= token_budget).alias("selected"),
+    )
+
+
 def shuffle_order(
     docs: DataFrame,
     *,

@@ -4374,50 +4374,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ranking is `bounded_topk` (TakeOrderedAndProject — doc
     frames grow with the data, no global window).
     """
+    from ..operators.corpus import dsir_log_weights
     from ..operators.topk import bounded_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "source", "token").agg(
-        F.count("*").alias("tf")
-    ).localCheckpoint(eager=False)
-    cr = tf.groupBy("token").agg(F.sum("tf").alias("cr"))
-    ct = (
-        tf.where(F.col("source").isin(*_DSIR_TARGET_SOURCES))
-        .groupBy("token")
-        .agg(F.sum("tf").alias("ct"))
-    )
-    base = cr.join(ct, "token", "left").select(
-        "token", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
-    ).localCheckpoint(eager=False)
-    tots = base.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count("*").alias("v")
-    )
-    lr = base.crossJoin(F.broadcast(tots)).select(
-        "token",
-        (
-            F.log(
-                (F.col("ct") + 1).cast("double")
-                / (F.col("nt") + F.col("v")).cast("double")
-            )
-            - F.log(
-                (F.col("cr") + 1).cast("double")
-                / (F.col("nr") + F.col("v")).cast("double")
-            )
-        ).alias("lr"),
-    )
-    j = tf.join(lr, "token")
-    ag = j.groupBy("doc_id").agg(
-        F.min("source").alias("source"),
-        F.sum("tf").alias("n_tokens"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("token", "tf", "lr"))),
-            F.lit(0.0),
-            lambda acc, r: acc + r["tf"] * r["lr"],
-        ).alias("w"),
-    )
+    # computation body in operators/corpus.dsir_log_weights (r9) so the
+    # corpus build's selection stage consumes the same hash-checked math
+    ag = dsir_log_weights(docs, _DSIR_TARGET_SOURCES)
     top = bounded_topk(
         ag,
         10,
