@@ -3707,6 +3707,73 @@ def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_SUBSTR_LENGTHS = (16, 32, 64, 128)
 
 
+def _dup_substring_hist(docs: DataFrame) -> DataFrame:
+    """Shared body of ``duplicate_substring_audit`` (full corpus) and
+    ``duplicate_substring_audit_sliced`` (declared md5 40 % doc slice —
+    the bench-cadence form, VERDICT r8 #5): per-doc max duplicated
+    window length over the hierarchical in-row hash ladder,
+    histogrammed. ``docs`` = (doc_id, text)."""
+    n = F.length("text")
+    empty = F.array().cast("array<bigint>")
+
+    def base16(col):
+        seq = F.sequence(F.lit(1), n - F.lit(15))
+        return F.when(
+            n >= 16,
+            F.transform(seq, lambda p: F.xxhash64(F.substring(col, p, 16))),
+        ).otherwise(empty)
+
+    def doubled(prev, step):
+        m = F.size(prev) - F.lit(step)
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.xxhash64(
+                    F.element_at(prev, i), F.element_at(prev, i + F.lit(step))
+                ),
+            ),
+        ).otherwise(empty)
+
+    t = (
+        docs.withColumn("h16", base16(F.col("text")))
+        .withColumn("h32", doubled(F.col("h16"), 16))
+        .withColumn("h64", doubled(F.col("h32"), 32))
+        .withColumn("h128", doubled(F.col("h64"), 64))
+    )
+
+    def level_structs(L):
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # bind the second parameter to the ELEMENT INDEX
+        return F.transform(
+            F.col(f"h{L}"),
+            lambda h: F.struct(F.lit(L).cast("int").alias("L"), h.alias("h")),
+        )
+
+    levels = F.flatten(F.array(*[level_structs(L) for L in _DUP_SUBSTR_LENGTHS]))
+    sh = (
+        t.select("doc_id", F.explode(levels).alias("w"))
+        .select("doc_id", "w.L", "w.h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sh.groupBy("L", "h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("L", "h")
+    )
+    hit = (
+        sh.join(dup, ["L", "h"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("L").alias("max_dup_len"))
+    )
+    per = docs.select("doc_id").join(hit, "doc_id", "left").select(
+        F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len")
+    )
+    return per.groupBy("max_dup_len").agg(F.count("*").alias("n_docs"))
+
+
 @register(
     "duplicate_substring_audit",
     oracle=f"""
@@ -3780,66 +3847,71 @@ def duplicate_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = F.length("text")
-    empty = F.array().cast("array<bigint>")
+    return _dup_substring_hist(docs)
 
-    def base16(col):
-        seq = F.sequence(F.lit(1), n - F.lit(15))
-        return F.when(
-            n >= 16,
-            F.transform(seq, lambda p: F.xxhash64(F.substring(col, p, 16))),
-        ).otherwise(empty)
 
-    def doubled(prev, step):
-        m = F.size(prev) - F.lit(step)
-        return F.when(
-            m >= 1,
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.xxhash64(
-                    F.element_at(prev, i), F.element_at(prev, i + F.lit(step))
-                ),
-            ),
-        ).otherwise(empty)
-
-    t = (
-        docs.withColumn("h16", base16(F.col("text")))
-        .withColumn("h32", doubled(F.col("h16"), 16))
-        .withColumn("h64", doubled(F.col("h32"), 32))
-        .withColumn("h128", doubled(F.col("h64"), 64))
-    )
-    def level_structs(L):
-        # single-arg lambda on purpose: a 2-arg transform lambda would
-        # bind the second parameter to the ELEMENT INDEX
-        return F.transform(
-            F.col(f"h{L}"),
-            lambda h: F.struct(F.lit(L).cast("int").alias("L"), h.alias("h")),
+@register(
+    "duplicate_substring_audit_sliced",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 < 2
+),
+d AS (
+  SELECT doc_id, text, L
+  FROM docs, UNNEST({list(_DUP_SUBSTR_LENGTHS)}) AS t(L)
+  WHERE LENGTH(text) >= L
+),
+pos_t AS (
+  SELECT doc_id, L, text,
+         UNNEST(range(1, LENGTH(text) - L + 2)) AS pos
+  FROM d
+),
+sh AS (
+  SELECT DISTINCT doc_id, L,
+         md5(substring(text, CAST(pos AS INTEGER), CAST(L AS INTEGER))) AS h
+  FROM pos_t
+),
+dup AS (SELECT L, h FROM sh GROUP BY L, h HAVING COUNT(*) >= 2),
+hit AS (
+  SELECT s.doc_id, MAX(s.L) AS max_dup_len
+  FROM sh s JOIN dup USING (L, h) GROUP BY s.doc_id
+),
+per AS (
+  SELECT dd.doc_id, COALESCE(h.max_dup_len, 0) AS max_dup_len
+  FROM (SELECT doc_id FROM docs) dd LEFT JOIN hit h USING (doc_id)
+)
+SELECT CAST(max_dup_len AS BIGINT) AS max_dup_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1
+""",
+    doc=(
+        "[beyond-ref] ExactSubstr duplicated-window audit on the declared "
+        "md5 40% doc slice — the bench-cadence form of "
+        "duplicate_substring_audit (same ladder, same plan, cost "
+        "proportionate to the slice)"
+    ),
+)
+def duplicate_substring_audit_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``duplicate_substring_audit`` on the declared md5 40 % doc slice
+    (the ``jaccard_prefix_join`` precedent, VERDICT r8 #5): identical
+    hierarchical-hash plan, duplicated-window membership evaluated
+    WITHIN the slice, oracle sliced identically — exact on the declared
+    population. The full-corpus form stays registered (oracle-soaked at
+    the small sfs) but leaves the sf0.1 bench cadence, where its exact
+    probe was 7 % of the whole suite for one audit."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            F.expr(
+                "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+            ).cast("long")
+            % 5
+            < 2
         )
-
-    levels = F.flatten(
-        F.array(*[level_structs(L) for L in _DUP_SUBSTR_LENGTHS])
+        .select("doc_id", "text")
     )
-    sh = (
-        t.select("doc_id", F.explode(levels).alias("w"))
-        .select("doc_id", "w.L", "w.h")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    dup = (
-        sh.groupBy("L", "h")
-        .agg(F.count("*").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("L", "h")
-    )
-    hit = (
-        sh.join(dup, ["L", "h"], "left_semi")
-        .groupBy("doc_id")
-        .agg(F.max("L").alias("max_dup_len"))
-    )
-    per = docs.select("doc_id").join(hit, "doc_id", "left").select(
-        F.coalesce(F.col("max_dup_len"), F.lit(0)).cast("long").alias("max_dup_len")
-    )
-    return per.groupBy("max_dup_len").agg(F.count("*").alias("n_docs"))
+    return _dup_substring_hist(docs)
 
 
 # ---------------------------------------------------------------------------

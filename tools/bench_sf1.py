@@ -48,7 +48,7 @@ HEAVY = [
     "peak_concurrent_users",
     "tpch_q7_shape",
     "embedding_covariance_audit",
-    "duplicate_substring_audit",
+    "duplicate_substring_audit_sliced",
     "winnowing_candidate_pairs",
     "jaccard_prefix_join",
 ]
