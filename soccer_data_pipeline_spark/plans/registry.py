@@ -106,12 +106,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_count_bpe",
     "tfidf_tokens",
     "char_entropy_quality",
-    # dedup tiers (exact, MinHash+LSH, clusters, SimHash, n-gram
-    # Jaccard, character edit-distance)
+    # dedup tiers (exact, MinHash+LSH, clusters, guaranteed-recall
+    # prefix-filter join, character edit-distance)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_clusters",
-    "dedup_simhash_groups",
+    "jaccard_prefix_join",
     "fuzzy_levenshtein_pairs",
     # rank statistics / experimentation (r8: spearman carries the
     # family's hard rows AND the value_bucketed_prefix_sum midrank path)
@@ -206,6 +206,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # via doubled-midrank integer discipline — the family rep for
 # spearman/cuped/rolling-distinct, and a live hash check on the r8
 # value_bucketed_prefix_sum total_prefix path).
+# Round 9: one swap (VERDICT r8 #7 — six dedup reps, zero
+# guaranteed-recall set-similarity): dedup_simhash_groups ceded (sign-
+# sketch near-dup semantics are superset-exercised in-window by
+# dedup_minhash_lsh_pairs + embedding_near_dup_banded, which carry the
+# same band-bucket-join mechanics over richer sketches; SimHash stays
+# local-oracle + benched) for jaccard_prefix_join (PPJoin/All-Pairs
+# prefix-filtered EXACT set-similarity — complete-by-theorem recall at
+# τ=0.9 on the declared md5 40% slice, the r8 family with no window
+# twin). dsir_importance_weights and the AQP/CBO audits remain
+# local-oracle + benched next of kin; the substring tier's hard signal
+# now ALSO rides in-window corpus_clean_decisions (r9 winnowing-edge
+# consolidation).
 
 
 def _ordered_names() -> list[str]:

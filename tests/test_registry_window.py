@@ -39,7 +39,13 @@ FAMILY_REPRESENTATIVES = {
     "dedup_exact": "dedup_exact_documents",
     "dedup_lsh": "dedup_minhash_lsh_pairs",
     "dedup_cc": "dedup_connected_clusters",
-    "dedup_simhash": "dedup_simhash_groups",
+    # r9: dedup_simhash_groups ceded its slot — sign-sketch band-join
+    # mechanics are superset-exercised by the minhash + banded-embedding
+    # window reps; SimHash stays local-oracle + benched
+    "dedup_simhash": "dedup_minhash_lsh_pairs",
+    # r9: guaranteed-recall prefix-filtered exact set-similarity
+    # (PPJoin family) gains the freed hard-signal slot
+    "dedup_prefix_filter": "jaccard_prefix_join",
     # r8: ngram_jaccard_pairs ceded its slot — shingle-Jaccard semantics
     # are superset-exercised by the minhash tier (same shingles, same
     # Jaccard, approximated); exact-Jaccard stays local-oracle + benched
