@@ -3005,9 +3005,13 @@ a AS (
   FROM r
 )
 SELECT n AS n_customers,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
 FROM a
 """,
     doc="[beyond-ref] Spearman rank correlation (tie-correct midranks) between customer spend and account balance",
@@ -3017,12 +3021,17 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the robust (monotone, outlier-proof) alternative to the Pearson
     ``corr`` in ``stats_aggregates``; ties get textbook average ranks.
 
-    Exactness: everything before the final division is INTEGER. The
-    average rank of a tie group is min_rank + (c−1)/2, so DOUBLED
-    midranks (mr2 = 2·cum_count − c + 1) stay integral, and Pearson on
-    mr2 equals Pearson on midranks (scale invariance). Moment sums fit
-    int64 to ~10⁸ customers (Σmr2² ≈ 4n³); promote to DECIMAL past
-    that. ρ is then ONE double expression, identical in both engines.
+    Exactness: every SUM is INTEGER. The average rank of a tie group is
+    min_rank + (c−1)/2, so DOUBLED midranks (mr2 = 2·cum_count − c + 1)
+    stay integral, and Pearson on mr2 equals Pearson on midranks (scale
+    invariance). Moment sums fit int64 to ~1.9×10⁶ keys (Σmr2² ≈
+    4n³/3 < 2⁶³); promote the sums to DECIMAL past that. The final
+    combination (n·sxy − sx·sy etc.) runs in IEEE DOUBLE — r9 fix: the
+    integer form overflowed int64 at the sf1 rehearsal's 150 k keys
+    (n·sxx ≈ 6.8×10²⁰), caught by BENCH_SF1's gate; each long casts
+    correctly-rounded to double and the op tree is identical in both
+    engines, so the differential stays exact while the expression now
+    survives any key count the sums survive.
 
     Scale shape: midranks come from the distinct-VALUE frame (groupBy
     value → count), not per-row windows: ``value_bucketed_prefix_sum``
@@ -3065,16 +3074,13 @@ def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mr2y") * F.col("mr2y")).alias("syy"),
     )
     n, sx, sy, sxy, sxx, syy = (
-        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
     )
     return a.select(
-        n.alias("n_customers"),
+        F.col("n").alias("n_customers"),
         F.round(
-            (n * sxy - sx * sy).cast("double")
-            / (
-                F.sqrt((n * sxx - sx * sx).cast("double"))
-                * F.sqrt((n * syy - sy * sy).cast("double"))
-            ),
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
             6,
         ).alias("spearman_rho"),
     )

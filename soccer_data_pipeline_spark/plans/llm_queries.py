@@ -4000,9 +4000,11 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_prefix_join",
     oracle="""
-WITH docs AS (
-  SELECT doc_id, text FROM documents
-  WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 < 2
+WITH st AS (SELECT 5 * GREATEST(1, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS k
+            FROM documents),
+docs AS (
+  SELECT doc_id, text FROM documents CROSS JOIN st
+  WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % st.k < 2
 ),
 tok AS (
   SELECT DISTINCT doc_id, t AS token
@@ -4079,19 +4081,36 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-scale slice: this corpus is template-generated, so the TRUE
     >= τ pair mass is quadratic in dup-cluster size no matter the
     algorithm (0.96M pairs at τ=0.9 full-corpus) — the registered form
-    runs on the declared md5 40 % doc slice to keep the
-    soak/bench-cadence cost proportionate (cost scales with the slice
-    squared). The construction itself is corpus-complete; the slice is
-    in the oracle too, and completeness is property-tested against
-    brute force on unsliced corpora.
+    runs on a declared md5 doc slice to keep the soak/bench-cadence
+    cost proportionate (cost scales with the slice squared). r9: the
+    slice modulus is BUDGET-DERIVED (md5 % k < 2 with k = 5·max(1,
+    ceil(n_docs/5000)) — 5 → 40 % ≈ 2000 docs at every driver sf,
+    driver hashes unchanged; 50 → 4 % ≈ 2000 docs at the sf1
+    rehearsal), the same corpus-size stride discipline as the
+    embedding/bitext audits: BENCH_SF1_r09's gate caught the pinned
+    40 % slice going 33× for 10× data (tiled dup clusters make the
+    slice's true-pair mass quadratic in corpus size). Derived in-plan
+    (1-row broadcast) and by the same scalar subquery in the oracle.
+    The construction itself is corpus-complete; completeness is
+    property-tested against brute force on unsliced corpora.
     """
+    all_docs = load_table(spark, sf_dir, "documents")
+    kmod = all_docs.agg(
+        (
+            F.lit(5)
+            * F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.count("*") / 5000.0).cast("long"),
+            )
+        ).alias("_kmod")
+    )
     docs = (
-        load_table(spark, sf_dir, "documents")
+        all_docs.crossJoin(F.broadcast(kmod))
         .where(
             F.expr(
                 "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)"
             ).cast("long")
-            % 5
+            % F.col("_kmod")
             < 2
         )
         .select("doc_id", "text")

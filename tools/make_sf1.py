@@ -96,7 +96,19 @@ def main() -> None:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet'")
         q = " UNION ALL ".join(parts)
-        con.sql(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        # Bounded row groups: DuckDB's 122880-row default puts the whole
+        # 50k-doc / 20k-embedding table in ONE row group, and a parquet
+        # row group is indivisible to Spark — every scan became a single
+        # task regardless of maxPartitionBytes, and broadcast-joins that
+        # collapse onto the scan stage then ran the whole query in one
+        # task (r9: bitext ANN 95s vs 13s). Real production files carry
+        # many row groups; 2048 rows gives the doc-scale tables ≥10
+        # splittable units at sf1.
+        rgs = 2048 if t in ("documents", "embeddings") else 122880
+        con.sql(
+            f"COPY ({q}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
+        )
         n = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(t, n, "rows")
 
