@@ -195,6 +195,65 @@ def test_verbatim_overlap_caught_where_minhash_misses(spark):
     assert off == {1: "keep", 2: "keep"}
 
 
+def test_budget_select_matches_naive_prefix(spark):
+    """budget_select (two-phase bucketed prefix sum, no global window)
+    == the definitional sort-then-prefix cut, on seeded random frames
+    with heavy score ties, for both long and double scores."""
+    import random
+
+    from soccer_data_pipeline_spark.operators.corpus import budget_select
+
+    rnd = random.Random(7)
+    for as_double in (False, True):
+        n = rnd.randint(40, 200)
+        rows = [
+            (
+                i,
+                float(rnd.randint(-5, 5)) + (0.25 if as_double else 0.0),
+                rnd.randint(1, 50),
+            )
+            for i in range(n)
+        ]
+        schema = f"doc_id long, score {'double' if as_double else 'long'}, n_tok long"
+        df = spark.createDataFrame(
+            [(d, s if as_double else int(s), t) for d, s, t in rows], schema
+        )
+        budget = sum(r[2] for r in rows) // 3
+        got = {
+            r.doc_id
+            for r in budget_select(df, budget).where("selected").collect()
+        }
+        cum, want = 0, set()
+        for d, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum + t > budget:
+                break
+            cum += t
+            want.add(d)
+        assert got == want
+
+
+def test_clean_decisions_reason_attribution(spark):
+    """Invariant of the r9 union-edge consolidation: a doc dropped as
+    drop_verbatim_overlap has NO MinHash edge of its own (it was pulled
+    into its cluster purely by winnowing evidence); a drop_near_dup doc
+    has at least one."""
+    from soccer_data_pipeline_spark.operators.corpus import clean_decisions
+    from soccer_data_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _docs(spark)
+    dec = {r.doc_id: r.decision for r in clean_decisions(docs).collect()}
+    mh = minhash_near_dup_pairs(
+        docs, n=3, k=16, bands=4, threshold=0.5, max_bucket_size=50
+    ).collect()
+    mh_docs = {r.doc_a for r in mh} | {r.doc_b for r in mh}
+    assert any(v == "drop_near_dup" for v in dec.values())
+    for d, v in dec.items():
+        if v == "drop_verbatim_overlap":
+            assert d not in mh_docs, f"doc {d} has a MinHash edge but verbatim reason"
+        elif v == "drop_near_dup":
+            assert d in mh_docs, f"doc {d} has no MinHash edge but near_dup reason"
+
+
 def test_corpus_build_train_order(spark):
     """order_seed adds a train_order column that (a) matches
     shuffle_order over exactly the kept docs and (b) is a permutation
