@@ -78,6 +78,7 @@ HEADLINE = [
     # training-data assembly tier
     "dedup_connected_clusters",
     "train_val_test_split",
+    "split_ngram_leakage",
     "stratified_sample_docs",
     "shard_manifest",
     "benchmark_contamination",

@@ -1592,6 +1592,135 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Split n-gram leakage [beyond-ref]: cross-split verbatim leakage — the
+# fraction of val/test docs sharing at least one word 8-gram with ANY
+# train doc. Distinct from benchmark_contamination (known eval strings
+# inside the corpus): this audits the corpus against ITSELF, the leakage
+# that silently inflates held-out metrics when near-duplicate documents
+# straddle a hash split. The standard pre-training split health check
+# (the reason dedup runs BEFORE splitting).
+# ---------------------------------------------------------------------------
+
+_LEAK_N = 8  # word n-gram order
+
+
+@register(
+    "split_ngram_leakage",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_HASH_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_HASH_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, split,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM s
+),
+g AS (
+  SELECT doc_id, split,
+         UNNEST(list_distinct(list_transform(
+            range(1, len(toks) - {_LEAK_N - 2}),
+            i -> CAST('0x' || SUBSTRING(md5(array_to_string(
+                   toks[i:i + {_LEAK_N - 1}], ' ')), 1, 15) AS BIGINT)))) AS h
+  FROM tk WHERE len(toks) >= {_LEAK_N}
+),
+tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+ev AS (
+  SELECT g.split, g.doc_id,
+         MAX(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS leaked
+  FROM g LEFT JOIN tr ON tr.h = g.h
+  WHERE g.split IN ('val', 'test')
+  GROUP BY g.split, g.doc_id
+),
+ag AS (SELECT split, CAST(SUM(leaked) AS BIGINT) AS n_leaked FROM ev GROUP BY split),
+base AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s WHERE split IN ('val', 'test') GROUP BY split
+)
+SELECT base.split, base.n_docs,
+       CAST(COALESCE(ag.n_leaked, 0) AS BIGINT) AS n_leaked,
+       ROUND(CAST(COALESCE(ag.n_leaked, 0) AS DOUBLE) / base.n_docs, 6)
+         AS leak_share
+FROM base LEFT JOIN ag USING (split)
+""",
+    doc=(
+        "[beyond-ref] train/val split n-gram leakage audit: share of "
+        "val/test docs with at least one word 8-gram verbatim in the "
+        "train split — the cross-split leakage check that inflated "
+        "held-out metrics reveal too late (SURVEY §2.10 training-data "
+        "tier)"
+    ),
+)
+def split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per held-out split: doc count, docs sharing >= 1 word 8-gram with
+    the train split, and the leaked share. Split assignment is the same
+    md5 bucket as ``train_val_test_split``; gram identity is the
+    winnowing-style md5-prefix int64 over the space-joined 8 tokens
+    (engine-identical, so both engines mark the same docs leaked).
+
+    Scale shape: grams are per-row array work (array_distinct before
+    the explode — no within-doc duplicates shuffle); the (doc, split,
+    gram-hash) incidence is the only corpus-sized frame and it carries
+    8-byte hashes, never text; the train-side gram set collapses to one
+    row per distinct gram; the val/test incidence LEFT-joins it
+    hash-keyed (<= 1 match per row, no fanout); per-doc MAX then
+    per-split SUM collapse to the 2-row report. The incidence is
+    lazily localCheckpoint-ed because the train-set branch and the
+    val/test branch would otherwise each re-run the explode.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_SPARK)
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = docs.select("doc_id", split.alias("split"), toks.alias("toks"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(_LEAK_N - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, _LEAK_N))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    g = (
+        t.where(F.size("toks") >= _LEAK_N)
+        .select("doc_id", "split", F.explode(grams).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    tr = g.where(F.col("split") == "train").select("h").distinct()
+    ev = (
+        g.where(F.col("split").isin("val", "test"))
+        .join(tr.withColumn("_t", F.lit(1)), "h", "left")
+        .groupBy("split", "doc_id")
+        .agg(F.max(F.coalesce(F.col("_t"), F.lit(0))).alias("leaked"))
+    )
+    ag = ev.groupBy("split").agg(F.sum("leaked").alias("n_leaked"))
+    base = (
+        t.where(F.col("split").isin("val", "test"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return base.join(ag, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+        F.round(
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("leak_share"),
+    )
+
+
 _SHARD_HASH_SPARK = "conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 16"
 _SHARD_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16"
 
