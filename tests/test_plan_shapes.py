@@ -301,9 +301,33 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "equi_depth_binning",
         "pmi_top_pairs",
         "countmin_token_freq",
+        # r9: the leakage audit is aggregation-only (zero windows) and
+        # the spearman midranks ride the bucketed prefix sum
+        "split_ngram_leakage",
+        "spearman_spend_balance",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
+
+
+def test_budget_select_no_unpartitioned_window(spark):
+    """The r9 budgeted-selection cut (corpus.budget_select) must rank
+    via the bucketed two-phase prefix sum — zero global-window nodes;
+    reverting it to a naive ORDER BY running sum makes this fail."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.corpus import budget_select
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("long").alias("score"),
+        F.lit(5).cast("long").alias("n_tok"),
+    )
+    plan = (
+        budget_select(df, 100)._jdf.queryExecution().executedPlan().toString()
+    )
+    bad = _unpartitioned_window_lines(plan)
+    assert not bad, bad
 
 
 def test_audit_queries_aggregate_before_windows(spark):
