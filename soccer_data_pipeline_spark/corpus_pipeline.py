@@ -43,7 +43,10 @@ def md5_bucket(col, mod: int):
 
 @dataclass
 class CorpusBuildOutputs:
-    decisions: DataFrame  # (doc_id, decision) — every input doc, keep/drop + reason
+    # (doc_id, decision) — every input doc, keep/drop + reason. Under
+    # token_budget the budget cut folds in as 'drop_budget' (ADVICE r9),
+    # so corpus-count == decisions-keep-count holds unconditionally.
+    decisions: DataFrame
     corpus: DataFrame  # kept docs + (split, shard_id) assignment columns
     manifest: DataFrame  # per (split, shard_id): n_docs, total_chars
     selection: DataFrame | None = None  # budgeted-selection ledger (token_budget runs)
@@ -83,7 +86,11 @@ def run_corpus_build(
     stays within the budget (doc-granular, two-phase prefix sum — see
     :func:`operators.corpus.budget_select`). Deterministic: pure
     function of (text, doc_id), so re-runs reproduce the identical
-    kept set. The per-doc ledger lands in ``outputs.selection``.
+    kept set. The per-doc ledger lands in ``outputs.selection``, and
+    the cut also folds into ``outputs.decisions`` as ``drop_budget``
+    (precedence after the cleaning reasons — selection only ever
+    rewrites 'keep' rows), so decisions remains the single
+    authoritative keep/drop ledger.
     """
     from .operators.corpus import (
         budget_select,
@@ -114,6 +121,23 @@ def run_corpus_build(
             selection_df.where(F.col("selected")).select("doc_id"),
             "doc_id",
             "left_semi",
+        )
+        # fold the budget cut into the decisions ledger (ADVICE r9): a
+        # clean-kept doc the selection excluded reads 'drop_budget', so
+        # the decisions↔corpus reconciliation invariant (corpus count ==
+        # decisions keep count) holds under token_budget too. Selection
+        # only scored clean-kept docs, so the left join can only rewrite
+        # 'keep' rows.
+        cut = (
+            selection_df.where(~F.col("selected"))
+            .select("doc_id")
+            .withColumn("_cut", F.lit(True))
+        )
+        decisions = decisions.join(cut, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.coalesce(F.col("_cut"), F.lit(False)), "drop_budget")
+            .otherwise(F.col("decision"))
+            .alias("decision"),
         )
     split_bucket = md5_bucket(F.col("doc_id"), 100)
     corpus = kept.select(

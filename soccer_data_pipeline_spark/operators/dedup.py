@@ -570,7 +570,7 @@ def jaccard_prefix_pairs(
     docs: DataFrame,
     tau_num: int = 9,
     tau_den: int = 10,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Exact, COMPLETE token-set-Jaccard >= τ pairs via prefix
     filtering (All-Pairs/PPJoin family, Bayardo et al. WWW'07) — no DF
@@ -630,12 +630,14 @@ def jaccard_prefix_pairs(
         F.sort_array(F.collect_list("token")).alias("ts"),
         F.count("*").alias("s"),
     )
-    # per-doc arrays ride to each candidate row. broadcast_verify=True
-    # forces the hint — right ONLY when the per-doc array frame fits the
-    # driver (test/driver scale). A 100 TB caller MUST pass False so the
-    # verify joins run hash-partitioned on the doc keys (AQE may still
-    # choose broadcast if the frame turns out small); an unconditional
-    # hint here would be a driver OOM at scale (ADVICE r8).
+    # per-doc arrays ride to each candidate row. The SCALE-SAFE default
+    # is broadcast_verify=False: the verify joins run hash-partitioned
+    # on the doc keys and AQE still chooses broadcast when the per-doc
+    # array frame turns out small. broadcast_verify=True force-hints the
+    # broadcast — right ONLY when the caller KNOWS the frame fits the
+    # driver (the registered driver-scale query passes it explicitly);
+    # defaulting to the hint kept the driver-OOM hazard as the default
+    # behavior (ADVICE r9).
     _hint = F.broadcast if broadcast_verify else (lambda d: d)
     ints = F.size(F.array_intersect(F.col("ta_"), F.col("tb_"))).cast("long")
     scored = (

@@ -2964,7 +2964,9 @@ WHERE b.rk = 1
         "sample — the 100 TB-shaped form of bitext_mining_pairs"
     ),
 )
-def bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bitext_mining_ann(
+    spark: SparkSession, sf_dir: str, n_en: int | None = None
+) -> DataFrame:
     """Bitext mining with the scale-path layout: candidate generation is
     ``ann_lsh_cosine`` (sign-bucket equi-join, Hamming-radius-4
     multiprobe — work scales with corpus/buckets, never |fr|·|en|) over
@@ -3019,10 +3021,16 @@ def bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared per-replica jitter adds the mild pair structure real
     # multilingual embeddings have; a NEW corpus tier needs a measured
     # retune (rerun the tuning tool), not a formula extrapolation.
-    n_en = t_full.count()  # driver-side scalar: the plan STRUCTURE
-    # (probe-mask count) depends on it, so unlike the audit stride it
-    # cannot ride in-plan; one narrow count, corpus-catalog stats at
-    # real scale
+    # The plan STRUCTURE (probe-mask count) depends on the pivot-side
+    # cardinality, so unlike the audit stride it cannot ride in-plan.
+    # Callers that know it (catalog stats at real scale; plan-shape
+    # tests and explain-only sweeps that must stay lazy) pass ``n_en``
+    # explicitly; the counted fallback is one narrow column-pruned scan
+    # (ADVICE r9: the eager default count makes plan construction run a
+    # real job — acceptable for the registered 2-arg form, parameterized
+    # for every other consumer).
+    if n_en is None:
+        n_en = t_full.count()
     n_planes, radius = (6, 4) if n_en < 4096 else (10, 4)
 
     # production path: bucket-local ANN top-2 per fr doc, full pivot side
@@ -4129,7 +4137,7 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_prefix_join",
     oracle="""
-WITH st AS (SELECT 5 * GREATEST(1, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS k
+WITH st AS (SELECT 8 * GREATEST(1, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS k
             FROM documents),
 docs AS (
   SELECT doc_id, text FROM documents CROSS JOIN st
@@ -4211,22 +4219,27 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= τ pair mass is quadratic in dup-cluster size no matter the
     algorithm (0.96M pairs at τ=0.9 full-corpus) — the registered form
     runs on a declared md5 doc slice to keep the soak/bench-cadence
-    cost proportionate (cost scales with the slice squared). r9: the
-    slice modulus is BUDGET-DERIVED (md5 % k < 2 with k = 5·max(1,
-    ceil(n_docs/5000)) — 5 → 40 % ≈ 2000 docs at every driver sf,
-    driver hashes unchanged; 50 → 4 % ≈ 2000 docs at the sf1
-    rehearsal), the same corpus-size stride discipline as the
-    embedding/bitext audits: BENCH_SF1_r09's gate caught the pinned
-    40 % slice going 33× for 10× data (tiled dup clusters make the
-    slice's true-pair mass quadratic in corpus size). Derived in-plan
-    (1-row broadcast) and by the same scalar subquery in the oracle.
-    The construction itself is corpus-complete; completeness is
+    cost proportionate (cost scales with the slice squared). The slice
+    modulus is BUDGET-DERIVED (md5 % k < 2 with k = 8·max(1,
+    ceil(n_docs/5000)), the same corpus-size stride discipline as the
+    embedding/bitext audits): 25 % ≈ 125 docs at sf0.001/0.01, 25 %
+    ≈ 1250 docs at sf0.1, 2.5 % ≈ 1250 docs at the sf1 rehearsal —
+    the sliced-doc budget is flat (≈ 1250) at every sf ≥ 0.1.
+    Provenance: BENCH_SF1_r09's gate caught the r8 pinned 40 % slice
+    going 33× for 10× data (tiled dup clusters make the slice's
+    true-pair mass quadratic in corpus size); r9 budget-derived the
+    sf1 form only, leaving sf0.1 at 40 % = 14.55 s — 8.5 % of the
+    bench suite for one query (VERDICT r9 #5); r10 moved the budget
+    into the shared modulus (measured at sf0.1: 40 % = 10.5 s idle,
+    25 % = 4.4 s, pair mass 158k → 66k). Derived in-plan (1-row
+    broadcast) and by the same scalar subquery in the oracle. The
+    construction itself is corpus-complete; completeness is
     property-tested against brute force on unsliced corpora.
     """
     all_docs = load_table(spark, sf_dir, "documents")
     kmod = all_docs.agg(
         (
-            F.lit(5)
+            F.lit(8)
             * F.greatest(
                 F.lit(1).cast("long"),
                 F.ceil(F.count("*") / 5000.0).cast("long"),
@@ -4246,7 +4259,13 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.dedup import jaccard_prefix_pairs
 
-    scored = jaccard_prefix_pairs(docs, tau_num=9, tau_den=10)
+    # broadcast_verify=True is the DRIVER-SCALE call: the sliced per-doc
+    # token-array frame (≈1250 docs) fits the driver by construction. A
+    # 100 TB caller keeps the scale-safe default (False → hash join,
+    # AQE may still broadcast) — see the operator's contract comment.
+    scored = jaccard_prefix_pairs(
+        docs, tau_num=9, tau_den=10, broadcast_verify=True
+    )
     pairs = scored.select(
         "ints", (F.col("sa") + F.col("sb") - F.col("ints")).alias("uni")
     )

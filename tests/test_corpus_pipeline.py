@@ -143,6 +143,14 @@ def test_budgeted_selection_meets_token_budget(spark):
     excluded_cums = sorted(r.cum_tokens for r in sel if not r.selected)
     assert excluded_cums and excluded_cums[0] > budget
     assert {r.doc_id for r in out.corpus.collect()} == kept
+    # decisions stays the authoritative ledger under token_budget
+    # (ADVICE r9): budget-dropped docs read 'drop_budget', so the
+    # corpus-count == decisions-keep-count reconciliation holds.
+    dec = {r.doc_id: r.decision for r in out.decisions.collect()}
+    assert {d for d, v in dec.items() if v == "keep"} == kept
+    assert {d for d, v in dec.items() if v == "drop_budget"} == {
+        r.doc_id for r in sel if not r.selected
+    }
     rerun = run_corpus_build(docs, token_budget=budget)
     assert {r.doc_id for r in rerun.corpus.collect()} == kept
 

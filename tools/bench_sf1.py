@@ -9,8 +9,10 @@ a query is flagged only if its ratio exceeds RATIO_FLAG and a fresh
 confirm rerun at sf1 reproduces it (same discipline as bench.py's
 regression gate: a one-off GC/session burst must not record a finding).
 
-Usage: python3 tools/bench_sf1.py <round> [sf1_dir]
+Usage: python3 tools/bench_sf1.py <round> [sf1_dir] [sf01_dir]
   e.g.: python3 tools/bench_sf1.py 9 testdata_sf1
+The sf0.1 baseline dir defaults to $SPARK_GRAFT_SF_DIR or
+/root/testdata/sf0.1 (ADVICE r9: parameterized for portability).
 """
 
 from __future__ import annotations
@@ -66,7 +68,11 @@ def _exec_full(df):
 def main() -> None:
     rnd = int(sys.argv[1])
     sf1_dir = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
-    sf01_dir = "/root/testdata/sf0.1"
+    sf01_dir = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     from soccer_data_pipeline_spark.plans import QUERIES
