@@ -203,6 +203,8 @@ HEADLINE = [
     "minhash_estimation_error",
     "dsir_importance_weights",
     "quality_selection_curve",
+    # round-10 additions
+    "corpus_budget_select",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

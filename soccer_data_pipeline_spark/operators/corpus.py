@@ -215,7 +215,7 @@ def dsir_log_weights(
 
 def budget_select(
     scored: DataFrame,
-    token_budget: int,
+    token_budget: int | DataFrame,
     score_col: str = "score",
     token_col: str = "n_tok",
     tiebreak: tuple[str, ...] = ("doc_id",),
@@ -225,6 +225,13 @@ def budget_select(
     within ``token_budget`` — the doc-granular application of the
     threshold↔token-budget conversion ``quality_selection_curve``
     publishes at decile granularity.
+
+    ``token_budget`` is either a literal int or a 1-row DataFrame whose
+    first column is the budget (derived IN-PLAN by the caller — e.g.
+    "half the corpus token mass" — so the cut point scales with corpus
+    size instead of pinning a constant; the frame rides a 1-row
+    broadcast crossJoin, the registered ``corpus_budget_select``
+    differential hash-checks this form).
 
     Scale shape: the cumulative sum is
     :func:`..operators.topk.value_bucketed_prefix_sum` on the negated
@@ -240,10 +247,15 @@ def budget_select(
     out = value_bucketed_prefix_sum(
         neg, "_neg", [token_col], tiebreak=list(tiebreak), prefix="_cum_"
     )
+    if isinstance(token_budget, DataFrame):
+        bcol = F.col(token_budget.columns[0])
+        out = out.crossJoin(F.broadcast(token_budget))
+    else:
+        bcol = F.lit(int(token_budget)).cast("long")
     return out.select(
         *scored.columns,
         F.col(f"_cum_{token_col}").alias("cum_tokens"),
-        (F.col(f"_cum_{token_col}") <= token_budget).alias("selected"),
+        (F.col(f"_cum_{token_col}") <= bcol).alias("selected"),
     )
 
 

@@ -4779,3 +4779,80 @@ def quality_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_e.cum_top").cast("double") / F.col("_tot").cast("double"), 6
         ).alias("retained_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted selection boundary [beyond-ref] (VERDICT r9 #2): the keep-set
+# DECISION the corpus build acts on (corpus_pipeline.run_corpus_build →
+# corpus.budget_select), hash-checked doc-by-doc. quality_selection_curve
+# publishes the threshold↔budget conversion at decile granularity; this
+# is the doc-granular cut itself — every doc's inclusive cumulative
+# token count under ORDER BY (score DESC, doc_id) and whether it makes
+# the budget. The budget is DERIVED (half the corpus token mass) by the
+# same scalar-subquery/1-row-broadcast discipline as the audit strides,
+# so the boundary stays non-trivial at every sf.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_budget_select",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tok,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a')))
+           AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tok,
+         CAST(LEAST(n_tok, 50) * 20
+              - CASE WHEN n_tok >= 20 AND 100 * n_stop >= n_tok
+                          AND 2 * n_stop <= n_tok
+                     THEN 0 ELSE 500 END AS BIGINT) AS score
+  FROM s
+),
+b AS (SELECT CAST(CAST(SUM(n_tok) AS BIGINT) // 2 AS BIGINT) AS budget FROM q),
+c AS (
+  SELECT doc_id, n_tok, score,
+         CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT c.doc_id, c.n_tok, c.score, c.cum_tokens,
+       c.cum_tokens <= b.budget AS selected
+FROM c, b
+""",
+    doc=(
+        "[beyond-ref] budgeted-selection boundary: per-doc inclusive "
+        "cumulative tokens under (quality score DESC, doc_id) and the "
+        "selected flag at a derived half-token-mass budget — the "
+        "doc-granular cut corpus_pipeline acts on (SURVEY §2.10 "
+        "training-data tier)"
+    ),
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budget_select operator exactly as the corpus build consumes
+    it: quality_pm scores (the hash-checked integer per-mille score of
+    ``quality_selection_curve``), greedy best-first prefix under a
+    token budget of floor(total_tokens / 2) — derived in-plan (1-row
+    broadcast) and by the oracle's scalar subquery, so the selection
+    boundary lands mid-corpus at any sf instead of degenerating to
+    all-kept/all-cut.
+
+    Scale shape (inherited from budget_select): the cumulative sum is
+    value_bucketed_prefix_sum — range-bucket on probed score
+    boundaries, per-bucket window, one ≤64-element array fold for the
+    bucket offsets; zero unpartitioned windows (plan-guard-tested).
+    The budget rides a 1-row broadcast crossJoin; exact long
+    arithmetic end to end, ties broken by doc_id in both engines.
+    """
+    from ..operators.corpus import budget_select, quality_pm
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_pm(docs)
+    budget = scored.agg(
+        F.floor(F.sum("n_tok") / 2).cast("long").alias("_budget")
+    )
+    return budget_select(scored, budget)

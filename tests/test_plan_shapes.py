@@ -305,6 +305,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # the spearman midranks ride the bucketed prefix sum
         "split_ngram_leakage",
         "spearman_spend_balance",
+        # r10: the registered budgeted-selection boundary rides the same
+        # bucketed prefix sum (per-bucket windows only)
+        "corpus_budget_select",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
