@@ -205,6 +205,7 @@ HEADLINE = [
     "quality_selection_curve",
     # round-10 additions
     "corpus_budget_select",
+    "split_leakage_repair",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -50,6 +50,7 @@ class CorpusBuildOutputs:
     corpus: DataFrame  # kept docs + (split, shard_id) assignment columns
     manifest: DataFrame  # per (split, shard_id): n_docs, total_chars
     selection: DataFrame | None = None  # budgeted-selection ledger (token_budget runs)
+    leakage: DataFrame | None = None  # split-leakage actions (leakage_ngram runs)
 
 
 def run_corpus_build(
@@ -59,6 +60,7 @@ def run_corpus_build(
     val_pct: int = 10,
     order_seed: str | None = None,
     token_budget: int | None = None,
+    leakage_ngram: int | None = None,
     selection: str = "quality",
     dsir_target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
     **clean_kwargs,
@@ -91,6 +93,16 @@ def run_corpus_build(
     (precedence after the cleaning reasons — selection only ever
     rewrites 'keep' rows), so decisions remains the single
     authoritative keep/drop ledger.
+
+    ``leakage_ngram`` (optional, VERDICT r9 #4) adds a LEAKAGE-REPAIR
+    stage after split assignment: held-out (val/test) docs sharing at
+    least one word ``leakage_ngram``-gram verbatim with any train doc
+    are QUARANTINED (dropped from the corpus, folded into decisions as
+    ``quarantine_leakage``) — the action stage for the
+    ``split_ngram_leakage`` audit. One-pass-sound: the train side
+    never changes, so the repaired corpus re-audits at leak_share = 0
+    by construction (asserted end-to-end in tests). The per-doc action
+    ledger lands in ``outputs.leakage``.
     """
     from .operators.corpus import (
         budget_select,
@@ -98,6 +110,7 @@ def run_corpus_build(
         dsir_log_weights,
         quality_pm,
         shuffle_order,
+        split_leakage_actions,
     )
 
     decisions = clean_decisions(docs, **clean_kwargs)
@@ -140,12 +153,36 @@ def run_corpus_build(
             .alias("decision"),
         )
     split_bucket = md5_bucket(F.col("doc_id"), 100)
-    corpus = kept.select(
-        "*",
+    split_assign = (
         F.when(split_bucket < train_pct, "train")
         .when(split_bucket < train_pct + val_pct, "val")
         .otherwise("test")
-        .alias("split"),
+    )
+    leakage_df = None
+    if leakage_ngram is not None:
+        # repair BEFORE shard/order assignment so the quarantined docs
+        # never occupy shard slots or training-order positions; split
+        # assignment is a pure doc_id hash, so computing it here and
+        # again below lands every surviving doc in the same split.
+        leakage_df = split_leakage_actions(
+            kept.select("doc_id", "text", split_assign.alias("split")),
+            n=leakage_ngram,
+        )
+        quarantined = (
+            leakage_df.where(F.col("action") == "quarantine_leakage")
+            .select("doc_id")
+            .withColumn("_ql", F.lit(True))
+        )
+        kept = kept.join(quarantined, "doc_id", "left_anti")
+        decisions = decisions.join(quarantined, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.coalesce(F.col("_ql"), F.lit(False)), "quarantine_leakage")
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+    corpus = kept.select(
+        "*",
+        split_assign.alias("split"),
         md5_bucket(F.col("doc_id"), n_shards).alias("shard_id"),
     )
     if order_seed is not None:
@@ -162,4 +199,5 @@ def run_corpus_build(
         corpus=corpus,
         manifest=manifest,
         selection=selection_df,
+        leakage=leakage_df,
     )

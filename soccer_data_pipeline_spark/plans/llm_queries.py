@@ -1721,6 +1721,82 @@ def split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Split leakage repair [beyond-ref] (VERDICT r9 #4): the ACTION for the
+# audit above — the doc-level quarantine decision the corpus build acts
+# on (corpus_pipeline.run_corpus_build(leakage_ngram=8)). Quarantine
+# (drop the leaked held-out doc) rather than re-home: the train side
+# never changes, so ONE pass leaves the corpus auditing at
+# leak_share = 0 by construction; re-homing into train grows the train
+# gram set and can newly leak other held-out docs (iterated closure).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_repair",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_HASH_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_HASH_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, split,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM s
+),
+g AS (
+  SELECT doc_id, split,
+         UNNEST(list_distinct(list_transform(
+            range(1, len(toks) - {_LEAK_N - 2}),
+            i -> CAST('0x' || SUBSTRING(md5(array_to_string(
+                   toks[i:i + {_LEAK_N - 1}], ' ')), 1, 15) AS BIGINT)))) AS h
+  FROM tk WHERE len(toks) >= {_LEAK_N}
+),
+tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+lk AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN tr USING (h)
+  WHERE g.split IN ('val', 'test')
+)
+SELECT s.doc_id, s.split,
+       CASE WHEN lk.doc_id IS NOT NULL THEN 'quarantine_leakage'
+            ELSE 'keep' END AS action
+FROM s LEFT JOIN lk USING (doc_id)
+WHERE s.split IN ('val', 'test')
+""",
+    doc=(
+        "[beyond-ref] leakage-aware split repair: per held-out doc, "
+        "quarantine when it shares a word 8-gram verbatim with any "
+        "train doc — the action stage of the split_ngram_leakage audit, "
+        "consumed by the corpus build (SURVEY §2.10 training-data tier)"
+    ),
+)
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level quarantine decisions for cross-split 8-gram leakage,
+    exactly as ``corpus_pipeline.run_corpus_build(leakage_ngram=8)``
+    consumes them (operators/corpus.py:split_leakage_actions). Split
+    assignment is the same md5 bucket as ``train_val_test_split``; gram
+    identity the same md5-prefix int64 as ``split_ngram_leakage`` —
+    engine-identical, so both engines quarantine the same docs.
+
+    Scale shape: see the operator (per-row gram arrays, 8-byte-hash
+    incidence, distinct train gram set, hash-keyed left-semi — document
+    text never shuffles past the first select).
+    """
+    from ..operators.corpus import split_leakage_actions
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_SPARK)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return split_leakage_actions(
+        docs.select("doc_id", "text", split.alias("split")), n=_LEAK_N
+    )
+
+
 _SHARD_HASH_SPARK = "conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 16"
 _SHARD_HASH_DUCK = "CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16"
 

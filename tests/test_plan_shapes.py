@@ -306,8 +306,10 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "split_ngram_leakage",
         "spearman_spend_balance",
         # r10: the registered budgeted-selection boundary rides the same
-        # bucketed prefix sum (per-bucket windows only)
+        # bucketed prefix sum (per-bucket windows only); the leakage
+        # repair is join/agg-only like the audit it acts on
         "corpus_budget_select",
+        "split_leakage_repair",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
