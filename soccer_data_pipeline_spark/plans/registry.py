@@ -78,7 +78,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "champion_per_segment",
     "rolling_avg_events",
     "lag_prev_order",
-    "latest_version_per_key",
     "filter_project_lineitem",
     "explode_tokens",
     "json_extract_events",
@@ -103,7 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis (char entropy carries the quality family's hard
     # rows since quality_score ceded in r6a; fingerprints stay local)
     "lang_id_heuristic",
-    "token_count_bpe",
     "tfidf_tokens",
     "char_entropy_quality",
     # dedup tiers (exact, MinHash+LSH, clusters, guaranteed-recall
@@ -122,8 +120,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ivf_recall",
     # multimodal
     "multimodal_binary_stats",
-    # training-data tier
+    # training-data tier (r10: + the leakage audit and the budgeted
+    # selection boundary — the two r9-family queries with no window twin)
     "train_val_test_split",
+    "split_ngram_leakage",
+    "corpus_budget_select",
     "split_drift_tvd",
     "benchmark_contamination",
     "pack_sequences",
@@ -218,6 +219,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # local-oracle + benched next of kin; the substring tier's hard signal
 # now ALSO rides in-window corpus_clean_decisions (r9 winnowing-edge
 # consolidation).
+# Round 10: two swaps (VERDICT r9 #3 — the r9 training-data families
+# had no driver hard signal): latest_version_per_key ceded (top-1-per-
+# key family keeps topk_orders_per_customer in-window; the natural-
+# version-sort form stays local-oracle-covered) for split_ngram_leakage
+# (cross-split 8-gram leakage audit — the family the r10 repair stage
+# acts on; split_leakage_repair is its local-oracle next of kin);
+# token_count_bpe ceded (token counting is family-redundant with
+# in-window tfidf_tokens' explode-count path and the local
+# tokenizer_fertility/BPE-pair zoos) for corpus_budget_select (the
+# budgeted-selection boundary the corpus build acts on — derived
+# half-token-mass budget, value_bucketed_prefix_sum cut). Both demoted
+# queries keep full local DuckDB-oracle coverage.
 
 
 def _ordered_names() -> list[str]:

@@ -73,6 +73,14 @@ FAMILY_REPRESENTATIVES = {
     "merge_upsert": "merge_upsert_orders",
     "funnel": "event_funnel",
     "corpus_clean": "corpus_clean_decisions",
+    # r10: latest_version_per_key ceded — top-1-per-key hard rows ride
+    # topk_orders_per_customer; token_count_bpe ceded — token counting
+    # rides tfidf_tokens' explode-count path
+    "version_sort": "topk_orders_per_customer",
+    "token_count": "tfidf_tokens",
+    # r10: the r9 training-data families gain hard-signal slots
+    "leakage_audit": "split_ngram_leakage",
+    "budget_selection": "corpus_budget_select",
 }
 
 
