@@ -358,15 +358,26 @@ def _prev_round_medians(sf: float) -> tuple[str, dict[str, float], str]:
     return best
 
 
-# Fixed cheap queries timed at suite start AND end to estimate ambient
-# session load. BENCH_r05 flagged 10 phantom regressions because a
-# uniformly loaded driver session inflates every timing with a tight
-# per-query spread, which the spread gate cannot catch (VERDICT r5 #1).
-# The canary medians against the committed baseline give a
-# session-load factor; a regression must survive load normalization to
-# be flagged. Chosen: stable sub-second queries present since r2 whose
+# Fixed cheap queries timed at suite start, at every PROBE_EVERY-query
+# boundary DURING the suite, and at the end, to estimate ambient session
+# load. BENCH_r05 flagged 10 phantom regressions because a uniformly
+# loaded driver session inflates every timing with a tight per-query
+# spread, which the spread gate cannot catch (VERDICT r5 #1). r9's final
+# run then exposed the converse blind spot (VERDICT r9 #6): pre/post
+# phases both read ~1.0 while the suite between them ran 12 % slow —
+# load that arrives after the pre phase and drains before the post phase
+# is invisible to endpoint-only canaries. The INTERLEAVED probes close
+# that: every query gets a load factor from its nearest enclosing probe
+# pair, so a mid-suite burst normalizes the queries it actually touched
+# and nothing else. Conservatism is preserved — a query's factor is
+# min(nearest probe before, nearest probe after), so normalization only
+# waives a flag when BOTH neighbors agree the load was sustained there.
+# Calibration: tools/loadnorm_ab.py runs a deliberate background-load
+# A/B through this same machinery (results in BENCH_NOTES.md).
+# Chosen canaries: stable sub-second queries present since r2 whose
 # plans haven't changed in two rounds.
 CANARIES = ["pricing_summary", "quality_score", "text_stats"]
+PROBE_EVERY = 20
 
 
 EVAL_MODE = os.environ.get("SPARK_GRAFT_BENCH_EVAL", "noop")
@@ -495,7 +506,7 @@ def main() -> None:
 
     def canary_ratios(phase: str) -> list[float]:
         """Per-canary (current median / committed median) ratios for one
-        phase; the two phases are combined conservatively below."""
+        phase; the phases and interleaved probes combine below."""
         if not comparable:
             return []
         ratios = []
@@ -511,10 +522,38 @@ def main() -> None:
             except Exception:
                 continue
             release_session_blocks(spark, gc=True)
-            r = csamples[len(csamples) // 2] / p
+            # MIN sample, not median: the least-inflated sample filters
+            # the bursty descheduling spikes sub-second canaries eat
+            # under transient contention (loadnorm_ab measured probes
+            # over-reading sub-saturating load 1.5x while the suite ran
+            # 1.0x). Sustained load inflates EVERY sample, so min still
+            # detects it; since factors only ever WAIVE flags, the
+            # conservative estimator is the min.
+            r = csamples[0] / p
             ratios.append(r)
             print(f"# canary[{phase}] {cname}: {r:.2f}x vs {prev_name}", file=sys.stderr)
         return ratios
+
+    def probe_ratio(tag: str, cname: str, runs: int = 3) -> float | None:
+        """One interleaved load probe: the median ratio of ONE canary
+        (``runs`` cold runs) vs the committed baseline — a point
+        estimate of the session load at this moment of the run. Probes
+        cycle through CANARIES so no single canary's idiosyncrasy
+        biases every point; cost ≈ (runs+1)·sub-second per point."""
+        if not comparable:
+            return None
+        cspec = QUERIES.get(cname)
+        p = prev.get(cname, 0.0)
+        if cspec is None or not p or p <= 0:
+            return None
+        try:
+            cs, _ = _time_query(spark, cspec, sf_dir, release_session_blocks, runs)
+        except Exception:
+            return None
+        release_session_blocks(spark, gc=True)
+        r = cs[0] / p  # min sample — see canary_ratios for why
+        print(f"# probe[{tag}] {cname}: {r:.2f}x vs {prev_name}", file=sys.stderr)
+        return r
 
     # Suite-level heavy warmup (VERDICT r6 #3/#5): the first heavy
     # query of a fresh JVM pays broadcast-join/agg codegen JIT that no
@@ -533,11 +572,29 @@ def main() -> None:
         release_session_blocks(spark, gc=True)
 
     pre_ratios = canary_ratios("pre")
+    # probe timeline: (position in HEADLINE, load ratio). Pre-phase
+    # canaries anchor position -1, post-phase anchors len(HEADLINE), so
+    # every query has an enclosing probe pair.
+    probes: list[tuple[int, float]] = [(-1, r) for r in pre_ratios]
+    loads: list[float] = []
+    positions = {name: i for i, name in enumerate(HEADLINE)}
+    timed_since_probe = 0
 
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is None:
             continue
+        try:
+            loads.append(os.getloadavg()[0])
+        except OSError:
+            pass
+        if comparable and timed_since_probe >= PROBE_EVERY:
+            cname = CANARIES[(len(probes) - len(pre_ratios)) % len(CANARIES)]
+            pr = probe_ratio(f"q{positions[name]}", cname)
+            if pr is not None:
+                probes.append((positions[name], pr))
+            timed_since_probe = 0
+        timed_since_probe += 1
         try:
             # warmup run inside _time_query: JIT/codegen compile and
             # footer caches are session-lifetime costs, not per-query
@@ -588,25 +645,44 @@ def main() -> None:
         )
 
     post_ratios = canary_ratios("post")
+    probes.extend((len(HEADLINE), r) for r in post_ratios)
+    probes.sort()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     failed = sorted(k for k, v in timings.items() if v < 0)
 
-    # Session-load factor. A uniformly loaded session (e.g. the driver
+    # Session-load factors. A uniformly loaded session (e.g. the driver
     # benching while pytest runs) inflates every query with tight
     # per-query spread — invisible to the spread gate but fully visible
-    # to the canaries, whose plans are frozen across rounds.
-    # Conservative combination: per-phase medians, then
-    # max(1.0, min(pre, post)) — normalization may only ever WAIVE a
-    # flag, and only when BOTH phases agree the load is sustained. A
-    # bimodal session (one measured run: pre 1.5-1.9x from session-start
-    # contention, post 0.7x) would otherwise yield a ~1.5x factor that
-    # silently waives real regressions.
+    # to the probes, whose plans are frozen across rounds.
+    #
+    # Per-query factor (regression gating): min of the nearest probe
+    # before and after the query, floored at 1.0 — normalization may
+    # only ever WAIVE a flag, and only when BOTH enclosing probes agree
+    # the load was sustained across that query (VERDICT r9 #6: the old
+    # endpoint-only min(pre, post) read 1.0 through a mid-suite burst
+    # that inflated the whole middle of the run).
+    #
+    # Suite factor (shared_ratio_norm): median over ALL probe points —
+    # the representative load of the run as a whole.
     def _median(xs: list[float]) -> float:
         xs = sorted(xs)
         return xs[len(xs) // 2] if xs else 1.0
 
-    load_factor = max(1.0, min(_median(pre_ratios), _median(post_ratios)))
+    # collapse same-position probes (the pre/post phases contribute one
+    # ratio per canary at one position) to their median point estimate
+    probe_pts: list[tuple[int, float]] = []
+    for p in sorted({p for p, _ in probes}):
+        probe_pts.append((p, _median([r for q, r in probes if q == p])))
+
+    def local_factor(pos: int) -> float:
+        before = [r for p, r in probe_pts if p <= pos]
+        after = [r for p, r in probe_pts if p > pos]
+        lo = before[-1] if before else 1.0
+        hi = after[0] if after else 1.0
+        return max(1.0, min(lo, hi))
+
+    load_factor = max(1.0, _median([r for _, r in probe_pts]))
 
     # vs_prev: per-query regression diff against the last round's
     # recorded medians, so a 9× regression is a loud line at bench time
@@ -629,18 +705,30 @@ def main() -> None:
                 shared_cur += cur
                 shared_prev += p
                 ratio = cur / p
-                norm = ratio / load_factor if load_factor > 0 else ratio
+                lf = local_factor(positions.get(q, -1))
+                norm = ratio / lf if lf > 0 else ratio
                 sp = spread.get(q, 0.0)
                 floor = max(sp, MIN_ABS_DELTA) if p < 1.0 else sp
                 if comparable and ratio > 1.3 and cur - p > floor and norm > 1.3:
                     # confirm-by-rerun: 5 fresh cold samples after a GC
-                    # quiesce; the flag stands only if the confirmed
-                    # median still clears every gate.
+                    # quiesce, PLUS a fresh load probe taken alongside
+                    # them — the confirmed ratio must survive the load
+                    # measured at confirmation time, not the run-level
+                    # factor (VERDICT r9 #1: code_switching_audit
+                    # confirmed 1.66x under sustained session load the
+                    # run-level canaries never saw). The flag stands
+                    # only if the confirmed median still clears every
+                    # gate.
                     conf = ratio
                     spec = QUERIES.get(q)
                     if spec is not None:
                         try:
                             release_session_blocks(spark, gc=True)
+                            cpr = probe_ratio(
+                                f"confirm:{q}",
+                                CANARIES[len(regressions) % len(CANARIES)],
+                            )
+                            cf = max(1.0, cpr) if cpr is not None else lf
                             csamp, _ = _time_query(
                                 spark, spec, sf_dir, release_session_blocks, 5
                             )
@@ -651,7 +739,7 @@ def main() -> None:
                             if not (
                                 conf > 1.3
                                 and cmed - p > cfloor
-                                and conf / load_factor > 1.3
+                                and conf / cf > 1.3
                             ):
                                 print(
                                     f"# noise (unconfirmed) {q}: {ratio:.2f}x raw "
@@ -693,6 +781,10 @@ def main() -> None:
             if shared_ratio is not None and load_factor > 0
             else None
         ),
+        # the interleaved probe timeline behind load_factor: (position
+        # in HEADLINE, canary-vs-baseline ratio); -1 = pre phase,
+        # len(HEADLINE) = post phase (VERDICT r9 #6)
+        "probes": [[p, round(r, 3)] for p, r in probe_pts],
         "regr": regressions,
         "fixed_count": len(fixed),
     }
@@ -750,6 +842,15 @@ def main() -> None:
         "failed": failed,
         "vs_prev": {**vs_prev, "fixed": fixed},
         "vs_anchor": vs_anchor,
+        "loadavg": (
+            {
+                "mean": round(sum(loads) / len(loads), 2),
+                "max": round(max(loads), 2),
+                "ncpus": os.cpu_count(),
+            }
+            if loads
+            else None
+        ),
         "excluded": EXCLUDED,
     }
     detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
