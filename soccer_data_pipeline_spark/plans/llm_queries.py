@@ -896,7 +896,9 @@ WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
         "100 TB-shaped window form of embedding_near_dup (SURVEY §2.10)"
     ),
 )
-def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_banded(
+    spark: SparkSession, sf_dir: str, n_rows: int | None = None
+) -> DataFrame:
     from ..operators.similarity import banded_candidate_pairs
 
     dot = lambda a, b: F.aggregate(  # noqa: E731
@@ -945,11 +947,36 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.35)
     )
+    # Banded config ladder (VERDICT r9 #7) — measured frontier, r10, via
+    # tools/tune_banded.py (recall = exact-audit-pairs found in the
+    # banded candidate set; ANN_TUNE_r10.json records the full table):
+    #   n=2000 (sf0.1): (36,3) recall 0.9583, 1.72 s; every wider config
+    #     fails or grazes the 0.8 floor on this marginal-pair regime
+    #     (p40w4 0.79, p40w5 0.49) — and (36,3) keeps the measured
+    #     driver-sf provenance unchanged (1.0 / 1.0 / 0.9583).
+    #   n=20000 (sf1): replica-densified buckets make EVERY config read
+    #     recall >= 0.9559 (true near-dups collide in some band at any
+    #     width), so the widest measured rung wins on cost: (40,5) =
+    #     4.71 s vs (36,3) 15.43 s for the same 0.9559 recall — the
+    #     r9 6.18x scaler was exactly these linearly-growing 8-code
+    #     buckets; (40,4) = 8.45 s at 0.9559 is the conservative
+    #     fallback rung if a corpus needs narrower bands.
+    # Caveat (same as the bitext ladder): a NEW corpus tier needs a
+    # measured retune via the tool, not extrapolation — the in-plan
+    # recall gate below turns a mis-sized config into a loud FALSE, not
+    # silent candidate loss. The plan STRUCTURE (plane constants in the
+    # band codes) depends on the config, so like bitext's n_en it cannot
+    # ride in-plan: callers pass n_rows (catalog stats at scale; keeps
+    # plan-only consumers lazy), else one narrow column-pruned count.
+    if n_rows is None:
+        n_rows = emb.count()
+    bp, bw = (36, 3) if n_rows < 8192 else (40, 5)
+
     # full-corpus banded candidates; ids-only intersection (an exact pair
     # in the candidate set always survives the downstream cosine verify —
     # same operands, same threshold — so candidate recall == verified
     # recall and the LSH side skips every dot product)
-    lsh = banded_candidate_pairs(emb).select(
+    lsh = banded_candidate_pairs(emb, n_planes=bp, band_width=bw).select(
         "vec_a", "vec_b", F.lit(1).alias("hit")
     )
     marked = exact.join(lsh, ["vec_a", "vec_b"], "left").withColumn(
