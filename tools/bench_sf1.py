@@ -53,6 +53,11 @@ HEAVY = [
     "duplicate_substring_audit_sliced",
     "winnowing_candidate_pairs",
     "jaccard_prefix_join",
+    # r10 additions: the gram-incidence leakage repair and the bucketed
+    # prefix-sum selection boundary
+    "split_leakage_repair",
+    "split_ngram_leakage",
+    "corpus_budget_select",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
