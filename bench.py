@@ -206,6 +206,7 @@ HEADLINE = [
     # round-10 additions
     "corpus_budget_select",
     "split_leakage_repair",
+    "benchmark_decontaminate",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

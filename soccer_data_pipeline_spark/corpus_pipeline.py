@@ -51,6 +51,7 @@ class CorpusBuildOutputs:
     manifest: DataFrame  # per (split, shard_id): n_docs, total_chars
     selection: DataFrame | None = None  # budgeted-selection ledger (token_budget runs)
     leakage: DataFrame | None = None  # split-leakage actions (leakage_ngram runs)
+    contamination: DataFrame | None = None  # decontamination actions (benchmark runs)
 
 
 def run_corpus_build(
@@ -61,6 +62,8 @@ def run_corpus_build(
     order_seed: str | None = None,
     token_budget: int | None = None,
     leakage_ngram: int | None = None,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 5,
     selection: str = "quality",
     dsir_target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
     **clean_kwargs,
@@ -103,10 +106,19 @@ def run_corpus_build(
     never changes, so the repaired corpus re-audits at leak_share = 0
     by construction (asserted end-to-end in tests). The per-doc action
     ledger lands in ``outputs.leakage``.
+
+    ``benchmark`` (optional, r10) adds a DECONTAMINATION stage right
+    after cleaning: corpus docs sharing at least one word
+    ``contamination_ngram``-gram with any benchmark doc are dropped
+    (folded into decisions as ``drop_contaminated``) — the action
+    stage for the ``benchmark_contamination`` audit, placed BEFORE
+    selection so contaminated docs never consume token budget. The
+    per-doc action ledger lands in ``outputs.contamination``.
     """
     from .operators.corpus import (
         budget_select,
         clean_decisions,
+        contamination_actions,
         dsir_log_weights,
         quality_pm,
         shuffle_order,
@@ -117,6 +129,23 @@ def run_corpus_build(
     kept = docs.join(
         decisions.where(F.col("decision") == "keep"), "doc_id", "left_semi"
     )
+    contamination_df = None
+    if benchmark is not None:
+        contamination_df = contamination_actions(
+            kept, benchmark, n=contamination_ngram
+        )
+        dropped = (
+            contamination_df.where(F.col("action") == "drop_contaminated")
+            .select("doc_id")
+            .withColumn("_ct", F.lit(True))
+        )
+        kept = kept.join(dropped, "doc_id", "left_anti")
+        decisions = decisions.join(dropped, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.coalesce(F.col("_ct"), F.lit(False)), "drop_contaminated")
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
     selection_df = None
     if token_budget is not None:
         if selection == "quality":
@@ -200,4 +229,5 @@ def run_corpus_build(
         manifest=manifest,
         selection=selection_df,
         leakage=leakage_df,
+        contamination=contamination_df,
     )

@@ -259,6 +259,64 @@ def budget_select(
     )
 
 
+def contamination_actions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[beyond-ref] Benchmark decontamination: the ACTION stage for the
+    ``benchmark_contamination`` audit — per corpus doc,
+    ``drop_contaminated`` when it shares at least one word ``n``-gram
+    with ANY benchmark doc (the standard pre-training hygiene step: a
+    corpus doc verbatim-overlapping an eval item inflates that eval).
+    Same shingle scheme as the audit (space-joined word n-grams,
+    per-doc array_distinct fused into the explode).
+
+    ``benchmark`` needs a ``text_col`` column. → (doc_id, action) over
+    ALL corpus docs (action ∈ {keep, drop_contaminated}).
+
+    Scale shape (same as the audit): the benchmark shingle set
+    collapses to one row per distinct gram and BROADCASTS (benchmarks
+    are MB-scale against a 100 TB corpus); the corpus streams through
+    the left-semi probe, one row per (doc, gram), text never shuffles.
+    """
+    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.size("_toks") - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(n)]
+    )
+    bench = (
+        benchmark.select(toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.explode(F.array_distinct(F.transform(idx, gram))).alias("g"))
+        .distinct()
+    )
+    corpus_grams = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform(idx, gram))).alias("g"),
+        )
+    )
+    hit = (
+        corpus_grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        hit, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.coalesce(F.col("_c"), F.lit(False)), "drop_contaminated")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
 def split_leakage_actions(
     corpus: DataFrame,
     n: int = 8,

@@ -1940,6 +1940,63 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benchmark decontamination [beyond-ref] (r10): the ACTION for the
+# contamination audit above — the doc-level drop decision the corpus
+# build acts on (corpus_pipeline.run_corpus_build(benchmark=...)),
+# mirroring the leakage-repair audit→action pattern.
+@register(
+    "benchmark_decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS t(i)
+  WHERE LEN(toks) >= 5
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+hit AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id >= 20
+)
+SELECT d.doc_id,
+       CASE WHEN h.doc_id IS NOT NULL THEN 'drop_contaminated'
+            ELSE 'keep' END AS action
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id >= 20
+""",
+    doc=(
+        "[beyond-ref] benchmark decontamination: per corpus doc, drop "
+        "when it shares a word 5-gram with any benchmark doc — the "
+        "action stage of the benchmark_contamination audit, consumed "
+        "by the corpus build (SURVEY §2.10 training-data tier)"
+    ),
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level decontamination decisions, exactly as
+    ``corpus_pipeline.run_corpus_build(benchmark=...)`` consumes them
+    (operators/corpus.py:contamination_actions). The benchmark stand-in
+    is the audit's (doc_id < 20); gram scheme identical (space-joined
+    word 5-grams, per-doc array_distinct fused into the explode), so a
+    doc the audit counts is exactly a doc this drops.
+
+    Scale shape: the benchmark gram set collapses to one row per
+    distinct gram and broadcasts; the corpus streams through a
+    left-semi probe — document text never shuffles.
+    """
+    from ..operators.corpus import contamination_actions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_actions(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20).select("text"),
+        n=5,
+    )
+
+
 # Sequence packing (concat-then-chunk, GPT-pretraining style): docs are
 # concatenated in a stable order per lang and chunked into 512-token
 # context windows; pack_id = the window each doc STARTS in.

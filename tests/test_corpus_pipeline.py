@@ -224,6 +224,47 @@ def test_leakage_repair_audits_clean(spark):
     assert (quarantined - {100000, 100006}) <= reg_quarantined
 
 
+def test_decontamination_drops_benchmark_overlap(spark):
+    """r10 audit→action closure for benchmark contamination: docs
+    sharing a word 5-gram with the benchmark frame are dropped, folded
+    into decisions as 'drop_contaminated', the set agrees with the
+    registered benchmark_contamination audit restricted to clean-kept
+    docs, and the decontaminated corpus re-audits clean (one-pass sound
+    — the benchmark never changes)."""
+    from soccer_data_pipeline_spark.operators.corpus import (
+        contamination_actions,
+    )
+
+    docs = _docs(spark)
+    benchmark = docs.where("doc_id < 20").select("text")
+    corpus_side = docs.where("doc_id >= 20")
+    out = run_corpus_build(corpus_side, benchmark=benchmark)
+    dropped = {
+        r.doc_id
+        for r in out.contamination.collect()
+        if r.action == "drop_contaminated"
+    }
+    assert dropped, "fixture has no benchmark 5-gram overlap"
+    corpus_ids = {r.doc_id for r in out.corpus.collect()}
+    assert corpus_ids.isdisjoint(dropped)
+    dec = {r.doc_id: r.decision for r in out.decisions.collect()}
+    assert {d for d, v in dec.items() if v == "drop_contaminated"} == dropped
+    assert {d for d, v in dec.items() if v == "keep"} == corpus_ids
+    # audit agreement: every dropped doc is one the registered audit
+    # counts (the audit runs on the raw corpus; decontamination on
+    # clean-kept docs, a subset)
+    audited = {
+        r.doc_id
+        for r in QUERIES["benchmark_contamination"].fn(spark, SF).collect()
+    }
+    assert dropped <= audited
+    # post-decontamination re-audit: clean by construction
+    post = contamination_actions(
+        out.corpus.select("doc_id", "text"), benchmark, n=5
+    )
+    assert post.where("action = 'drop_contaminated'").count() == 0
+
+
 def test_verbatim_overlap_caught_where_minhash_misses(spark):
     """Golden (VERDICT r8 #3): two otherwise-unrelated docs sharing one
     >= 31-char verbatim quote (the winnowing k+2w-1 two-fingerprint

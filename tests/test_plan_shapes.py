@@ -307,9 +307,11 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "spearman_spend_balance",
         # r10: the registered budgeted-selection boundary rides the same
         # bucketed prefix sum (per-bucket windows only); the leakage
-        # repair is join/agg-only like the audit it acts on
+        # repair and decontamination are join/agg-only like the audits
+        # they act on
         "corpus_budget_select",
         "split_leakage_repair",
+        "benchmark_decontaminate",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
