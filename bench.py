@@ -207,6 +207,8 @@ HEADLINE = [
     "corpus_budget_select",
     "split_leakage_repair",
     "benchmark_decontaminate",
+    "passage_dedup_repair",
+    "hybrid_retrieval_rrf",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -571,3 +571,144 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-dedup REPAIR [beyond-ref] — the action stage for
+# ``passage_dedup_stats`` (same audit->action pattern as the r9/r10
+# winnowing->clean and leakage->split-repair wirings): instead of only
+# measuring duplicated passages, rewrite each document with every
+# non-canonical occurrence of a cross-document duplicated passage
+# removed (C4/RefinedWeb "keep one occurrence" semantics).
+#
+# Rule (deterministic, seed-free): a CHUNK-token passage whose hash
+# occurs in >= 2 distinct documents keeps ONLY its globally-first
+# occurrence by (doc_id, chunk_idx) order; every other occurrence is
+# cut. Tail tokens (len % CHUNK) never participate — they cannot be a
+# full duplicated passage under the audit's definition — and are
+# always kept, so repair(x) == x for every clean document.
+#
+# Scale shape: only (doc_id, chunk_idx, 128-bit hash) triples shuffle
+# — document text never leaves the scan stage. The per-hash keeper is
+# a groupBy(hash) min(struct(doc_id, idx)); decisions come back as a
+# per-doc sorted int array (bounded by n_chunks), and the rebuild is
+# NARROW: in-row index filter + slice + concat inside whole-stage
+# codegen. No window over the corpus, no driver materialization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "passage_dedup_repair",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, CAST(LEN(t) // {CHUNK} AS INT) AS nf FROM toks),
+occ AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         MD5(ARRAY_TO_STRING(t[(i * {CHUNK} + 1):((i + 1) * {CHUNK})], ' ')) AS h
+  FROM (SELECT doc_id, t, UNNEST(RANGE(nf)) AS i FROM base WHERE nf > 0)
+),
+nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
+rk AS (
+  SELECT o.doc_id, o.i,
+         ROW_NUMBER() OVER (PARTITION BY o.h ORDER BY o.doc_id, o.i) AS rk,
+         nd.nd
+  FROM occ o JOIN nd USING (h)
+),
+dropped AS (
+  SELECT doc_id, LIST(i ORDER BY i) AS d
+  FROM rk WHERE nd >= 2 AND rk > 1 GROUP BY doc_id
+),
+built AS (
+  SELECT b.doc_id, b.nf, COALESCE(d.d, CAST([] AS INT[])) AS d,
+         FLATTEN(LIST_TRANSFORM(
+             LIST_FILTER(RANGE(b.nf), i -> NOT LIST_CONTAINS(COALESCE(d.d, CAST([] AS INT[])), i)),
+             i -> b.t[(i * {CHUNK} + 1):((i + 1) * {CHUNK})]))
+         || b.t[(b.nf * {CHUNK} + 1):LEN(b.t)] AS kept
+  FROM base b LEFT JOIN dropped d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_chunks,
+       CAST(LEN(d) AS BIGINT) AS n_removed,
+       CAST(LEN(kept) AS BIGINT) AS n_tokens_kept,
+       MD5(COALESCE(ARRAY_TO_STRING(kept, ' '), '')) AS repaired_md5
+FROM built
+""",
+    doc="[beyond-ref] passage-dedup repair: rewrite documents with every "
+    f"non-canonical occurrence of a cross-document {CHUNK}-token "
+    "duplicated passage removed (keep-first by (doc_id, idx)); the "
+    "action stage of passage_dedup_stats (SURVEY §2.10)",
+)
+def passage_dedup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove duplicated passages, keeping one canonical occurrence.
+
+    Output per document: chunk counts, how many passages were cut,
+    kept-token count, and the md5 of the repaired text (hashed so the
+    differential stays byte-bounded; the repaired text itself is the
+    same ``concat_ws`` expression, emitted by the corpus build).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.floor(F.size(toks) / CHUNK).cast("int").alias("nf"),
+    )
+    chunk_at = lambda i: F.slice(F.col("t"), i * CHUNK + 1, CHUNK)  # noqa: E731
+    occ = (
+        base.where(F.col("nf") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nf") - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("i"),
+                        F.md5(F.concat_ws(" ", chunk_at(i))).alias("h"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.i").alias("i"), F.col("c.h").alias("h"))
+    )
+    # Per-hash keeper: one groupBy over (doc_id, idx, hash) triples.
+    per_hash = occ.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min(F.struct("doc_id", "i")).alias("first"),
+    )
+    dropped = (
+        occ.join(per_hash.where(F.col("nd") >= 2), "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("i") == F.col("first.i"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("d"))
+    )
+    empty_i = F.array().cast("array<int>")
+    d = F.coalesce(F.col("d"), empty_i)
+    full_idx = F.when(
+        F.col("nf") > 0, F.sequence(F.lit(0), F.col("nf") - 1)
+    ).otherwise(empty_i)
+    kept_full = F.flatten(
+        F.transform(
+            F.filter(full_idx, lambda i: ~F.array_contains(d, i)),
+            lambda i: chunk_at(i),
+        )
+    )
+    tail_len = F.size("t") - F.col("nf") * CHUNK
+    tail = F.when(
+        tail_len > 0, F.slice(F.col("t"), F.col("nf") * CHUNK + 1, tail_len)
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.concat(kept_full, tail)
+    return base.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        F.col("nf").cast("long").alias("n_chunks"),
+        F.size(d).cast("long").alias("n_removed"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("repaired_md5"),
+    )

@@ -5016,3 +5016,184 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("n_tok") / 2).cast("long").alias("_budget")
     )
     return budget_select(scored, budget)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion [beyond-ref] — the RAG
+# serving/corpus-mining shape that combines a sparse lexical ranker
+# with a dense embedding ranker (Cormack et al., SIGIR'09 RRF:
+# score(d) = sum over rankers of 1/(k + rank_r(d)), k = 60).
+#
+# Legs (each top-20 per query, ties broken by candidate_id after a
+# 6-dp round so ranks are cross-engine exact):
+# - dense: exact cosine against the query embedding (the brute-force
+#   baseline of embedding_topk_cosine; at 100 TB the leg swaps to the
+#   sign-LSH / IVF ANN operators — same (query_id, candidate_id, rank)
+#   contract, recall-gated);
+# - sparse: idf-weighted distinct-token overlap via the inverted-index
+#   postings join (the same ln(N/df) weighting as tfidf_tokens, summed
+#   over shared tokens; at 100 TB the postings join takes the PPJoin
+#   rarest-token prefix filter of jaccard_prefix_pairs).
+#
+# Scale shape: the query side (8 queries) broadcasts into both legs;
+# candidates stream through one postings shuffle (lexical) and one
+# broadcast-nested-loop cosine pass (dense). df/N are vocab-/1-row-
+# sized broadcasts. Every window partitions by query_id over lists the
+# legs already capped at 20, and the fusion join is (queries x 20) vs
+# (queries x 20) — bounded regardless of corpus size.
+#
+# Float discipline: per-token idf terms and per-pair cosines round to
+# 6 dp BEFORE ranking and summing (bm25_scores' exactness argument:
+# rounded terms carry ~20 mantissa bits, so their sums are exact in
+# any order); RRF contributions are 1.0/(60+rank) on exact integer
+# operands — two correctly-rounded IEEE terms added in a fixed order.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_NQ = 8  # query set: vec_id < 8 (embeddings + their document text)
+_RRF_LEG_K = 20
+_RRF_OUT_K = 10
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_RRF_NQ}
+),
+c AS (
+  SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_RRF_NQ}
+),
+dense AS (
+  SELECT q.query_id, c.candidate_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, c.v) /
+               (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) AS cosine
+  FROM q CROSS JOIN c
+),
+dense_top AS (
+  SELECT query_id, candidate_id, rn AS dense_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rn
+    FROM dense
+  ) WHERE rn <= {_RRF_LEG_K}
+),
+qtok AS (
+  SELECT DISTINCT d.doc_id AS query_id, t.tok
+  FROM documents d, UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '), x -> x <> '')) AS t(tok)
+  WHERE d.doc_id < {_RRF_NQ}
+),
+ctok AS (
+  SELECT DISTINCT d.doc_id AS candidate_id, t.tok
+  FROM documents d JOIN c ON d.doc_id = c.candidate_id,
+       UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '), x -> x <> '')) AS t(tok)
+),
+dfc AS (SELECT tok, COUNT(DISTINCT candidate_id) AS df FROM ctok GROUP BY tok),
+nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_c FROM c),
+lex AS (
+  SELECT q.query_id, ct.candidate_id,
+         ROUND(SUM(ROUND(LN(nc.n_c / dfc.df), 6)), 6) AS lex_score
+  FROM qtok q JOIN ctok ct USING (tok) JOIN dfc USING (tok) CROSS JOIN nc
+  GROUP BY q.query_id, ct.candidate_id
+),
+lex_top AS (
+  SELECT query_id, candidate_id, rn AS lex_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex_score DESC, candidate_id) AS rn
+    FROM lex
+  ) WHERE rn <= {_RRF_LEG_K}
+),
+fused AS (
+  SELECT query_id, candidate_id, d.dense_rank, l.lex_rank,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0), 6) AS rrf_score
+  FROM dense_top d FULL OUTER JOIN lex_top l USING (query_id, candidate_id)
+)
+SELECT query_id, candidate_id, dense_rank, lex_rank, rrf_score, rn AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, candidate_id) AS rn
+  FROM fused
+) WHERE rn <= {_RRF_OUT_K}
+""",
+    doc=(
+        "[beyond-ref] hybrid retrieval: dense-cosine + idf-weighted "
+        "lexical rankers fused by reciprocal-rank fusion (k=60, top-20 "
+        "legs, top-10 fused) over the embeddings/documents corpus "
+        "(SURVEY §2.10 similarity tier)"
+    ),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    # --- dense leg: exact cosine, bounded query side broadcast ---
+    q = emb.where(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= _RRF_NQ).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
+    )
+    cosine = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        6,
+    )
+    w_q = lambda col: Window.partitionBy("query_id").orderBy(  # noqa: E731
+        F.desc(col), F.asc("candidate_id")
+    )
+    dense_top = (
+        c.join(F.broadcast(q), how="cross")
+        .select("query_id", "candidate_id", cosine.alias("cosine"))
+        .withColumn("dense_rank", F.row_number().over(w_q("cosine")).cast("long"))
+        .where(F.col("dense_rank") <= _RRF_LEG_K)
+        .select("query_id", "candidate_id", "dense_rank")
+    )
+
+    # --- sparse leg: idf-weighted token overlap via postings join ---
+    tok = lambda df, idc: (  # noqa: E731
+        df.select(F.col("doc_id").alias(idc), F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    qtok = tok(docs.where(F.col("doc_id") < _RRF_NQ), "query_id")
+    ctok = tok(
+        docs.join(c.select(F.col("candidate_id").alias("doc_id")), "doc_id"),
+        "candidate_id",
+    )
+    dfc = ctok.groupBy("tok").agg(F.count_distinct("candidate_id").alias("df"))
+    nc = c.agg(F.count("*").cast("double").alias("n_c"))
+    term = F.round(F.log(F.col("n_c") / F.col("df")), 6)
+    lex_top = (
+        ctok.join(F.broadcast(qtok), "tok")
+        .join(F.broadcast(dfc), "tok")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("query_id", "candidate_id")
+        .agg(F.round(F.sum(term), 6).alias("lex_score"))
+        .withColumn("lex_rank", F.row_number().over(w_q("lex_score")).cast("long"))
+        .where(F.col("lex_rank") <= _RRF_LEG_K)
+        .select("query_id", "candidate_id", "lex_rank")
+    )
+
+    # --- fusion: bounded (queries x 20) full-outer join ---
+    contrib = lambda col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(col)), F.lit(0.0)
+    )
+    fused = dense_top.join(
+        lex_top, ["query_id", "candidate_id"], "full_outer"
+    ).withColumn(
+        "rrf_score", F.round(contrib("dense_rank") + contrib("lex_rank"), 6)
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_q("rrf_score")).cast("long")
+        )
+        .where(F.col("fused_rank") <= _RRF_OUT_K)
+        .select(
+            "query_id", "candidate_id", "dense_rank", "lex_rank", "rrf_score", "fused_rank"
+        )
+    )

@@ -69,13 +69,19 @@ def test_passage_dedup_shuffles_hashes_not_text(spark):
     # must stay inside the scan stage. Check the partitioning spec on
     # the Exchange node itself (its subtree below legitimately computes
     # hashes FROM text pre-shuffle).
-    plan = _plan(spark, "passage_dedup_stats")
-    exchanges = [
-        part.split("\n", 1)[0] for part in plan.split("Exchange")[1:]
-    ]
-    assert exchanges, "expected at least one shuffle in the dedup plan"
-    for spec in exchanges:
-        assert "text#" not in spec, f"document text crosses a shuffle: {spec}"
+    # r10: the repair stage inherits the same contract — decisions
+    # shuffle as (doc_id, idx, hash) triples and come back as a per-doc
+    # int array; the rebuild is narrow over the scan's text column.
+    for name in ("passage_dedup_stats", "passage_dedup_repair"):
+        plan = _plan(spark, name)
+        exchanges = [
+            part.split("\n", 1)[0] for part in plan.split("Exchange")[1:]
+        ]
+        assert exchanges, f"{name}: expected at least one shuffle"
+        for spec in exchanges:
+            assert "text#" not in spec, (
+                f"{name}: document text crosses a shuffle: {spec}"
+            )
 
 
 def test_fuzzy_levenshtein_equi_join(spark):
@@ -312,6 +318,10 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "corpus_budget_select",
         "split_leakage_repair",
         "benchmark_decontaminate",
+        # r10: both RRF legs rank inside Window.partitionBy(query_id)
+        # over lists already capped at 20 — bounded query set, never a
+        # corpus-global window
+        "hybrid_retrieval_rrf",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

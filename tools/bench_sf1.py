@@ -58,6 +58,10 @@ HEAVY = [
     "split_leakage_repair",
     "split_ngram_leakage",
     "corpus_budget_select",
+    # r10b: the passage-repair rebuild (corpus-sized narrow + id-triple
+    # shuffle) and the RRF legs (postings join + broadcast-NL cosine)
+    "passage_dedup_repair",
+    "hybrid_retrieval_rrf",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
