@@ -209,6 +209,8 @@ HEADLINE = [
     "benchmark_decontaminate",
     "passage_dedup_repair",
     "hybrid_retrieval_rrf",
+    "mmr_diverse_rerank",
+    "retrieval_eval_ndcg",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -5197,3 +5197,393 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "candidate_id", "dense_rank", "lex_rank", "rrf_score", "fused_rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank [beyond-ref] — Carbonell & Goldstein (SIGIR'98)
+# maximal marginal relevance over the dense top-10 pool: greedily pick
+# _MMR_K docs, each maximizing lambda*rel - (1-lambda)*max_sim_to_selected
+# (lambda = 0.7). The dedup-aware cousin of plain top-k retrieval: a
+# pool full of near-duplicates yields one representative, not five.
+#
+# The greedy recurrence is inherently sequential in k, but k is a
+# CONSTANT (5) while the corpus is not: the per-step work is bounded at
+# (queries x pool) rows, so the plan unrolls the five steps as five
+# bounded join+argmax stages. Corpus-sized work happens exactly once —
+# the dense top-10 leg — and everything after it is O(queries x 100).
+# The oracle unrolls the same five steps as generated CTEs.
+#
+# Float discipline: rel and pairwise sims round to 6 dp, then convert
+# to exact micro-unit longs (rel_pm / sim_pm); the MMR score is the
+# INTEGER 7*rel_pm - 3*max_pm, ranked as an integer and divided once
+# for display. A float 0.7*rel - 0.3*maxsim would land exactly on
+# decimal halfway points (0.7 x a 6-dp value has 7 decimals — e.g.
+# 0.7*0.371485 = 0.2600395), where Spark's BigDecimal-shortest-repr
+# HALF_UP and DuckDB's binary-value rounding disagree; the sf0.01
+# differential caught exactly that. Ties break by candidate_id.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 10
+_MMR_K = 5
+_MMR_NQ = _RRF_NQ  # same bounded query set as the RRF family
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "ROUND(LIST_DOT_PRODUCT({a}.v, {b}.v) / "
+        "(SQRT(LIST_DOT_PRODUCT({a}.v, {a}.v)) * "
+        "SQRT(LIST_DOT_PRODUCT({b}.v, {b}.v))), 6)"
+    )
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_MMR_NQ}
+),
+c AS (
+  SELECT vec_id AS candidate_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_MMR_NQ}
+),
+pool AS (
+  SELECT query_id, candidate_id, v, rel,
+         CAST(ROUND(rel * 1000000) AS BIGINT) AS rel_pm
+  FROM (
+    SELECT q.query_id, c.candidate_id, c.v,
+           {cos.format(a='q', b='c')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos.format(a='q', b='c')} DESC,
+                                       c.candidate_id) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {_MMR_POOL}
+),
+sims AS (
+  SELECT a.query_id, a.candidate_id AS ca, b.candidate_id AS cb,
+         CAST(ROUND({cos.format(a='a', b='b')} * 1000000) AS BIGINT) AS sim_pm
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.candidate_id <> b.candidate_id
+),
+p1 AS (
+  SELECT query_id, candidate_id, CAST(1 AS BIGINT) AS mmr_rank, rel,
+         0.0 AS maxsim,
+         CAST(7 * rel_pm AS DOUBLE) / 10000000.0 AS mmr_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY 7 * rel_pm DESC,
+                                          candidate_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT query_id, candidate_id FROM p{j}" for j in range(1, k)
+        )
+        parts.append(
+            f""",
+sel{k} AS ({sel}),
+m{k} AS (
+  SELECT s.query_id, s.ca AS candidate_id, MAX(s.sim_pm) AS max_pm
+  FROM sims s
+  JOIN sel{k} t ON s.query_id = t.query_id AND s.cb = t.candidate_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{k} u
+    WHERE u.query_id = s.query_id AND u.candidate_id = s.ca
+  )
+  GROUP BY s.query_id, s.ca
+),
+p{k} AS (
+  SELECT query_id, candidate_id, CAST({k} AS BIGINT) AS mmr_rank, rel,
+         maxsim, mmr_score
+  FROM (
+    SELECT p.query_id, p.candidate_id, p.rel,
+           CAST(m.max_pm AS DOUBLE) / 1000000.0 AS maxsim,
+           CAST(7 * p.rel_pm - 3 * m.max_pm AS DOUBLE) / 10000000.0 AS mmr_score,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY 7 * p.rel_pm - 3 * m.max_pm DESC,
+                                       p.candidate_id) AS rn
+    FROM pool p
+    JOIN m{k} m ON m.query_id = p.query_id AND m.candidate_id = p.candidate_id
+  ) WHERE rn = 1
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{j}" for j in range(1, _MMR_K + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=_mmr_oracle(),
+    doc=(
+        "[beyond-ref] maximal-marginal-relevance diversified re-rank: "
+        f"greedy top-{_MMR_K} from the dense top-{_MMR_POOL} pool, "
+        "lambda=0.7, pairwise-cosine redundancy penalty (SURVEY §2.10 "
+        "similarity tier)"
+    ),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = lambda av, bv: F.round(  # noqa: E731
+        dot(av, bv) / (F.sqrt(dot(av, av)) * F.sqrt(dot(bv, bv))), 6
+    )
+    q = emb.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= _MMR_NQ).select(
+        F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("candidate_id")
+    )
+    pool = (
+        c.join(F.broadcast(q), how="cross")
+        .select(
+            "query_id",
+            "candidate_id",
+            "cv",
+            cos(F.col("qv"), F.col("cv")).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= _MMR_POOL)
+        # micro-unit integer twin of rel: the MMR score arithmetic runs
+        # exactly in the integer domain (see the float-discipline note)
+        .select(
+            "query_id",
+            "candidate_id",
+            "cv",
+            "rel",
+            F.round(F.col("rel") * 1000000).cast("long").alias("rel_pm"),
+        )
+    )
+    # Bounded (queries x pool^2) pairwise sims; vectors drop out after.
+    a, b = pool.alias("a"), pool.alias("b")
+    sims = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.candidate_id") != F.col("b.candidate_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.candidate_id").alias("ca"),
+        F.col("b.candidate_id").alias("cb"),
+        F.round(cos(F.col("a.cv"), F.col("b.cv")) * 1000000)
+        .cast("long")
+        .alias("sim_pm"),
+    )
+    pool = pool.drop("cv")
+    w_mmr = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_i"), F.asc("candidate_id")
+    )
+    sel = (
+        pool.withColumn("mmr_i", 7 * F.col("rel_pm"))
+        .withColumn("rn", F.row_number().over(w_mmr))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "rel",
+            F.lit(0.0).alias("maxsim"),
+            (F.col("mmr_i").cast("double") / 10000000.0).alias("mmr_score"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        sel_ids = sel.select("query_id", "candidate_id")
+        rem = pool.join(sel_ids, ["query_id", "candidate_id"], "left_anti")
+        maxsim = (
+            sims.join(
+                sel_ids.withColumnRenamed("candidate_id", "cb"),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("sim_pm").alias("max_pm"))
+            .withColumnRenamed("ca", "candidate_id")
+        )
+        pick = (
+            rem.join(maxsim, ["query_id", "candidate_id"])
+            .withColumn("mmr_i", 7 * F.col("rel_pm") - 3 * F.col("max_pm"))
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "candidate_id",
+                F.lit(k).cast("long").alias("mmr_rank"),
+                "rel",
+                (F.col("max_pm").cast("double") / 1000000.0).alias("maxsim"),
+                (F.col("mmr_i").cast("double") / 10000000.0).alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality eval [beyond-ref] — recall@k / MRR@k / NDCG@k of the
+# dense ranking against label-match relevance (a candidate is relevant
+# to a query iff it carries the query's embedding label): the eval gate
+# a retrieval corpus build reports next to the ANN recall gates, and
+# the ranking-metric sibling of the ML-eval tier (auc_exact_rank).
+#
+# Scale shape: one corpus pass for the per-query relevant-count (an
+# aggregation on the label equi-join), one for the top-k leg; every
+# window partitions by query_id over lists capped at k. Gain terms
+# 1/log2(1+rank) round to 6 dp per term before summing (exact in any
+# order), and IDCG folds the same rounded terms over a k-bounded
+# sequence in index order on both engines.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+WITH q AS (
+  SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS v, e.label
+  FROM embeddings e WHERE e.vec_id < {_RRF_NQ}
+),
+c AS (
+  SELECT e.vec_id AS candidate_id, CAST(e.embedding AS DOUBLE[]) AS v, e.label
+  FROM embeddings e WHERE e.vec_id >= {_RRF_NQ}
+),
+nrel AS (
+  SELECT q.query_id, CAST(COUNT(c.candidate_id) AS BIGINT) AS n_relevant
+  FROM q LEFT JOIN c ON c.label = q.label
+  GROUP BY q.query_id
+),
+topk AS (
+  SELECT query_id, candidate_id, rn, relevant FROM (
+    SELECT q.query_id, c.candidate_id,
+           (c.label = q.label) AS relevant,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_DOT_PRODUCT(q.v, c.v) /
+                            (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) *
+                             SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) DESC,
+                      c.candidate_id) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {_NDCG_K}
+),
+hits AS (
+  SELECT query_id,
+         CAST(COUNT(*) FILTER (relevant) AS BIGINT) AS n_hits,
+         COALESCE(MIN(rn) FILTER (relevant), 0) AS first_rel_rank,
+         COALESCE(SUM(ROUND(1.0 / LOG2(1.0 + rn), 6)) FILTER (relevant), 0.0) AS dcg
+  FROM topk GROUP BY query_id
+),
+idcg AS (
+  SELECT n.query_id,
+         COALESCE(SUM(ROUND(1.0 / LOG2(1.0 + CAST(t.i AS DOUBLE)), 6)), 0.0) AS idcg
+  FROM nrel n
+  LEFT JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_NDCG_K})) AS i) t
+    ON t.i <= LEAST(n.n_relevant, {_NDCG_K})
+  GROUP BY n.query_id
+)
+SELECT n.query_id, n.n_relevant, h.n_hits,
+       ROUND(CASE WHEN n.n_relevant > 0
+                  THEN CAST(h.n_hits AS DOUBLE) / n.n_relevant
+                  ELSE 0.0 END, 6) AS recall_at_k,
+       ROUND(CASE WHEN h.first_rel_rank > 0
+                  THEN 1.0 / h.first_rel_rank ELSE 0.0 END, 6) AS mrr_at_k,
+       ROUND(CASE WHEN i.idcg > 0 THEN h.dcg / i.idcg ELSE 0.0 END, 6)
+         AS ndcg_at_k
+FROM nrel n JOIN hits h USING (query_id) JOIN idcg i ON i.query_id = n.query_id
+""",
+    doc=(
+        "[beyond-ref] retrieval-quality eval: recall@10 / MRR@10 / "
+        "NDCG@10 of the dense cosine ranking against label-match "
+        "relevance (SURVEY §2.10 similarity tier)"
+    ),
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    q = emb.where(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.where(F.col("vec_id") >= _RRF_NQ).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    nrel = (
+        q.join(c, F.col("clabel") == F.col("qlabel"), "left")
+        .groupBy("query_id")
+        .agg(F.count("candidate_id").cast("long").alias("n_relevant"))
+    )
+    cosine = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        6,
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    topk = (
+        c.join(F.broadcast(q), how="cross")
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.col("clabel") == F.col("qlabel")).alias("relevant"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= _NDCG_K)
+    )
+    gain = F.round(F.lit(1.0) / F.log2(F.lit(1.0) + F.col("rn")), 6)
+    hits = topk.groupBy("query_id").agg(
+        F.count(F.when(F.col("relevant"), 1)).cast("long").alias("n_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("relevant"), F.col("rn"))), F.lit(0)
+        ).alias("first_rel_rank"),
+        F.coalesce(
+            F.sum(F.when(F.col("relevant"), gain)), F.lit(0.0)
+        ).alias("dcg"),
+    )
+    # IDCG: fold the same rounded gain terms over 1..min(R, k) in index
+    # order — a k-bounded in-row sequence, no extra join or shuffle.
+    ideal_n = F.least(F.col("n_relevant"), F.lit(_NDCG_K)).cast("int")
+    idcg = F.when(
+        ideal_n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), ideal_n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.round(F.lit(1.0) / F.log2(F.lit(1.0) + i.cast("double")), 6),
+        ),
+    ).otherwise(F.lit(0.0))
+    out = nrel.withColumn("idcg", idcg).join(hits, "query_id")
+    return out.select(
+        "query_id",
+        "n_relevant",
+        "n_hits",
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("n_hits").cast("double") / F.col("n_relevant"),
+            ).otherwise(0.0),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(
+                F.col("first_rel_rank") > 0, F.lit(1.0) / F.col("first_rel_rank")
+            ).otherwise(0.0),
+            6,
+        ).alias("mrr_at_k"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+            6,
+        ).alias("ndcg_at_k"),
+    )

@@ -320,8 +320,10 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "benchmark_decontaminate",
         # r10: both RRF legs rank inside Window.partitionBy(query_id)
         # over lists already capped at 20 — bounded query set, never a
-        # corpus-global window
+        # corpus-global window; MMR/NDCG inherit the same contract
         "hybrid_retrieval_rrf",
+        "mmr_diverse_rerank",
+        "retrieval_eval_ndcg",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

@@ -127,3 +127,82 @@ def test_rrf_double_rank1_wins(spark):
             assert r["fused_rank"] == 1
     if not hit:
         pytest.skip("no double-rank-1 candidate at this sf")
+
+
+def _load_vecs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return {vid: v for vid, v in rows}
+
+
+def test_mmr_matches_greedy_reference(spark):
+    """Independent re-implementation: replicate the exact greedy MMR
+    (6-dp-rounded cosines -> micro-unit integer scores, id tiebreaks)
+    in plain Python and assert the distributed plan picks the same
+    candidates in the same order for every query."""
+    import math
+
+    vecs = _load_vecs()
+    qids = [i for i in vecs if i < 8]
+    cids = [i for i in vecs if i >= 8]
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return round(d / (na * nb), 6)
+
+    expected = {}
+    for qid in qids:
+        pool = sorted(cids, key=lambda c: (-cos6(qid, c), c))[:10]
+        rel_pm = {c: int(round(cos6(qid, c) * 1e6)) for c in pool}
+        selected = []
+        for _ in range(5):
+            rem = [c for c in pool if c not in selected]
+            best = None
+            for c in rem:
+                max_pm = max(
+                    (int(round(cos6(c, s) * 1e6)) for s in selected),
+                    default=0,
+                )
+                mmr_i = 7 * rel_pm[c] - 3 * max_pm
+                if best is None or (-mmr_i, c) < best[0]:
+                    best = ((-mmr_i, c), c)
+            selected.append(best[1])
+        expected[qid] = selected
+
+    rows = QUERIES["mmr_diverse_rerank"].fn(spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["candidate_id"]
+    for qid in qids:
+        picks = [got[qid][k] for k in sorted(got[qid])]
+        assert picks == expected[qid], (qid, picks, expected[qid])
+
+
+def test_mmr_rank1_is_dense_top1(spark):
+    rows = QUERIES["mmr_diverse_rerank"].fn(spark, SF).collect()
+    r1 = {r["query_id"]: r for r in rows if r["mmr_rank"] == 1}
+    for q, r in r1.items():
+        assert r["maxsim"] == 0.0
+        # rank 1 has no redundancy penalty: score == 0.7*rel exactly in
+        # micro-units
+        assert abs(r["mmr_score"] - (7 * round(r["rel"] * 1e6)) / 1e7) < 1e-12
+
+
+def test_ndcg_metric_bounds_and_consistency(spark):
+    rows = QUERIES["retrieval_eval_ndcg"].fn(spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_hits"] <= min(10, r["n_relevant"])
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 <= r["mrr_at_k"] <= 1.0
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9
+        if r["n_hits"] == 0:
+            assert r["mrr_at_k"] == 0.0 and r["ndcg_at_k"] == 0.0
+        else:
+            assert r["mrr_at_k"] > 0.0 and r["ndcg_at_k"] > 0.0

@@ -59,9 +59,11 @@ HEAVY = [
     "split_ngram_leakage",
     "corpus_budget_select",
     # r10b: the passage-repair rebuild (corpus-sized narrow + id-triple
-    # shuffle) and the RRF legs (postings join + broadcast-NL cosine)
+    # shuffle), the RRF legs (postings join + broadcast-NL cosine), and
+    # the MMR pool pass (same dense leg + bounded greedy stages)
     "passage_dedup_repair",
     "hybrid_retrieval_rrf",
+    "mmr_diverse_rerank",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
