@@ -114,10 +114,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rank statistics / experimentation (r8: spearman carries the
     # family's hard rows AND the value_bucketed_prefix_sum midrank path)
     "spearman_spend_balance",
-    # similarity search (LSH-blocked near-dup, ANN recall gates)
+    # similarity search (LSH-blocked near-dup, ANN recall gate) and
+    # retrieval fusion (r10b: RRF carries the postings-join lexical leg
+    # plus the dense leg in one hard-signal query)
     "embedding_near_dup_banded",
     "similarity_ann_recall",
-    "similarity_ivf_recall",
+    "hybrid_retrieval_rrf",
     # multimodal
     "multimodal_binary_stats",
     # training-data tier (r10: + the leakage audit and the budgeted
@@ -231,6 +233,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # budgeted-selection boundary the corpus build acts on — derived
 # half-token-mass budget, value_bucketed_prefix_sum cut). Both demoted
 # queries keep full local DuckDB-oracle coverage.
+# Round 10b: one swap (new retrieval-fusion family > a second ANN-recall
+# rep): similarity_ivf_recall ceded (ANN-recall family keeps
+# similarity_ann_recall in-window; the IVF form stays local-oracle +
+# benched + sf1-rehearsed, and its recall gate still fails the plan
+# in-row at every sf) for hybrid_retrieval_rrf (reciprocal-rank fusion
+# of the dense-cosine and idf-weighted lexical rankers — a NEW family
+# whose hard rows also hash-check the inverted-index postings join and
+# the bounded full-outer fusion). mmr_diverse_rerank,
+# retrieval_eval_ndcg, and passage_dedup_repair sit local-oracle +
+# benched next to their in-window relatives (the ANN/near-dup tier and
+# the passage-dedup stats family).
 
 
 def _ordered_names() -> list[str]:

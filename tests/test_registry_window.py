@@ -57,7 +57,10 @@ FAMILY_REPRESENTATIVES = {
     # exact audit; the full-exact form stays local-oracle-covered
     "similarity_near_dup": "embedding_near_dup_banded",
     "similarity_ann": "similarity_ann_recall",
-    "similarity_ivf": "similarity_ivf_recall",
+    # r10b: the IVF rep ceded its slot (ANN-recall family keeps
+    # similarity_ann_recall; IVF stays local-oracle + benched) for the
+    # retrieval-fusion family — registry.py slot ledger
+    "retrieval_fusion": "hybrid_retrieval_rrf",
     "multimodal": "multimodal_binary_stats",
     "split": "train_val_test_split",
     # sampling: stratified_sample_docs ceded its slot in r3c — the
