@@ -211,6 +211,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "mmr_diverse_rerank",
     "retrieval_eval_ndcg",
+    "kmeans_fixed_assign",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -5587,3 +5587,160 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means assignment [beyond-ref] — the clustering
+# primitive under IVF coarse quantizers and SemDeDup-style semantic
+# dedup, here in a HASH-CHECKABLE form: k = 8 seeds fixed to the 8
+# smallest vec_ids, TWO Lloyd iterations unrolled, and every distance
+# computed in an exact integer domain so the assignment argmin is
+# bit-identical cross-engine:
+#
+# - components quantize to 1e-4 grid longs (|x| <= 0.58 -> |xq| <= 5800;
+#   64-dim squared distances <= ~3.4e10, far inside int64);
+# - the iter-2 centroid ROUNDS BACK to the grid (c_i = round(S_i / n)):
+#   comparing true rational centroids across clusters of different n
+#   would need 128-bit cross-multiplication, while the grid-rounded
+#   centroid keeps every dist2 an exact long at any cluster size. The
+#   S_i/n double is an exact-int division (correctly rounded, engine-
+#   identical) and ties at representable .5 round away from zero in
+#   both engines;
+# - argmin ties break by cluster id (struct-min / ROW_NUMBER order).
+#
+# Scale shape: assignments are a broadcast nested-loop against the
+# k=8 centroid frame (k rows); the recompute is the canonical k-means
+# shuffle — posexplode to (cluster, dim, component) and one exact-long
+# partial-aggregated sum, dim x corpus rows, then an 8 x 64 regroup.
+# No corpus-sized window, no driver collect; iterations are a constant
+# (2) by definition of the operator, not a convergence loop.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_Q = 10000
+_KM_DIMS = 64
+
+
+@register(
+    "kmeans_fixed_assign",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_KM_Q}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, xq AS sq FROM e WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT e.vec_id, s.cid,
+         (SELECT SUM((e.xq[i] - s.sq[i]) * (e.xq[i] - s.sq[i]))
+          FROM UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)) AS dist
+  FROM e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cid AS c1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a1.c1 AS cid, t.i,
+         SUM(e.xq[t.i]) AS s, COUNT(*) AS n
+  FROM a1 JOIN e USING (vec_id),
+       UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)
+  GROUP BY a1.c1, t.i
+),
+cent AS (
+  SELECT cid,
+         LIST(CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cq
+  FROM sums GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         (SELECT SUM((e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i]))
+          FROM UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)) AS dist
+  FROM e CROSS JOIN cent c
+),
+a2 AS (
+  SELECT vec_id, cid AS c2, CAST(dist AS BIGINT) AS dist_q2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id, a1.c1 AS cluster_first, a2.c2 AS cluster_final,
+       a2.dist_q2, a1.c1 <> a2.c2 AS moved
+FROM a1 JOIN a2 USING (vec_id)
+""",
+    doc=(
+        "[beyond-ref] deterministic k-means assignment: k=8 fixed-id "
+        "seeds, two unrolled Lloyd iterations, exact integer-grid "
+        "distances and grid-rounded centroids — the hash-checked "
+        "clustering primitive under IVF / semantic dedup (SURVEY §2.10 "
+        "similarity tier)"
+    ),
+)
+def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _KM_Q).cast("long"),
+        ).alias("xq"),
+    )
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+    def assign(frame, cents, cent_col, out_c, keep_dist=False):
+        d = frame.join(
+            F.broadcast(cents), how="cross"
+        ).select(
+            "vec_id",
+            "cid",
+            sqdist(F.col("xq"), F.col(cent_col)).alias("dist"),
+        )
+        best = d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("b")
+        )
+        cols = ["vec_id", F.col("b.cid").alias(out_c)]
+        if keep_dist:
+            cols.append(F.col("b.dist").alias("dist_q2"))
+        return best.select(*cols)
+
+    seeds = e.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("sq")
+    )
+    a1 = assign(e, seeds, "sq", "c1")
+    # canonical k-means recompute shuffle: (cluster, dim) exact-long sums
+    member_dims = (
+        a1.join(e, "vec_id")
+        .select("c1", F.posexplode("xq").alias("i", "x"))
+        .groupBy("c1", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    cent = (
+        member_dims.select(
+            F.col("c1").alias("cid"),
+            "i",
+            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda p: p["c"]
+            ).alias("cq")
+        )
+    )
+    a2 = assign(e, cent, "cq", "c2", keep_dist=True)
+    return (
+        a1.join(a2, "vec_id")
+        .select(
+            "vec_id",
+            F.col("c1").alias("cluster_first"),
+            F.col("c2").alias("cluster_final"),
+            "dist_q2",
+            (F.col("c1") != F.col("c2")).alias("moved"),
+        )
+    )

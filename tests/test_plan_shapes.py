@@ -324,6 +324,8 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "hybrid_retrieval_rrf",
         "mmr_diverse_rerank",
         "retrieval_eval_ndcg",
+        # r10b: argmin is a groupBy min(struct) — zero Window nodes
+        "kmeans_fixed_assign",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

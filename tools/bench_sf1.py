@@ -64,6 +64,8 @@ HEAVY = [
     "passage_dedup_repair",
     "hybrid_retrieval_rrf",
     "mmr_diverse_rerank",
+    # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
+    "kmeans_fixed_assign",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
