@@ -5360,65 +5360,88 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rel") * 1000000).cast("long").alias("rel_pm"),
         )
     )
-    # Bounded (queries x pool^2) pairwise sims; vectors drop out after.
-    a, b = pool.alias("a"), pool.alias("b")
-    sims = a.join(
-        b,
-        (F.col("a.query_id") == F.col("b.query_id"))
-        & (F.col("a.candidate_id") != F.col("b.candidate_id")),
+    # The greedy runs ENTIRELY IN-ROW after one groupBy(query_id): the
+    # per-query state is bounded (10 candidates with vectors and
+    # precomputed norms), so the 5 steps and the pairwise sims are a
+    # constant-size fold per query — one shuffle total, no stage chain.
+    # (The first cut unrolled 4 join+argmax stages over the same tiny
+    # frames: ~12 extra stages of pure scheduling overhead — 14.2 s at
+    # sf0.1 unshared, ~7 s lazily-checkpointed, vs ~1 s for this shape.)
+    ent = F.struct(
+        F.col("candidate_id").alias("cid"),
+        F.col("rel_pm").alias("rel_pm"),
+        F.col("rel").alias("rel"),
+        F.col("cv").alias("cv"),
+        F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("n"),
+    )
+    prow = pool.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(ent)).alias("P")
+    )
+    # pairwise sim in micro-units — the IDENTICAL expression tree the
+    # pair-frame form would use: round(round(dot/(na*nb), 6) * 1e6)
+    sim_pm = lambda p, s: F.round(  # noqa: E731
+        F.round(dot(p["cv"], s["cv"]) / (p["n"] * s["n"]), 6) * 1000000
+    ).cast("long")
+    max_pm = lambda p, sel: F.coalesce(  # noqa: E731
+        F.array_max(
+            F.transform(
+                F.filter(F.col("P"), lambda s: F.array_contains(sel, s["cid"])),
+                lambda s: sim_pm(p, s),
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    out_t = "array<struct<cid:bigint,rel:double,max_pm:bigint,mmr_i:bigint>>"
+
+    def step(acc, _i):
+        sel = acc["sel"]
+        cands = F.filter(
+            F.col("P"), lambda p: ~F.array_contains(sel, p["cid"])
+        )
+        # argmax by (mmr_i desc, cid asc) == struct-min on (-mmr_i, cid)
+        scored = F.transform(
+            cands,
+            lambda p: F.struct(
+                (3 * max_pm(p, sel) - 7 * p["rel_pm"]).alias("neg"),
+                p["cid"].alias("cid"),
+                p["rel"].alias("rel"),
+                max_pm(p, sel).alias("max_pm"),
+            ),
+        )
+        best = F.array_min(scored)
+        grown = F.struct(
+            F.concat(sel, F.array(best["cid"])).alias("sel"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        best["cid"].alias("cid"),
+                        best["rel"].alias("rel"),
+                        best["max_pm"].alias("max_pm"),
+                        (-best["neg"]).alias("mmr_i"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        return F.when(F.size(cands) > 0, grown).otherwise(acc)
+
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("sel"),
+        F.array().cast(out_t).alias("out"),
+    )
+    picks = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MMR_K)), init, step
+    )["out"]
+    return prow.select(
+        "query_id", F.posexplode(picks).alias("pos", "o")
     ).select(
-        F.col("a.query_id").alias("query_id"),
-        F.col("a.candidate_id").alias("ca"),
-        F.col("b.candidate_id").alias("cb"),
-        F.round(cos(F.col("a.cv"), F.col("b.cv")) * 1000000)
-        .cast("long")
-        .alias("sim_pm"),
+        "query_id",
+        F.col("o.cid").alias("candidate_id"),
+        (F.col("pos") + 1).cast("long").alias("mmr_rank"),
+        F.col("o.rel").alias("rel"),
+        (F.col("o.max_pm").cast("double") / 1000000.0).alias("maxsim"),
+        (F.col("o.mmr_i").cast("double") / 10000000.0).alias("mmr_score"),
     )
-    pool = pool.drop("cv")
-    w_mmr = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr_i"), F.asc("candidate_id")
-    )
-    sel = (
-        pool.withColumn("mmr_i", 7 * F.col("rel_pm"))
-        .withColumn("rn", F.row_number().over(w_mmr))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "candidate_id",
-            F.lit(1).cast("long").alias("mmr_rank"),
-            "rel",
-            F.lit(0.0).alias("maxsim"),
-            (F.col("mmr_i").cast("double") / 10000000.0).alias("mmr_score"),
-        )
-    )
-    for k in range(2, _MMR_K + 1):
-        sel_ids = sel.select("query_id", "candidate_id")
-        rem = pool.join(sel_ids, ["query_id", "candidate_id"], "left_anti")
-        maxsim = (
-            sims.join(
-                sel_ids.withColumnRenamed("candidate_id", "cb"),
-                ["query_id", "cb"],
-            )
-            .groupBy("query_id", "ca")
-            .agg(F.max("sim_pm").alias("max_pm"))
-            .withColumnRenamed("ca", "candidate_id")
-        )
-        pick = (
-            rem.join(maxsim, ["query_id", "candidate_id"])
-            .withColumn("mmr_i", 7 * F.col("rel_pm") - 3 * F.col("max_pm"))
-            .withColumn("rn", F.row_number().over(w_mmr))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "candidate_id",
-                F.lit(k).cast("long").alias("mmr_rank"),
-                "rel",
-                (F.col("max_pm").cast("double") / 1000000.0).alias("maxsim"),
-                (F.col("mmr_i").cast("double") / 10000000.0).alias("mmr_score"),
-            )
-        )
-        sel = sel.unionByName(pick)
-    return sel
 
 
 # ---------------------------------------------------------------------------
