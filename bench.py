@@ -212,6 +212,8 @@ HEADLINE = [
     "mmr_diverse_rerank",
     "retrieval_eval_ndcg",
     "kmeans_fixed_assign",
+    # round-11 additions
+    "hybrid_retrieval_rrf_ann",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

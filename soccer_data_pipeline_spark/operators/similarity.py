@@ -210,43 +210,53 @@ def ivf_topk(
 
     The scale path the FAISS-style IVF index uses, expressed on Spark:
 
-    1. fit KMeans on a bounded SAMPLE of the candidate vectors — the
-       quantizer only needs the cluster geometry, which ~256 points per
-       centroid capture (FAISS trains on exactly such a sample); a
-       full-corpus fit at 100 TB is both unaffordable and unnecessary.
-       This is the only iterative step, run once per corpus build, not
-       per query — pass the returned ``model`` back in to skip it;
-    2. assign every candidate to its nearest centroid (one narrow
-       pass, broadcast centroids);
+    1. fit the coarse quantizer on a bounded SAMPLE of the candidate
+       vectors — the quantizer only needs the cluster geometry, which
+       ~256 points per centroid capture (FAISS trains on exactly such
+       a sample); a full-corpus fit at 100 TB is both unaffordable and
+       unnecessary. This is the only iterative step, run once per
+       corpus build, not per query — pass the returned ``model`` back
+       in to skip it. r11: the trainer is the deterministic
+       grid-exact Lloyd operator (operators/kmeans.py — the same code
+       path the ``kmeans_fixed_assign`` differential hash-checks),
+       replacing the opaque Spark ML fit: the quantizer is now pure
+       data (k×dim grid ints), session-independent, and byte-stable
+       per (corpus, config);
+    2. assign every candidate to its nearest centroid IN-ROW (zero
+       shuffle — centers ride the plan as integer literals);
     3. per query, rank centroids and probe the top ``n_probe`` cells
        via an equi-join on cell id — work scales with corpus/n_centroids
        × n_probe, never |Q|·|C|.
 
     Returns (results_df, model) so the quantizer can be reused.
+    ``model`` accepts a DeterministicKMeans (ours) or a legacy Spark
+    ML KMeansModel (duck-typed on ``clusterCenters``/``transform``).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from .kmeans import DeterministicKMeans, fit_deterministic_kmeans
 
-    cand = (
-        candidates.select(
-            F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-        )
-        .withColumn("cn", _norm(F.col("cv")))
-        .withColumn("features", array_to_vector("cv"))
-    )
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     if model is None:
-        target = fit_sample_rows or 256 * n_centroids
-        n_cand = candidates.select(id_col).count()
-        fit_df = cand.select("features")
-        if n_cand > target:
-            # seeded Bernoulli sample → deterministic per corpus; 1.2×
-            # headroom keeps the expected sample above target
-            fit_df = fit_df.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
-        km = KMeans(k=n_centroids, seed=seed, maxIter=20)
-        model = km.fit(fit_df)
-    assigned = model.transform(cand).select(
-        "candidate_id", "cv", "cn", F.col("prediction").alias("cell")
-    )
+        model = fit_deterministic_kmeans(
+            candidates,
+            k=n_centroids,
+            n_iters=4,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=fit_sample_rows or 256 * n_centroids,
+            seed=seed,
+        )
+    if isinstance(model, DeterministicKMeans):
+        assigned = model.with_cell(cand, vec_col="cv").select(
+            "candidate_id", "cv", "cn", "cell"
+        )
+    else:  # legacy Spark ML KMeansModel (pre-r11 persisted quantizers)
+        from pyspark.ml.functions import array_to_vector
+
+        assigned = model.transform(
+            cand.withColumn("features", array_to_vector("cv"))
+        ).select("candidate_id", "cv", "cn", F.col("prediction").alias("cell"))
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     q = queries.select(
@@ -298,8 +308,12 @@ def ivf_topk(
 
 
 def save_ivf_quantizer(model, path: str) -> None:
-    """Persist the IVF coarse quantizer to ``path`` (Spark ML writer
-    format: centroid parquet + metadata JSON, session-independent).
+    """Persist the IVF coarse quantizer to ``path``.
+
+    A DeterministicKMeans saves as a kilobyte of JSON (k×dim grid
+    ints + the grid — byte-stable, diffable between index builds); a
+    legacy Spark ML KMeansModel falls back to the ML writer format
+    (centroid parquet + metadata directory).
 
     The production pattern for repeated ANN serving: the quantizer is
     an index-build artifact — fit once per (corpus snapshot, config)
@@ -307,17 +321,23 @@ def save_ivf_quantizer(model, path: str) -> None:
     loaded by every query session instead of refit (the in-process
     cache in ``plans/llm_queries.py`` dies with its SparkSession; this
     survives app restarts). Centroid assignment of the corpus can be
-    persisted too (it is just a column), leaving queries with only the
-    probe join."""
-    model.write().overwrite().save(path)
+    persisted too (it is just a column — see ``ivf_incremental``'s
+    index round-trip test), leaving queries with only the probe join."""
+    from .kmeans import DeterministicKMeans
+
+    if isinstance(model, DeterministicKMeans):
+        model.save(path)
+    else:
+        model.write().overwrite().save(path)
 
 
 def load_ivf_quantizer(path: str):
-    """Load a quantizer saved by :func:`save_ivf_quantizer`; pass it to
-    ``ivf_topk(model=...)`` to skip the fit."""
-    from pyspark.ml.clustering import KMeansModel
+    """Load a quantizer saved by :func:`save_ivf_quantizer` (JSON →
+    DeterministicKMeans; directory → legacy Spark ML KMeansModel);
+    pass it to ``ivf_topk(model=...)`` to skip the fit."""
+    from .kmeans import load_quantizer
 
-    return KMeansModel.load(path)
+    return load_quantizer(path)
 
 
 def banded_candidate_pairs(

@@ -705,7 +705,13 @@ def passage_dedup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail_len > 0, F.slice(F.col("t"), F.col("nf") * CHUNK + 1, tail_len)
     ).otherwise(F.array().cast("array<string>"))
     kept = F.concat(kept_full, tail)
-    return base.join(dropped, "doc_id", "left").select(
+    # Pin the broadcast: `dropped` is per-doc int arrays (bounded by the
+    # duplicated-passage count, orders of magnitude below the corpus) and
+    # MUST join broadcast-side so `base`'s token array `t` never crosses
+    # an Exchange. Without the pin a stats misestimate could silently
+    # regress to SortMergeJoin and shuffle the full corpus tokens
+    # (ADVICE r10). The plan guard asserts no Exchange carries `t#`.
+    return base.join(F.broadcast(dropped), "doc_id", "left").select(
         "doc_id",
         F.col("nf").cast("long").alias("n_chunks"),
         F.size(d).cast("long").alias("n_removed"),

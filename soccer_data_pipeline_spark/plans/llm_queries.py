@@ -1089,27 +1089,27 @@ GROUP BY query_id
 def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
-    # n_probe=12: per-query recall 0.8+ at sf0.001/0.01 and 1.0 at sf0.1
-    # (sf0.1 soak caught n_probe=10 dipping to 0.6 on one query; probing
-    # more cells is monotone, so 12 dominates 10 at every sf).
+    # n_probe=12: per-query recall 0.8+ at every sf (sf0.1 soak caught
+    # n_probe=10 dipping to 0.6 on one query; probing more cells is
+    # monotone, so 12 dominates 10 at every sf). r11 trainer swap
+    # re-measured: min-per-query 0.80/0.80/0.80, macro 0.94/0.96/0.98
+    # at sf0.001/0.01/0.1 — floor met with zero flake risk (the fit is
+    # a pure function of corpus+config; naive smallest-id seeding
+    # dipped to 0.6, which is why the operator seeds farthest-point).
     #
     # The coarse quantizer is an INDEX-BUILD artifact: fit once per
     # (corpus, config), reused across query calls — the FAISS contract,
     # and what the bench's repeat runs now measure (search cost, not
-    # refit cost). Keyed by app id too: a KMeansModel is a JVM object
-    # and dies with its session. Across sessions the production pattern
-    # is save_ivf_quantizer/load_ivf_quantizer (operators/similarity.py,
-    # Spark ML writer format) — persist next to the corpus build and
-    # load instead of refit; this in-process dict is only the
-    # within-session fast path.
-    app_id = spark.sparkContext.applicationId
-    # prune entries from stopped sessions: a KMeansModel is a handle into
-    # its session's JVM, so keys under a different applicationId are dead
-    # objects that would otherwise accumulate for the process lifetime
-    # (ADVICE r4)
-    for stale in [k for k in _IVF_QUANTIZERS if k[0] != app_id]:
-        del _IVF_QUANTIZERS[stale]
-    cache_key = (app_id, sf_dir, 16, 42)
+    # refit cost). r11: the trainer is the deterministic grid-exact
+    # Lloyd operator (operators/kmeans.py — the code path the
+    # kmeans_fixed_assign differential hash-checks), so the model is
+    # pure Python data (k×dim grid ints): session-INDEPENDENT — the
+    # r4-era per-app pruning died with the JVM-bound KMeansModel, and
+    # the cache key no longer needs the applicationId. Across processes
+    # the production pattern is save_ivf_quantizer/load_ivf_quantizer
+    # (JSON) — persist next to the corpus build and load instead of
+    # refit; this in-process dict is only the warm fast path.
+    cache_key = (sf_dir, 16, 42)
     prefit = _IVF_QUANTIZERS.get(cache_key)
 
     def _ivf(q, c):
@@ -1345,8 +1345,10 @@ def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-engine float discipline (same as tfidf): integer counts
 # everywhere, ln of exact ratios, expression trees parenthesized
 # IDENTICALLY in Spark and SQL, per-term scores rounded to 6 dp BEFORE
-# the per-doc sum — rounded scores carry ~20 mantissa bits, so the sum
-# of ≤|terms| of them is exact in either engine regardless of add order.
+# the per-doc sum — 6-dp decimals are not exactly binary-representable,
+# but order-dependent ulp drift across ≤|terms| adds stays ~1e-10 below
+# the final 6-dp rounding granularity, so both engines agree after the
+# last round (a flake would need a sum within ~1e-14 of a boundary).
 # k1=1.2, b=0.75 (the standard Okapi constants) folded to literals so
 # both engines see identical operands.
 # ---------------------------------------------------------------------------
@@ -5043,10 +5045,13 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (queries x 20) — bounded regardless of corpus size.
 #
 # Float discipline: per-token idf terms and per-pair cosines round to
-# 6 dp BEFORE ranking and summing (bm25_scores' exactness argument:
-# rounded terms carry ~20 mantissa bits, so their sums are exact in
-# any order); RRF contributions are 1.0/(60+rank) on exact integer
-# operands — two correctly-rounded IEEE terms added in a fixed order.
+# 6 dp BEFORE ranking and summing. Decimal 6-dp values are NOT exactly
+# representable in binary, so sums retain ulp-level order dependence —
+# but those order differences stay ~1e-10 below the final 6-dp rounding
+# granularity, far outside any realistic tie window (a flake needs a
+# quotient within ~1e-14 of a 5e-7 boundary). RRF contributions are
+# 1.0/(60+rank) on exact integer operands — two correctly-rounded IEEE
+# terms added in a fixed order.
 # ---------------------------------------------------------------------------
 
 _RRF_K = 60
@@ -5055,9 +5060,11 @@ _RRF_LEG_K = 20
 _RRF_OUT_K = 10
 
 
-@register(
-    "hybrid_retrieval_rrf",
-    oracle=f"""
+# Shared oracle CTE chain: exact dense leg + exact lexical leg + RRF
+# fusion. hybrid_retrieval_rrf selects the fused top-10 directly;
+# hybrid_retrieval_rrf_ann appends label-relevance NDCG CTEs on top of
+# the same exact ranking (its audit side) and asserts the ANN gates.
+_RRF_FUSED_CTE_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id < {_RRF_NQ}
@@ -5107,12 +5114,23 @@ fused AS (
          ROUND(COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0.0)
                + COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0), 6) AS rrf_score
   FROM dense_top d FULL OUTER JOIN lex_top l USING (query_id, candidate_id)
+),
+ftop AS (
+  SELECT query_id, candidate_id, dense_rank, lex_rank, rrf_score, rn AS fused_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, candidate_id) AS rn
+    FROM fused
+  ) WHERE rn <= {_RRF_OUT_K}
 )
-SELECT query_id, candidate_id, dense_rank, lex_rank, rrf_score, rn AS fused_rank
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, candidate_id) AS rn
-  FROM fused
-) WHERE rn <= {_RRF_OUT_K}
+"""
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=_RRF_FUSED_CTE_SQL
+    + """
+SELECT query_id, candidate_id, dense_rank, lex_rank, rrf_score, fused_rank
+FROM ftop
 """,
     doc=(
         "[beyond-ref] hybrid retrieval: dense-cosine + idf-weighted "
@@ -5122,41 +5140,128 @@ FROM (
     ),
 )
 def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _rrf_sides(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dense_top = _rrf_dense_exact(q, c)
+    lex_top = _rrf_lex_leg(docs, c, prefix=None)
+    return _rrf_fuse(dense_top, lex_top)
+
+
+def _rrf_wq(col):
+    """Per-query rank window — every leg and the fusion break ties by
+    candidate_id after a 6-dp round so ranks are cross-engine exact."""
+    return Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("candidate_id"))
+
+
+def _rrf_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _rrf_sides(spark, sf_dir):
+    """(queries, candidates) split of the embeddings corpus."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-    # --- dense leg: exact cosine, bounded query side broadcast ---
     q = emb.where(F.col("vec_id") < _RRF_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     c = emb.where(F.col("vec_id") >= _RRF_NQ).select(
         F.col("vec_id").alias("candidate_id"), F.col("v").alias("cv")
     )
+    return q, c
+
+
+def _rrf_dense_exact(q, c):
+    """Exact dense leg: brute-force cosine, bounded query side broadcast.
+    The AUDIT form — the production path is _rrf_dense_ann."""
     cosine = F.round(
-        dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+        _rrf_dot(F.col("qv"), F.col("cv"))
+        / (
+            F.sqrt(_rrf_dot(F.col("qv"), F.col("qv")))
+            * F.sqrt(_rrf_dot(F.col("cv"), F.col("cv")))
+        ),
         6,
     )
-    w_q = lambda col: Window.partitionBy("query_id").orderBy(  # noqa: E731
-        F.desc(col), F.asc("candidate_id")
-    )
-    dense_top = (
+    return (
         c.join(F.broadcast(q), how="cross")
         .select("query_id", "candidate_id", cosine.alias("cosine"))
-        .withColumn("dense_rank", F.row_number().over(w_q("cosine")).cast("long"))
+        .withColumn("dense_rank", F.row_number().over(_rrf_wq("cosine")).cast("long"))
         .where(F.col("dense_rank") <= _RRF_LEG_K)
         .select("query_id", "candidate_id", "dense_rank")
     )
 
-    # --- sparse leg: idf-weighted token overlap via postings join ---
+
+def _rrf_dense_ann(q, c, n_c=None):
+    """Production dense leg: sign-LSH multiprobe ANN (bucket-local
+    joins only — the corpus never meets the query set in a crossJoin).
+
+    Same (query_id, candidate_id, dense_rank) contract as the exact
+    leg. Config rides the measured bitext ladder (llm_queries.py
+    bitext_mining_ann provenance): (6,4) below 4096 candidates —
+    near-brute-force is simply correct at small corpora — and (10,4)
+    above, the sf1-measured sweet spot (recall 0.82 at 21.8× on the
+    10× rehearsal corpus). ``n_c`` parameterizes the ladder for
+    explain-only/plan-shape callers that must stay lazy; the counted
+    fallback is one narrow column-pruned scan.
+    """
+    from ..operators.similarity import ann_lsh_cosine
+
+    if n_c is None:
+        n_c = c.count()
+    n_planes, radius = (6, 4) if n_c < 4096 else (10, 4)
+    ann = ann_lsh_cosine(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        c.select(F.col("candidate_id").alias("vec_id"), F.col("cv").alias("v")),
+        k=_RRF_LEG_K,
+        n_planes=n_planes,
+        dim=64,
+        id_col="vec_id",
+        vec_col="v",
+        multiprobe=radius,
+    )
+    # re-rank on the 6-dp-rounded cosine (the exact leg's tie
+    # discipline) so rank boundaries can't flap on sub-6-dp noise
+    rounded = ann.select(
+        "query_id", "candidate_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+    return (
+        rounded.withColumn(
+            "dense_rank", F.row_number().over(_rrf_wq("cosine")).cast("long")
+        )
+        .where(F.col("dense_rank") <= _RRF_LEG_K)
+        .select("query_id", "candidate_id", "dense_rank")
+    )
+
+
+def _rrf_lex_leg(docs, c, prefix=None):
+    """Lexical leg: idf-weighted distinct-token overlap.
+
+    ``prefix=None`` is the exact form: the full postings join — every
+    shared token pairs a query with a candidate, so the join cost is
+    Σ_t df(t) over the QUERY vocabulary, dominated by stopword-sized
+    postings lists at scale.
+
+    ``prefix=p`` is the production form (PPJoin rarest-token prefix
+    filter, Bayardo WWW'07, adapted from jaccard_prefix_pairs):
+    candidates are GENERATED only through each query's p rarest tokens
+    (global df asc, token) — the postings lists actually walked are
+    the smallest ones by construction — then the generated pairs are
+    scored EXACTLY over their full shared-token sets. Generation cost
+    is Σ over p rarest query tokens of df(t); scoring cost is
+    Σ over generated pairs of |tokens(candidate)|, both corpus-scale
+    safe. Unlike jaccard_prefix_pairs' τ-derived prefix this filter is
+    approximate for top-k idf retrieval (a candidate sharing only
+    common tokens is missed), which is why the registered ANN form
+    gates overlap against the exact leg instead of claiming
+    completeness.
+    """
     tok = lambda df, idc: (  # noqa: E731
-        df.select(F.col("doc_id").alias(idc), F.explode(F.split("text", " ")).alias("tok"))
+        df.select(
+            F.col("doc_id").alias(idc), F.explode(F.split("text", " ")).alias("tok")
+        )
         .where(F.col("tok") != "")
         .distinct()
     )
@@ -5168,18 +5273,43 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = ctok.groupBy("tok").agg(F.count_distinct("candidate_id").alias("df"))
     nc = c.agg(F.count("*").cast("double").alias("n_c"))
     term = F.round(F.log(F.col("n_c") / F.col("df")), 6)
-    lex_top = (
-        ctok.join(F.broadcast(qtok), "tok")
-        .join(F.broadcast(dfc), "tok")
-        .crossJoin(F.broadcast(nc))
+    if prefix is None:
+        shared = ctok.join(F.broadcast(qtok), "tok").join(F.broadcast(dfc), "tok")
+    else:
+        # rarest-p prefix per query (df asc, tok — the jaccard_prefix
+        # canonical order), then exact idf scoring of generated pairs
+        # over their full shared-token sets
+        w_pref = Window.partitionBy("query_id").orderBy("df", "tok")
+        pref = (
+            qtok.join(dfc, "tok")
+            .withColumn("rnk", F.row_number().over(w_pref))
+            .where(F.col("rnk") <= prefix)
+            .select("query_id", "tok")
+        )
+        pairs = (
+            ctok.join(F.broadcast(pref), "tok")
+            .select("query_id", "candidate_id")
+            .distinct()
+        )
+        shared = (
+            ctok.join(pairs, "candidate_id")
+            .join(F.broadcast(qtok), ["query_id", "tok"])
+            .join(dfc, "tok")
+        )
+    lex = (
+        shared.crossJoin(F.broadcast(nc))
         .groupBy("query_id", "candidate_id")
         .agg(F.round(F.sum(term), 6).alias("lex_score"))
-        .withColumn("lex_rank", F.row_number().over(w_q("lex_score")).cast("long"))
+    )
+    return (
+        lex.withColumn("lex_rank", F.row_number().over(_rrf_wq("lex_score")).cast("long"))
         .where(F.col("lex_rank") <= _RRF_LEG_K)
         .select("query_id", "candidate_id", "lex_rank")
     )
 
-    # --- fusion: bounded (queries x 20) full-outer join ---
+
+def _rrf_fuse(dense_top, lex_top):
+    """RRF fusion: bounded (queries × 20) full-outer join → fused top-10."""
     contrib = lambda col: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(_RRF_K) + F.col(col)), F.lit(0.0)
     )
@@ -5190,13 +5320,208 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn(
-            "fused_rank", F.row_number().over(w_q("rrf_score")).cast("long")
+            "fused_rank", F.row_number().over(_rrf_wq("rrf_score")).cast("long")
         )
         .where(F.col("fused_rank") <= _RRF_OUT_K)
         .select(
             "query_id", "candidate_id", "dense_rank", "lex_rank", "rrf_score", "fused_rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF, PRODUCTION legs [beyond-ref] — the scale path promised by
+# the comment above, now a registered query (VERDICT r10 #1, the
+# bitext_mining_ann precedent: the ANN-legged form is the production
+# path, the exact form the audit):
+#
+# - dense leg → sign-LSH multiprobe ANN (ann_lsh_cosine): bucket-local
+#   joins, config on the measured bitext ladder ((6,4) < 4096
+#   candidates, (10,4) above);
+# - lexical leg → PPJoin rarest-token prefix filter: candidates are
+#   generated only through each query's 8 rarest tokens (smallest
+#   postings lists by construction), then scored exactly over their
+#   full shared-token sets — the stopword-sized postings lists are
+#   never walked.
+#
+# Two in-plan gates ride the output (asserted literally TRUE by the
+# oracle, so a degraded ANN config FAILS the driver hash instead of
+# silently degrading fusion quality — VERDICT r10 #5):
+# - ann_overlap_ok: |ANN-fused@10 ∩ exact-fused@10| / |exact| >= 0.85
+#   macro over queries. Measured (prefix=8, ladder config): 0.963 /
+#   1.0 / 0.95 / 1.0 at sf0.001/0.01/0.1/sf1 — margins >= +0.10.
+# - ann_ndcg_ok: macro label-relevance NDCG@10 of the ANN fused
+#   ranking >= the exact ranking's macro NDCG − 0.05. RELATIVE floor:
+#   absolute NDCG varies 15× across corpora (0.030/0.122/0.112
+#   measured), but the production ranking must track its own audit.
+#   Measured deltas: 0.0 / 0.0 / +0.001 / 0.0.
+#
+# The checked rows are the AUDIT side: per-query exact-fused NDCG@10
+# (SQL-expressible, hash-compared), so the NDCG computation itself has
+# a differential, not just the gate.
+# ---------------------------------------------------------------------------
+
+_RRF_PREFIX = 8
+_RRF_ANN_OVERLAP_FLOOR = 0.85
+_RRF_ANN_NDCG_MARGIN = 0.05
+
+
+def _rrf_labels(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = emb.where(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    cl = emb.where(F.col("vec_id") >= _RRF_NQ).select(
+        F.col("vec_id").alias("candidate_id"), F.col("label").alias("clabel")
+    )
+    return ql, cl
+
+
+def _rrf_ndcg(fused, ql, cl):
+    """Per-query (query_id, n_exact, n_relevant, ndcg) of a fused
+    top-10 against label-match relevance — retrieval_eval_ndcg's gain
+    discipline (6-dp-rounded 1/log2(1+rank) terms, k-bounded in-row
+    IDCG fold)."""
+    nrel = (
+        ql.join(cl, F.col("clabel") == F.col("qlabel"), "left")
+        .groupBy("query_id")
+        .agg(F.count("candidate_id").cast("long").alias("n_relevant"))
+    )
+    gain = F.round(
+        F.lit(1.0) / F.log2(F.lit(1.0) + F.col("fused_rank").cast("double")), 6
+    )
+    hits = (
+        fused.join(cl, "candidate_id")
+        .join(F.broadcast(ql), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("clabel") == F.col("qlabel"), gain)), F.lit(0.0)
+            ).alias("dcg"),
+        )
+    )
+    ideal_n = F.least(F.col("n_relevant"), F.lit(_RRF_OUT_K)).cast("int")
+    idcg = F.when(
+        ideal_n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), ideal_n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.round(F.lit(1.0) / F.log2(F.lit(1.0) + i.cast("double")), 6),
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        nrel.withColumn("idcg", idcg)
+        .join(hits, "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_relevant",
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+@register(
+    "hybrid_retrieval_rrf_ann",
+    oracle=_RRF_FUSED_CTE_SQL
+    + f"""
+, ql AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < {_RRF_NQ})
+, cl AS (SELECT vec_id AS candidate_id, label AS clabel FROM embeddings WHERE vec_id >= {_RRF_NQ})
+, nrel AS (
+  SELECT ql.query_id, CAST(COUNT(cl.candidate_id) AS BIGINT) AS n_relevant
+  FROM ql LEFT JOIN cl ON cl.clabel = ql.qlabel GROUP BY ql.query_id
+)
+, hits AS (
+  SELECT f.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         COALESCE(SUM(ROUND(1.0 / LOG2(1.0 + CAST(f.fused_rank AS DOUBLE)), 6))
+                  FILTER (cl.clabel = ql.qlabel), 0.0) AS dcg
+  FROM ftop f JOIN cl USING (candidate_id) JOIN ql USING (query_id)
+  GROUP BY f.query_id
+)
+, idcg AS (
+  SELECT n.query_id,
+         COALESCE(SUM(ROUND(1.0 / LOG2(1.0 + CAST(t.i AS DOUBLE)), 6)), 0.0) AS idcg
+  FROM nrel n
+  LEFT JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_RRF_OUT_K})) AS i) t
+    ON t.i <= LEAST(n.n_relevant, {_RRF_OUT_K})
+  GROUP BY n.query_id
+)
+SELECT n.query_id, h.n_exact, n.n_relevant,
+       ROUND(CASE WHEN i.idcg > 0 THEN h.dcg / i.idcg ELSE 0.0 END, 6) AS exact_ndcg,
+       TRUE AS ann_overlap_ok, TRUE AS ann_ndcg_ok
+FROM nrel n JOIN hits h USING (query_id) JOIN idcg i ON i.query_id = n.query_id
+""",
+    doc=(
+        "[beyond-ref] hybrid RRF production path: sign-LSH ANN dense "
+        "leg + PPJoin prefix-filtered lexical leg, gated in-plan on "
+        "fused-top-10 overlap >= 0.85 and NDCG@10 within 0.05 of the "
+        "exact-legged audit (SURVEY §2.10 similarity tier)"
+    ),
+)
+def hybrid_retrieval_rrf_ann(
+    spark: SparkSession, sf_dir: str, n_c: int | None = None
+) -> DataFrame:
+    """Production hybrid retrieval (ANN legs) + exact audit + gates.
+
+    Scale shape: the ANN dense leg is bucket-local (never query ×
+    corpus); the prefix-filtered lexical leg walks only the 8 rarest
+    postings lists per query and scores only generated pairs. The
+    exact legs run as the AUDIT over the bounded query set (the same
+    role as bitext_mining_ann's strided exact margin pass; at real
+    scale the query set — not the corpus — is the bounded side). All
+    gate aggregates fold over ≤ queries × 10 rows.
+
+    ``n_c`` parameterizes the ANN ladder for explain-only callers that
+    must stay lazy (bitext's ADVICE-r9 contract); the registered 2-arg
+    form uses the counted fallback.
+    """
+    q, c = _rrf_sides(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ql, cl = _rrf_labels(spark, sf_dir)
+
+    exact = _rrf_fuse(_rrf_dense_exact(q, c), _rrf_lex_leg(docs, c, prefix=None))
+    ann = _rrf_fuse(
+        _rrf_dense_ann(q, c, n_c=n_c), _rrf_lex_leg(docs, c, prefix=_RRF_PREFIX)
+    )
+
+    overlap = (
+        exact.join(
+            ann.select("query_id", "candidate_id", F.lit(1).alias("hit")),
+            ["query_id", "candidate_id"],
+            "left",
+        )
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                >= F.lit(_RRF_ANN_OVERLAP_FLOOR) * F.count("*")
+            ).alias("ann_overlap_ok")
+        )
+    )
+    ex_ndcg = _rrf_ndcg(exact, ql, cl)
+    ann_ndcg = _rrf_ndcg(ann, ql, cl)
+    ndcg_gate = (
+        ex_ndcg.select(F.col("ndcg").alias("e"))
+        .agg(F.avg("e").alias("ex_macro"))
+        .crossJoin(ann_ndcg.select(F.col("ndcg").alias("a")).agg(F.avg("a").alias("ann_macro")))
+        .select(
+            (
+                F.col("ann_macro") >= F.col("ex_macro") - F.lit(_RRF_ANN_NDCG_MARGIN)
+            ).alias("ann_ndcg_ok")
+        )
+    )
+    gates = overlap.crossJoin(ndcg_gate)
+    return ex_ndcg.select(
+        "query_id",
+        "n_exact",
+        "n_relevant",
+        F.col("ndcg").alias("exact_ndcg"),
+    ).crossJoin(F.broadcast(gates))
 
 
 # ---------------------------------------------------------------------------
@@ -5703,60 +6028,25 @@ FROM a1 JOIN a2 USING (vec_id)
     ),
 )
 def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: the Lloyd steps are the shared operators/kmeans.py helpers —
+    # the SAME code path fit_deterministic_kmeans runs under the IVF
+    # coarse quantizer (ivf_topk), so this hash-checked differential is
+    # the production trainer's correctness proof, not a parallel demo
+    # (VERDICT r10 #3). Identical algebra to the r10b inline form:
+    # broadcast k-row centers, exact-int64 (dist, cid) struct-min,
+    # (cluster, dim) exact-long-sum recompute, grid-rounded means.
+    from ..operators.kmeans import assign_cells, lloyd_recompute, quantize_vec
+
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * _KM_Q).cast("long"),
-        ).alias("xq"),
+        "vec_id", quantize_vec(F.col("embedding"), _KM_Q).alias("xq")
     )
-    sqdist = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-
-    def assign(frame, cents, cent_col, out_c, keep_dist=False):
-        d = frame.join(
-            F.broadcast(cents), how="cross"
-        ).select(
-            "vec_id",
-            "cid",
-            sqdist(F.col("xq"), F.col(cent_col)).alias("dist"),
-        )
-        best = d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid")).alias("b")
-        )
-        cols = ["vec_id", F.col("b.cid").alias(out_c)]
-        if keep_dist:
-            cols.append(F.col("b.dist").alias("dist_q2"))
-        return best.select(*cols)
-
     seeds = e.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("sq")
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
     )
-    a1 = assign(e, seeds, "sq", "c1")
+    a1 = assign_cells(e, seeds, out_col="c1")
     # canonical k-means recompute shuffle: (cluster, dim) exact-long sums
-    member_dims = (
-        a1.join(e, "vec_id")
-        .select("c1", F.posexplode("xq").alias("i", "x"))
-        .groupBy("c1", "i")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-    )
-    cent = (
-        member_dims.select(
-            F.col("c1").alias("cid"),
-            "i",
-            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
-        )
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda p: p["c"]
-            ).alias("cq")
-        )
-    )
-    a2 = assign(e, cent, "cq", "c2", keep_dist=True)
+    cent = lloyd_recompute(a1, e, cell_col="c1")
+    a2 = assign_cells(e, cent, out_col="c2", keep_dist=True)
     return (
         a1.join(a2, "vec_id")
         .select(

@@ -105,21 +105,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tfidf_tokens",
     "char_entropy_quality",
     # dedup tiers (exact, MinHash+LSH, clusters, guaranteed-recall
-    # prefix-filter join, character edit-distance)
+    # prefix-filter join; edit-distance ceded in r11 — see ledger)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_clusters",
     "jaccard_prefix_join",
-    "fuzzy_levenshtein_pairs",
     # rank statistics / experimentation (r8: spearman carries the
     # family's hard rows AND the value_bucketed_prefix_sum midrank path)
     "spearman_spend_balance",
     # similarity search (LSH-blocked near-dup, ANN recall gate) and
     # retrieval fusion (r10b: RRF carries the postings-join lexical leg
-    # plus the dense leg in one hard-signal query)
+    # plus the dense leg in one hard-signal query; r11: MMR gives the
+    # diversification/eval family its first hard rows)
     "embedding_near_dup_banded",
     "similarity_ann_recall",
     "hybrid_retrieval_rrf",
+    "mmr_diverse_rerank",
     # multimodal
     "multimodal_binary_stats",
     # training-data tier (r10: + the leakage audit and the budgeted
@@ -244,6 +245,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # retrieval_eval_ndcg, and passage_dedup_repair sit local-oracle +
 # benched next to their in-window relatives (the ANN/near-dup tier and
 # the passage-dedup stats family).
+# Round 11: one swap (VERDICT r10 #4 — the r10b retrieval additions
+# had no driver hard signal; the window carried six dedup tiers):
+# fuzzy_levenshtein_pairs ceded (the weakest dedup singleton by the
+# established criteria — character edit-distance blocking is the same
+# length-bucket equi-join mechanics the in-window MinHash/prefix tiers
+# exercise, and its theta-join guard stays enforced by
+# test_fuzzy_levenshtein_equi_join; stays local-oracle + benched) for
+# mmr_diverse_rerank (diversified re-rank — the retrieval-eval family's
+# first hard rows, whose exact micro-unit-long greedy fold also
+# hash-checks the single-shuffle in-row scoring path).
+# hybrid_retrieval_rrf_ann (new in r11, the production-legged RRF with
+# in-plan overlap/NDCG gates) sits local-oracle + benched next to its
+# in-window exact twin; its gates assert in-row at every sf, so the
+# local differential still hard-fails on ANN degradation.
 
 
 def _ordered_names() -> list[str]:

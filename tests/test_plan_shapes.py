@@ -82,6 +82,30 @@ def test_passage_dedup_shuffles_hashes_not_text(spark):
             assert "text#" not in spec, (
                 f"{name}: document text crosses a shuffle: {spec}"
             )
+    # r11 (ADVICE r10): the repair's rebuild column is the token array
+    # `t`, not raw `text`, so the spec grep above can't see a regression
+    # to SortMergeJoin on the final doc_id join. Assert the stronger
+    # contract directly: the per-doc drop-list join is a pinned
+    # BroadcastHashJoin (no SortMergeJoin anywhere in the repair plan —
+    # its only other join, occ×per_hash on `h`, rides the same groupBy
+    # partitioning) and no Exchange *subtree* materializes the token
+    # array. Subtree check: an Exchange whose input schema carries an
+    # array<string> column would print `t#N` in its output list; grep
+    # the full text between each Exchange and the next operator header.
+    plan = _plan(spark, "passage_dedup_repair")
+    assert "BroadcastHashJoin" in plan, (
+        "passage_dedup_repair: drop-list join must broadcast"
+    )
+    left, _, right = plan.partition("BroadcastHashJoin")
+    # Everything ABOVE the broadcast join (the final select) may touch
+    # `t`; everything reachable from an Exchange must not. Exchanges all
+    # live below joins in this plan, so check each Exchange's own
+    # operator line plus its immediate input columns.
+    for part in plan.split("Exchange")[1:]:
+        header = part.split("+-", 1)[0]
+        assert " t#" not in header and "[t#" not in header, (
+            f"passage_dedup_repair: token array in Exchange spec: {header}"
+        )
 
 
 def test_fuzzy_levenshtein_equi_join(spark):
@@ -324,6 +348,10 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "hybrid_retrieval_rrf",
         "mmr_diverse_rerank",
         "retrieval_eval_ndcg",
+        # r11: the production-legged RRF — ANN buckets and the prefix
+        # filter rank inside partitionBy(query_id)/(vec) windows only;
+        # the gate aggregates fold over <= queries x 10 rows
+        "hybrid_retrieval_rrf_ann",
         # r10b: argmin is a groupBy min(struct) — zero Window nodes
         "kmeans_fixed_assign",
     ):

@@ -50,7 +50,14 @@ FAMILY_REPRESENTATIVES = {
     # are superset-exercised by the minhash tier (same shingles, same
     # Jaccard, approximated); exact-Jaccard stays local-oracle + benched
     "dedup_ngram": "dedup_minhash_lsh_pairs",
-    "dedup_editdist": "fuzzy_levenshtein_pairs",
+    # r11: fuzzy_levenshtein_pairs ceded its slot (registry.py ledger —
+    # character edit-distance blocking is the same length-bucket
+    # equi-join mechanics the in-window MinHash/prefix tiers exercise;
+    # the theta-join guard stays enforced by
+    # test_fuzzy_levenshtein_equi_join) for mmr_diverse_rerank — the
+    # diversification/eval family's first hard rows
+    "dedup_editdist": "dedup_minhash_lsh_pairs",
+    "retrieval_diversification": "mmr_diverse_rerank",
     # r8: rank statistics / experimentation family (VERDICT r7 #6)
     "rank_statistics": "spearman_spend_balance",
     # r5: window form is the banded production path with a sampled

@@ -9,6 +9,27 @@ a query is flagged only if its ratio exceeds RATIO_FLAG and a fresh
 confirm rerun at sf1 reproduces it (same discipline as bench.py's
 regression gate: a one-off GC/session burst must not record a finding).
 
+r11 (VERDICT r10 #2): the cross-round vs_prev gate is now
+probe-normalized, mirroring bench.py's machinery, because the r10
+rehearsal crossed a machine reboot and recorded three ~1.7x phantom
+regressions traced to boot-level shuffle-I/O throughput (BENCH_NOTES
+mechanism section), not code:
+
+- interleaved CANARY probes: every PROBE_EVERY queries (plus pre/post)
+  a canary from the HEAVY tier reruns cold at sf1 and its min-of-2
+  sample is ratioed against the PREVIOUS round's committed sf1 time —
+  a point estimate of combined session-load + boot-I/O drift at that
+  moment. Canaries span the two cost modes (shuffle-write-heavy and
+  CPU+iteration-heavy) so an I/O-only drift is still seen.
+- a buffered-write I/O probe (min-of-3 over 256 MiB to the shuffle
+  filesystem) is RECORDED in the artifact (io_probe_mbps) so the next
+  round can attribute a vs_prev swing to disk throughput from the two
+  artifacts alone — the r10 diagnosis, made reproducible.
+- per-query waiver factor = max(1.0, min(nearest probe before, nearest
+  probe after)) — bench.py's conservative estimator: probes only ever
+  WAIVE a regression flag (never amplify one), and only when both
+  enclosing probes agree the machine was slow.
+
 Usage: python3 tools/bench_sf1.py <round> [sf1_dir] [sf01_dir]
   e.g.: python3 tools/bench_sf1.py 9 testdata_sf1
 The sf0.1 baseline dir defaults to $SPARK_GRAFT_SF_DIR or
@@ -64,6 +85,9 @@ HEAVY = [
     "passage_dedup_repair",
     "hybrid_retrieval_rrf",
     "mmr_diverse_rerank",
+    # r11: the production-legged RRF (ANN dense leg + prefix-filtered
+    # lexical leg + the exact audit it gates against)
+    "hybrid_retrieval_rrf_ann",
     # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
     "kmeans_fixed_assign",
 ]
@@ -72,6 +96,39 @@ HEAVY = [
 # banded / capped designs are expected sub-linear. Flag only clearly
 # superlinear growth (the r8 findings were 24x and 37x).
 RATIO_FLAG = 12.0
+
+# vs_prev canaries: both in HEAVY (so prev artifacts carry their sf1
+# times) and spanning the two cost modes the r10 phantom showed are
+# normalized differently — dedup_exact is dominated by the corpus-hash
+# shuffle write (the I/O mode that drifted 1.7x across the reboot),
+# pagerank by iterated join/agg CPU.
+CANARIES = ["dedup_exact_documents", "pagerank_suppliers"]
+PROBE_EVERY = 8
+
+# buffered-write I/O probe size; large enough to stream past the page
+# cache's burst absorption on this box, small enough to stay sub-second
+IO_PROBE_BYTES = 256 * 1024 * 1024
+
+
+def io_probe_mbps(runs: int = 3) -> float:
+    """min-of-N buffered sequential-write throughput (MB/s) on the
+    shuffle filesystem — the boot-level variable the r10 phantom rode.
+    Min, not median: a slow sample under transient contention must not
+    report a slow DISK; sustained slowness lowers every sample."""
+    import tempfile
+
+    best = 0.0
+    buf = b"\0" * (8 * 1024 * 1024)
+    for _ in range(runs):
+        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".ioprobe") as fh:
+            t0 = time.perf_counter()
+            for _ in range(IO_PROBE_BYTES // len(buf)):
+                fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+            dt = time.perf_counter() - t0
+        best = max(best, IO_PROBE_BYTES / dt / 1e6)
+    return best
 
 
 def _exec_full(df):
@@ -115,12 +172,60 @@ def main() -> None:
         release_session_blocks(spark, gc=True)
         return dt
 
+    # vs the previous round's committed artifact (same eval mode only),
+    # loaded UP FRONT so the interleaved probes can ratio against it
+    prev = None
+    for r in range(rnd - 1, 0, -1):
+        p = os.path.join(root, f"BENCH_SF1_r{r:02d}.json")
+        if os.path.exists(p):
+            try:
+                doc = json.load(open(p))
+                if doc.get("eval") == "noop":
+                    prev = (f"BENCH_SF1_r{r:02d}", doc.get("queries", {}))
+            except Exception:
+                pass
+            break
+
+    io_mbps = io_probe_mbps()
+    print(f"# io probe: {io_mbps:.0f} MB/s buffered write", file=sys.stderr)
+
+    def probe(tag: str, idx: int) -> float | None:
+        """One interleaved vs_prev load/I-O probe at position ``idx``:
+        min-of-2 cold sf1 rerun of a canary vs its committed prev-round
+        sf1 time. Only meaningful when a prev artifact exists."""
+        if not prev:
+            return None
+        cname = CANARIES[idx % len(CANARIES)]
+        p1 = prev[1].get(cname, {}).get("sf1", 0)
+        if not p1 or p1 <= 0 or cname not in QUERIES:
+            return None
+        try:
+            s = min(one_cold(cname, sf1_dir) for _ in range(2))
+        except Exception:
+            return None
+        r = s / p1
+        print(f"# probe[{tag}] {cname}: {r:.2f}x vs {prev[0]}", file=sys.stderr)
+        return r
+
     rows = {}
     flagged = {}
-    for name in HEAVY:
+    probes: list[tuple[int, float]] = []
+    pre = probe("pre", 0)
+    if pre is not None:
+        probes.append((-1, pre))
+    positions: dict[str, int] = {}
+    since_probe = 0
+    for pos, name in enumerate(HEAVY):
         if name not in QUERIES:
             print(f"# {name}: not registered, skipped", file=sys.stderr)
             continue
+        if since_probe >= PROBE_EVERY:
+            pr = probe(f"q{pos}", len(probes))
+            if pr is not None:
+                probes.append((pos - 1, pr))
+            since_probe = 0
+        since_probe += 1
+        positions[name] = pos
         try:
             t01 = one_cold(name, sf01_dir)
             t1 = one_cold(name, sf1_dir)
@@ -157,37 +262,70 @@ def main() -> None:
             f"# {name}: sf0.1 {t01:.2f}s, sf1 {t1:.2f}s ({ratio:.1f}x)",
             file=sys.stderr,
         )
+    post = probe("post", len(probes))
+    if post is not None:
+        probes.append((len(HEAVY), post))
 
-    # vs the previous round's committed artifact (same eval mode only)
-    prev = None
-    for r in range(rnd - 1, 0, -1):
-        p = os.path.join(root, f"BENCH_SF1_r{r:02d}.json")
-        if os.path.exists(p):
-            try:
-                doc = json.load(open(p))
-                if doc.get("eval") == "noop":
-                    prev = (f"BENCH_SF1_r{r:02d}", doc.get("queries", {}))
-            except Exception:
-                pass
-            break
+    def q_factor(pos: int) -> float:
+        """Waiver factor for a query at HEAVY position ``pos``: the MIN
+        of the nearest probe before and after, floored at 1.0 — probes
+        only ever WAIVE a vs_prev flag, and only when both enclosing
+        probes agree the machine was slow (bench.py's estimator)."""
+        before = [r for p, r in probes if p < pos]
+        after = [r for p, r in probes if p >= pos]
+        if not before or not after:
+            return 1.0
+        return max(1.0, min(before[-1], after[0]))
+
+    load_factor = 1.0
+    if probes:
+        vals = sorted(r for _, r in probes)
+        load_factor = max(1.0, vals[len(vals) // 2])
+
     regr = {}
+    waived = {}
     if prev:
         for q, cur in rows.items():
             pq = prev[1].get(q, {})
             p1 = pq.get("sf1", -1)
             if p1 and p1 > 0 and cur["sf1"] > 0 and cur["sf1"] / p1 > 1.5:
+                # confirm rerun + a FRESH probe pair around it, so the
+                # waiver reflects the machine state at confirm time
+                cpr = probe(f"confirm:{q}", len(probes))
                 t1c = one_cold(q, sf1_dir)
-                if t1c / p1 > 1.5:
-                    regr[q] = round(t1c / p1, 2)
+                f = q_factor(positions.get(q, 0))
+                if cpr is not None:
+                    f = max(1.0, min(f, cpr) if f > 1.0 else cpr)
+                norm = (t1c / p1) / f
+                if norm > 1.5:
+                    regr[q] = round(norm, 2)
+                elif t1c / p1 > 1.5:
+                    waived[q] = {
+                        "raw": round(t1c / p1, 2),
+                        "factor": round(f, 2),
+                        "norm": round(norm, 2),
+                    }
+                    print(
+                        f"# vs_prev waived {q}: {t1c / p1:.2f}x raw under "
+                        f"probe factor {f:.2f} -> {norm:.2f}x normalized",
+                        file=sys.stderr,
+                    )
 
     doc = {
         "metric": "sf1_heavy_tier",
         "round": rnd,
         "eval": "noop",
         "ratio_flag": RATIO_FLAG,
+        "io_probe_mbps": round(io_mbps, 1),
         "queries": rows,
         "superlinear": flagged,
-        "vs_prev": {"ref": prev[0] if prev else None, "regr": regr},
+        "probes": [[p, round(r, 3)] for p, r in probes],
+        "load_factor": round(load_factor, 3),
+        "vs_prev": {
+            "ref": prev[0] if prev else None,
+            "regr": regr,
+            "waived": waived,
+        },
         "sf1_rows": {"lineitem": 6000000, "documents": 50000, "embeddings": 20000},
     }
     out = os.path.join(root, f"BENCH_SF1_r{rnd:02d}.json")
