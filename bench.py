@@ -214,6 +214,7 @@ HEADLINE = [
     "kmeans_fixed_assign",
     # round-11 additions
     "hybrid_retrieval_rrf_ann",
+    "similarity_ivf_incremental",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with
@@ -435,6 +436,34 @@ def _time_query(spark, spec, sf_dir, release_session_blocks, n_runs):
     return samples, n
 
 
+def _boot_stamp() -> dict:
+    """Machine-state stamp for cross-boot attribution (VERDICT r10 #6):
+    the kernel boot id plus a min-of-3 buffered-write I/O probe
+    (256 MiB to the shuffle filesystem — the boot-level variable the
+    r10 sf1 phantom regressions rode). Recorded in BENCH_DETAIL and in
+    the anchor comparison, so a vs_anchor swing across a mid-round
+    machine restart is attributable from the artifacts alone."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot_id = fh.read().strip()
+    except OSError:
+        boot_id = None
+    import tempfile
+
+    size = 256 * 1024 * 1024
+    buf = b"\0" * (8 * 1024 * 1024)
+    best = 0.0
+    for _ in range(3):
+        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".ioprobe") as fh:
+            t0 = time.perf_counter()
+            for _ in range(size // len(buf)):
+                fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+            best = max(best, size / (time.perf_counter() - t0) / 1e6)
+    return {"boot_id": boot_id, "io_probe_mbps": round(best, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -455,6 +484,12 @@ def main() -> None:
     assert not overlap, f"queries both benched and excluded: {overlap}"
     assert not stale, f"EXCLUDED entries not in the registry: {stale}"
     assert not unknown, f"HEADLINE entries not in the registry: {unknown}"
+
+    boot = _boot_stamp()
+    print(
+        f"# boot {boot['boot_id']}, io probe {boot['io_probe_mbps']} MB/s",
+        file=sys.stderr,
+    )
 
     # The sf* tables are single ~MB-scale parquet files; the cluster
     # default 128m split puts a whole table in one task. Small splits
@@ -818,6 +853,14 @@ def main() -> None:
             a_cur = sum(timings[q] for q in aq if timings.get(q, -1) > 0 and aq[q] > 0)
             a_prev = sum(aq[q] for q in aq if timings.get(q, -1) > 0 and aq[q] > 0)
             if a_prev > 0:
+                # boot/I-O attribution (VERDICT r10 #6): carry both
+                # sides' boot stamps so a cross-boot vs_anchor swing
+                # (r10's 0.895-vs-1.022) is explainable from the
+                # artifact alone. io_ratio > 1 = this boot's disk is
+                # faster than the anchor's; None = legacy pre-stamp
+                # anchor (boot conditions unrecorded).
+                a_boot = anchor.get("boot") or {}
+                a_io = a_boot.get("io_probe_mbps")
                 vs_anchor = {
                     "ref": str(anchor.get("pinned", "BENCH_ANCHOR")),
                     "shared_ratio": round(a_cur / a_prev, 3),
@@ -828,6 +871,14 @@ def main() -> None:
                     ),
                     "n_shared": sum(
                         1 for q in aq if timings.get(q, -1) > 0 and aq[q] > 0
+                    ),
+                    "same_boot": (
+                        boot["boot_id"] == a_boot.get("boot_id")
+                        if boot.get("boot_id") and a_boot.get("boot_id")
+                        else None
+                    ),
+                    "io_ratio": (
+                        round(boot["io_probe_mbps"] / a_io, 3) if a_io else None
                     ),
                 }
     except FileNotFoundError:
@@ -850,6 +901,7 @@ def main() -> None:
         "failed": failed,
         "vs_prev": {**vs_prev, "fixed": fixed},
         "vs_anchor": vs_anchor,
+        "boot": boot,
         "loadavg": (
             {
                 "mean": round(sum(loads) / len(loads), 2),

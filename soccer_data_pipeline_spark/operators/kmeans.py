@@ -21,8 +21,12 @@ Why a bespoke trainer instead of Spark ML's KMeans:
 - **Scale shape is identical.** Assignment is a broadcast of the
   k-row centroid frame against the corpus (narrow, one pass);
   recomputation is the canonical (cluster, dim) exact-long-sum
-  shuffle — never a corpus collect. The driver only ever holds k×dim
-  longs (the centers), same as ``model.clusterCenters()`` did.
+  shuffle — never a corpus collect. The driver holds k×dim longs
+  (the centers), same as ``model.clusterCenters()`` did — plus, in
+  the bounded-sample index-build case only, the training sample
+  itself (:func:`_fit_local`, bit-equal to the distributed loop by
+  test, collected because ~40 sequential micro-stages on a 4096-row
+  sample is pure scheduler overhead).
 - **Centers round BACK to the grid** after each mean, so the next
   iteration's distances stay exact int64 regardless of cluster size
   (true rational centers would need 128-bit cross-multiplies to
@@ -46,8 +50,10 @@ GRID_Q = 10000
 
 
 def quantize_vec(col, q: int = GRID_Q):
-    """array<double> → array<long> on the 1/q grid (round-half-even is
-    fine: both engines see the same doubles, so the same rounding)."""
+    """array<double> → array<long> on the 1/q grid. Spark's F.round is
+    HALF_UP on the double's exact value; the DuckDB oracle applies its
+    ROUND to the same doubles and the kmeans_fixed_assign differential
+    hash-checks that the engines agree on this data."""
     return F.transform(col, lambda x: F.round(x.cast("double") * q).cast("long"))
 
 
@@ -198,6 +204,60 @@ class DeterministicKMeans:
         return cls(doc["centers_q"], q=doc["q"])
 
 
+def _round_half_up(x: float) -> int:
+    """Exact replica of Spark's ``F.round(double)`` (BigDecimal
+    HALF_UP: halves away from zero) for the |x| ≤ 1e4 grid range —
+    the one step of local Lloyd that is not integer arithmetic."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
+def _fit_local(ids_xq, k: int, n_iters: int, init: str, q: int) -> DeterministicKMeans:
+    """Driver-local Lloyd over an already-quantized, BOUNDED training
+    sample (≤ local_cap rows — a few MB of int64).
+
+    Produces bit-identical centers to the distributed loop: the
+    vectors were quantized Spark-side (same HALF_UP rounding), all
+    distances and sums are exact int64, argmin/argmax tie-breaks
+    replicate the (dist, cid) struct-min / smallest-id rules (rows
+    sorted by id; numpy argmin/argmax take the FIRST extremum), and
+    the center mean replays Spark's double division + HALF_UP round
+    (``test_kmeans_operator`` asserts local ≡ distributed). Exists
+    because the distributed loop costs (k-1) seeding + 2·n_iters jobs
+    — ~40 sequential stages that are pure scheduling overhead on a
+    4096-row sample (the PQ path fits m=16 codebooks: ~600 jobs,
+    minutes of wall for milliseconds of arithmetic)."""
+    import numpy as np
+
+    ids_xq.sort(key=lambda r: r[0])
+    X = np.array([r[1] for r in ids_xq], dtype=np.int64)
+    n = X.shape[0]
+    if init == "first_k":
+        if n < k:
+            raise ValueError(f"corpus has {n} rows < k={k}")
+        centers = X[:k].copy()
+    else:
+        centers = X[:1].copy()
+        mind = ((X - centers[0]) ** 2).sum(axis=1)
+        while centers.shape[0] < k:
+            nxt = X[int(mind.argmax())]
+            centers = np.vstack([centers, nxt])
+            mind = np.minimum(mind, ((X - nxt) ** 2).sum(axis=1))
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for cid in range(centers.shape[0]):
+            members = X[a == cid]
+            if members.shape[0]:
+                sums = members.sum(axis=0)
+                cnt = members.shape[0]
+                centers[cid] = [
+                    _round_half_up(float(s) / cnt) for s in sums
+                ]
+    return DeterministicKMeans([list(map(int, c)) for c in centers], q=q)
+
+
 def fit_deterministic_kmeans(
     df: DataFrame,
     k: int,
@@ -209,6 +269,7 @@ def fit_deterministic_kmeans(
     seed: int = 42,
     n_rows: int | None = None,
     init: str = "farthest",
+    local_cap: int = 65536,
 ) -> DeterministicKMeans:
     """Fit k centers with ``n_iters`` Lloyd rounds (assign + recompute).
 
@@ -223,16 +284,27 @@ def fit_deterministic_kmeans(
 
     Each round collects k×dim longs to the driver (the centers — the
     same footprint ``clusterCenters()`` always had); corpus-sized work
-    stays in the two distributed passes per round.
+    stays in the two distributed passes per round — EXCEPT when the
+    training frame is itself bounded (≤ ``local_cap`` rows, the normal
+    FAISS-style sampled index build), where the quantized sample is
+    collected once and the identical arithmetic runs driver-side
+    (:func:`_fit_local` — bit-equal by test, ~40× fewer scheduler
+    round trips). ``local_cap=0`` forces the distributed loop.
     """
     fit = df.select(id_col, quantize_vec(F.col(vec_col), q).alias("xq"))
-    if sample_rows is not None:
-        if n_rows is None:
-            n_rows = fit.count()
-        if n_rows > sample_rows:
-            # seeded Bernoulli → deterministic per corpus; 1.2× headroom
-            # keeps the expected sample above target
-            fit = fit.sample(fraction=min(1.0, 1.2 * sample_rows / n_rows), seed=seed)
+    if n_rows is None:
+        n_rows = fit.count()
+    if sample_rows is not None and n_rows > sample_rows:
+        # seeded Bernoulli → deterministic per corpus; 1.2× headroom
+        # keeps the expected sample above target
+        fit = fit.sample(fraction=min(1.0, 1.2 * sample_rows / n_rows), seed=seed)
+        est = int(1.2 * sample_rows)
+    else:
+        est = n_rows
+    if est <= local_cap:
+        return _fit_local(
+            [(r[0], list(r[1])) for r in fit.collect()], k, n_iters, init, q
+        )
     spark = df.sparkSession
 
     # Deterministic farthest-point (Gonzalez k-center) seeding: start

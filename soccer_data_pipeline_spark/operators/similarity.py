@@ -232,11 +232,8 @@ def ivf_topk(
     ``model`` accepts a DeterministicKMeans (ours) or a legacy Spark
     ML KMeansModel (duck-typed on ``clusterCenters``/``transform``).
     """
-    from .kmeans import DeterministicKMeans, fit_deterministic_kmeans
+    from .kmeans import fit_deterministic_kmeans
 
-    cand = candidates.select(
-        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
     if model is None:
         model = fit_deterministic_kmeans(
             candidates,
@@ -247,17 +244,63 @@ def ivf_topk(
             sample_rows=fit_sample_rows or 256 * n_centroids,
             seed=seed,
         )
+    index = ivf_index(candidates, model, id_col=id_col, vec_col=vec_col)
+    out = ivf_search(
+        queries, index, model, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    return out, model
+
+
+def ivf_index(
+    candidates: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build — or incrementally EXTEND — the IVF index frame:
+    (candidate_id, cv, cn, cell).
+
+    Assignment is an in-row fold over the persisted centers (plan
+    literals — zero shuffle, zero join), so this one function is both
+    the initial build and the incremental-maintenance primitive: a
+    batch of NEW embeddings indexes with ``ivf_index(batch, model)``
+    — one narrow pass — and unions onto the stored index (it is just
+    rows). No refit, no rescan of the existing corpus; the quantizer
+    stays the persisted index-build artifact (the FAISS `add` contract
+    vs `train`)."""
+    from .kmeans import DeterministicKMeans
+
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     if isinstance(model, DeterministicKMeans):
-        assigned = model.with_cell(cand, vec_col="cv").select(
+        return model.with_cell(cand, vec_col="cv").select(
             "candidate_id", "cv", "cn", "cell"
         )
-    else:  # legacy Spark ML KMeansModel (pre-r11 persisted quantizers)
-        from pyspark.ml.functions import array_to_vector
+    # legacy Spark ML KMeansModel (pre-r11 persisted quantizers)
+    from pyspark.ml.functions import array_to_vector
 
-        assigned = model.transform(
-            cand.withColumn("features", array_to_vector("cv"))
-        ).select("candidate_id", "cv", "cn", F.col("prediction").alias("cell"))
+    return model.transform(
+        cand.withColumn("features", array_to_vector("cv"))
+    ).select("candidate_id", "cv", "cn", F.col("prediction").alias("cell"))
 
+
+def ivf_search(
+    queries: DataFrame,
+    index: DataFrame,
+    model,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-time half of the IVF path: rank cells per query against
+    the (broadcastable, k-sized) centroid constants, probe the top
+    ``n_probe`` cells via an equi-join on cell id, exact-cosine rank
+    within the probed shortlist. ``index`` is any frame produced by
+    :func:`ivf_index` — freshly built, loaded from parquet, or a
+    union of both (the incremental path)."""
+    assigned = index
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -300,11 +343,10 @@ def ivf_topk(
         _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
-    out = (
+    return (
         sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
     )
-    return out, model
 
 
 def save_ivf_quantizer(model, path: str) -> None:
@@ -591,9 +633,11 @@ def pq_topk(
     The FAISS-PQ shape expressed on Spark:
 
     1. split the D dims into ``m`` contiguous subspaces; per subspace
-       fit KMeans(n_codes) on a bounded sample (same train-on-sample
-       rationale as :func:`ivf_topk`); pass ``models`` back in to
-       skip refits;
+       fit a codebook of ``n_codes`` centers on a bounded sample (same
+       train-on-sample rationale as :func:`ivf_topk`; r11: the fit is
+       the deterministic grid-exact Lloyd operator, operators/kmeans.py
+       — codebooks are pure data, persistable as JSON, byte-stable per
+       corpus+config); pass ``models`` back in to skip refits;
     2. ENCODE (once per corpus build): each candidate → its nearest
        centroid id per subspace, plus the reconstruction norm
        ‖ĉ‖² = Σ_s ‖centroid_{s,code_s}‖² looked up from constants —
@@ -608,8 +652,7 @@ def pq_topk(
     the probed cells) — here it runs flat so the recall gate measures
     PQ alone. Returns (results_df, models).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from .kmeans import fit_deterministic_kmeans
 
     if models is not None:
         # prefit models carry the dimension (m subspaces of `sub` dims
@@ -641,10 +684,19 @@ def pq_topk(
         if n_cand > target:
             base = cand_sub.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
         base = base.localCheckpoint(eager=True)  # one sample, m fits
-        models = []
-        for s in range(m):
-            fit_df = base.select(array_to_vector(f"s{s}").alias("features"))
-            models.append(KMeans(k=n_codes, seed=seed + s, maxIter=20).fit(fit_df))
+        # r11: deterministic Lloyd per subspace (the IVF trainer swap
+        # applied to the codebooks) — base is already the bounded
+        # sample, so each fit runs sample-free on it
+        models = [
+            fit_deterministic_kmeans(
+                base.select("candidate_id", f"s{s}"),
+                k=n_codes,
+                n_iters=4,
+                id_col="candidate_id",
+                vec_col=f"s{s}",
+            )
+            for s in range(m)
+        ]
 
     codebooks = [
         [list(map(float, c)) for c in mod.clusterCenters()] for mod in models

@@ -1127,6 +1127,96 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_incremental",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN candidate_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_new,
+       TRUE AS recall_ok, TRUE AS new_recall_ok
+FROM topk
+GROUP BY query_id
+""",
+    doc=(
+        "[beyond-ref] incremental IVF index maintenance: quantizer fit "
+        "on the base corpus only, a new batch indexed via ivf_index "
+        "(in-row assign, no refit/rescan) and unioned on; recall >= 0.8 "
+        "per query AND >= 0.8 macro over new-batch exact neighbors, "
+        "both asserted in-plan (SURVEY §2.10 similarity tier)"
+    ),
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tier's incremental twin (VERDICT r10 #8, completing the
+    dedup precedent of new-side-only maintenance): the corpus splits
+    into a BASE (candidate vec_id % 10 != 7) and a NEW batch
+    (% 10 == 7); the deterministic quantizer fits on the base alone,
+    the new batch indexes through ``ivf_index`` — one narrow in-row
+    pass against the persisted centers, never a refit or a base
+    rescan — and search runs over the union of the two index frames.
+
+    Two in-plan gates, both literally TRUE in the oracle so a
+    degraded incremental path hard-fails the driver hash:
+
+    - recall_ok: per-query recall >= 0.8 vs exact top-5 over the FULL
+      corpus (the same floor as similarity_ivf_recall — indexing the
+      new batch incrementally must not cost recall). Measured
+      min-per-query 1.0/1.0/0.80 (macro 1.0/1.0/0.96) at
+      sf0.001/0.01/0.1 under the probe ladder (all 16 cells below
+      1024 candidates, 12 above).
+    - new_recall_ok: among exact-top-5 rows that ARE new-batch
+      members, ANN hit rate >= 0.8 macro (new vectors must be as
+      reachable as old ones — the gate that catches an index whose
+      new rows landed in never-probed cells). Measured 5/5, 8/8, 2/2
+      hits at the three sfs; vacuously TRUE (no such rows) guards
+      the tiny-sf edge.
+
+    The checked rows carry n_exact_new — the per-query count of exact
+    neighbors from the new batch (SQL-computable), so the split
+    itself is hash-verified, not just gated.
+    """
+    from ..operators.similarity import ivf_index, ivf_search
+    from ..operators.kmeans import fit_deterministic_kmeans
+
+    cache_key = (sf_dir, "incr", 16, 42)
+    prefit = _IVF_QUANTIZERS.get(cache_key)
+
+    def _incr(q, c):
+        base = c.where(F.col("vec_id") % 10 != 7)
+        new = c.where(F.col("vec_id") % 10 == 7)
+        model = prefit or fit_deterministic_kmeans(
+            base, k=16, n_iters=4, sample_rows=256 * 16, seed=42
+        )
+        _IVF_QUANTIZERS[cache_key] = model
+        index = ivf_index(base, model).unionByName(ivf_index(new, model))
+        # probe ladder (the bitext discipline): below 1024 candidates
+        # probe ALL 16 cells — near-brute-force is simply correct at
+        # small corpora, and a 16-cell quantizer over a few hundred
+        # base-fit vectors can strand one query's neighbor in cell 13
+        # (measured: q2 recall 0.6 at sf0.001 with n_probe=12); at
+        # scale the measured 12/16 config holds (min 0.80 at sf0.1)
+        n_probe = 16 if c.count() < 1024 else 12
+        return ivf_search(q, index, model, k=5, n_probe=n_probe)
+
+    j = _ann_recall_frame(spark, sf_dir, _incr)
+    per_q = j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("candidate_id") % 10 == 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_new"),
+        (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
+    )
+    new_gate = (
+        j.where(F.col("candidate_id") % 10 == 7)
+        .agg(
+            F.coalesce(
+                F.sum("hit") >= 0.8 * F.count("*"), F.lit(True)
+            ).alias("new_recall_ok")
+        )
+    )
+    return per_q.crossJoin(F.broadcast(new_gate))
+
+
+@register(
     "similarity_pq_recall",
     oracle=_EXACT_TOPK_SQL
     + """
@@ -1141,18 +1231,16 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     → pq_rerank_topk): candidates compress to 8-byte codes (32× vs
     float32), the ADC scan shortlists 200 per query, and the exact
     re-rank touches only the shortlist. Gate floor 0.6 vs measured
-    per-query recall 1.0/1.0/0.8-min (macro 0.98) at sf0.001/0.01/0.1
-    — margin ≥ 0.2 at the worst query (deterministic per seed+corpus;
-    a flip on a NEW corpus means re-tune m/shortlist, not an engine
-    bug). Codebooks are index-build artifacts cached per
-    (app, corpus, config) like the IVF quantizer.
+    per-query recall MIN 1.0/1.0/1.0 at sf0.001/0.01/0.1 under the r11
+    deterministic codebooks (the farthest-point-seeded Lloyd trainer
+    closed the old 0.8-min worst query; a flip on a NEW corpus means
+    re-tune m/shortlist, not an engine bug). Codebooks are index-build
+    artifacts — r11: pure Python grid ints, session-independent like
+    the IVF quantizer, so the cache drops the app_id key and pruning.
     """
     from ..operators.similarity import pq_rerank_topk
 
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _PQ_CODEBOOKS if k[0] != app_id]:
-        del _PQ_CODEBOOKS[stale]
-    cache_key = (app_id, sf_dir, 16, 16, 42)
+    cache_key = (sf_dir, 16, 16, 42)
     prefit = _PQ_CODEBOOKS.get(cache_key)
 
     def _pq(q, c):

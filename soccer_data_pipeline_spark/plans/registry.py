@@ -259,6 +259,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # in-plan overlap/NDCG gates) sits local-oracle + benched next to its
 # in-window exact twin; its gates assert in-row at every sf, so the
 # local differential still hard-fails on ANN degradation.
+# similarity_ivf_incremental (new in r11, incremental IVF index
+# maintenance: base-fit quantizer, new batch assigned in-row with no
+# refit/rescan, per-query + new-batch recall gates in-plan) likewise
+# sits local-oracle + benched next to the in-window ANN rep.
 
 
 def _ordered_names() -> list[str]:

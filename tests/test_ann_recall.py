@@ -70,3 +70,90 @@ def test_ivf_quantizer_persist_reload(spark, tmp_path):
     ]
     out2, _ = ivf_topk(q, c, k=3, n_centroids=4, n_probe=2, model=loaded)
     assert {(r.query_id, r.rn): r.candidate_id for r in out2.collect()} == r1
+
+
+def test_ivf_incremental_equals_full(spark):
+    """Equality-vs-full property (the dedup tier's incremental
+    discipline applied to ANN): with the SAME quantizer, searching an
+    index built incrementally (base built first, a new batch assigned
+    via ivf_index and unioned on) returns EXACTLY the results of a
+    full one-shot build — assignment is per-row given the centers, so
+    incremental maintenance must cost nothing in result terms."""
+    from soccer_data_pipeline_spark.operators.kmeans import fit_deterministic_kmeans
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    base = c.where(F.col("vec_id") % 10 != 7)
+    new = c.where(F.col("vec_id") % 10 == 7)
+    model = fit_deterministic_kmeans(base, k=8, n_iters=2, sample_rows=2048)
+
+    full, _ = ivf_topk(q, c, k=5, n_centroids=8, n_probe=4, model=model)
+    incr = ivf_search(
+        q,
+        ivf_index(base, model).unionByName(ivf_index(new, model)),
+        model,
+        k=5,
+        n_probe=4,
+    )
+    key = lambda rows: {(r.query_id, r.rn): r.candidate_id for r in rows}  # noqa: E731
+    assert key(incr.collect()) == key(full.collect())
+
+
+def test_ivf_incremental_store_roundtrip(spark, tmp_path):
+    """Persisted-index round trip: quantizer JSON + index parquet
+    saved, reloaded, a new batch incrementally assigned against the
+    LOADED artifacts, and search over (loaded index) union (new
+    assignments) equals the in-memory path — the across-app-restart
+    maintenance story (no refit, no base rescan)."""
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        load_ivf_quantizer,
+        save_ivf_quantizer,
+    )
+    from soccer_data_pipeline_spark.operators.kmeans import fit_deterministic_kmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    base = c.where(F.col("vec_id") % 10 != 7)
+    new = c.where(F.col("vec_id") % 10 == 7)
+    model = fit_deterministic_kmeans(base, k=8, n_iters=2, sample_rows=2048)
+
+    qpath = str(tmp_path / "quantizer.json")
+    ipath = str(tmp_path / "index.parquet")
+    save_ivf_quantizer(model, qpath)
+    ivf_index(base, model).write.parquet(ipath)
+
+    loaded_model = load_ivf_quantizer(qpath)
+    assert loaded_model.centers_q == model.centers_q
+    loaded_index = spark.read.parquet(ipath)
+    incr = ivf_search(
+        q,
+        loaded_index.unionByName(ivf_index(new, loaded_model)),
+        loaded_model,
+        k=5,
+        n_probe=4,
+    )
+    mem = ivf_search(
+        q,
+        ivf_index(base, model).unionByName(ivf_index(new, model)),
+        model,
+        k=5,
+        n_probe=4,
+    )
+    key = lambda rows: {(r.query_id, r.rn): r.candidate_id for r in rows}  # noqa: E731
+    assert key(incr.collect()) == key(mem.collect())
+
+
+def test_ivf_incremental_gates(spark):
+    rows = QUERIES["similarity_ivf_incremental"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not (r.recall_ok and r.new_recall_ok)]
+    assert not bad, f"incremental IVF gate false for queries {bad}"

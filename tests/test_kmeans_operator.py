@@ -113,3 +113,16 @@ def test_inrow_assign_plan_has_no_shuffle(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_local_fit_equals_distributed_fit(spark):
+    """The driver-local fast path (_fit_local, used whenever the
+    training sample is bounded) must be BIT-EQUAL to the distributed
+    loop: same Spark-side quantization, exact int64 distances, same
+    tie-breaks, and a replicated HALF_UP center round. local_cap=0
+    forces the distributed engine for the comparison."""
+    emb = _emb(spark)
+    for init in ("farthest", "first_k"):
+        local = fit_deterministic_kmeans(emb, k=8, n_iters=3, init=init)
+        dist = fit_deterministic_kmeans(emb, k=8, n_iters=3, init=init, local_cap=0)
+        assert local.centers_q == dist.centers_q, init

@@ -352,6 +352,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # filter rank inside partitionBy(query_id)/(vec) windows only;
         # the gate aggregates fold over <= queries x 10 rows
         "hybrid_retrieval_rrf_ann",
+        # r11: incremental IVF — probe/search windows partition by
+        # query_id; index build is in-row (no windows at all)
+        "similarity_ivf_incremental",
         # r10b: argmin is a groupBy min(struct) — zero Window nodes
         "kmeans_fixed_assign",
     ):

@@ -86,8 +86,10 @@ HEAVY = [
     "hybrid_retrieval_rrf",
     "mmr_diverse_rerank",
     # r11: the production-legged RRF (ANN dense leg + prefix-filtered
-    # lexical leg + the exact audit it gates against)
+    # lexical leg + the exact audit it gates against) and the
+    # incremental IVF maintenance path (corpus-scale in-row assign)
     "hybrid_retrieval_rrf_ann",
+    "similarity_ivf_incremental",
     # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
     "kmeans_fixed_assign",
 ]
