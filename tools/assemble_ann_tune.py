@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Assemble the per-round ANN frontier artifact (VERDICT r9 #8: the
+ladder constants stay measured, not extrapolated).
+
+Runs the two config-frontier tuners (bitext sign-LSH, banded embedding
+near-dup) as subprocesses — each prints one JSON line per
+(sf_dir, config) — then measures this round's gate margins in-process:
+
+- rrf_ann: hybrid_retrieval_rrf_ann's fused-top-10 overlap and macro
+  NDCG delta vs the exact-legged audit, per sf;
+- ivf_pq_trainer: per-query min / macro recall of the IVF (n_probe
+  ladder), incremental-IVF, and PQ paths under the r11 deterministic
+  trainer.
+
+Usage: python3 tools/assemble_ann_tune.py <round> [sf01_dir] [sf1_dir]
+Writes ANN_TUNE_r{N}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def run_tuner(script: str, sf_dirs: list[str]) -> list[dict]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", script), *sf_dirs],
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    rows = []
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    if not rows:
+        print(f"# {script}: no JSON rows (rc={out.returncode})", file=sys.stderr)
+        print(out.stderr[-2000:], file=sys.stderr)
+    return rows
+
+
+def main() -> None:
+    rnd = int(sys.argv[1])
+    sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[3] if len(sys.argv) > 3 else os.path.join(ROOT, "testdata_sf1")
+    sf_small = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    bitext = run_tuner("tune_bitext_ann.py", [sf01, sf1])
+    banded = run_tuner("tune_banded.py", [sf01, sf1])
+
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.session import get_spark
+    import soccer_data_pipeline_spark.plans.llm_queries as lq
+
+    spark = get_spark(app_name="ann_tune_gates")
+
+    rrf = []
+    for sf in sf_small + [sf01, sf1]:
+        q, c = lq._rrf_sides(spark, sf)
+        docs = lq.load_table(spark, sf, "documents").select("doc_id", "text")
+        ql, cl = lq._rrf_labels(spark, sf)
+        exact = lq._rrf_fuse(
+            lq._rrf_dense_exact(q, c), lq._rrf_lex_leg(docs, c, prefix=None)
+        ).cache()
+        ann = lq._rrf_fuse(
+            lq._rrf_dense_ann(q, c), lq._rrf_lex_leg(docs, c, prefix=lq._RRF_PREFIX)
+        ).cache()
+        ov = (
+            exact.join(
+                ann.select("query_id", "candidate_id", F.lit(1).alias("hit")),
+                ["query_id", "candidate_id"],
+                "left",
+            )
+            .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*")).alias("f"))
+            .collect()[0]["f"]
+        )
+        ex_n = lq._rrf_ndcg(exact, ql, cl).agg(F.avg("ndcg")).collect()[0][0]
+        an_n = lq._rrf_ndcg(ann, ql, cl).agg(F.avg("ndcg")).collect()[0][0]
+        rrf.append(
+            {
+                "sf_dir": sf,
+                "overlap": round(float(ov), 4),
+                "exact_ndcg": round(float(ex_n), 4),
+                "ann_ndcg": round(float(an_n), 4),
+                "ndcg_delta": round(float(an_n - ex_n), 4),
+            }
+        )
+        exact.unpersist()
+        ann.unpersist()
+
+    from soccer_data_pipeline_spark.operators.kmeans import fit_deterministic_kmeans
+    from soccer_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_search,
+        ivf_topk,
+        pq_rerank_topk,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    def recalls(q, c, approx):
+        exact = brute_force_topk(q, c, k=5).select("query_id", "candidate_id")
+        ap = approx.select("query_id", "candidate_id").withColumn("hit", F.lit(1))
+        j = exact.join(ap, ["query_id", "candidate_id"], "left").fillna(0, ["hit"])
+        r = (
+            j.groupBy("query_id")
+            .agg((F.sum("hit") / F.count("*")).alias("rec"))
+            .agg(F.min("rec").alias("mn"), F.avg("rec").alias("macro"))
+            .collect()[0]
+        )
+        return round(float(r["mn"]), 3), round(float(r["macro"]), 4)
+
+    trainer = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where("vec_id < 10")
+        c = emb.where("vec_id >= 10")
+        ivf_out, model = ivf_topk(q, c, k=5, n_centroids=16, n_probe=12, seed=42)
+        ivf_min, ivf_macro = recalls(q, c, ivf_out)
+        base = c.where(F.col("vec_id") % 10 != 7)
+        new = c.where(F.col("vec_id") % 10 == 7)
+        m2 = fit_deterministic_kmeans(base, k=16, n_iters=4, sample_rows=256 * 16)
+        n_probe = 16 if c.count() < 1024 else 12
+        incr = ivf_search(
+            q,
+            ivf_index(base, m2).unionByName(ivf_index(new, m2)),
+            m2,
+            k=5,
+            n_probe=n_probe,
+        )
+        inc_min, inc_macro = recalls(q, c, incr)
+        pq_out, _ = pq_rerank_topk(q, c, k=5, shortlist=200, m=16, n_codes=16, seed=42)
+        pq_min, pq_macro = recalls(q, c, pq_out)
+        trainer.append(
+            {
+                "sf_dir": sf,
+                "ivf_min": ivf_min,
+                "ivf_macro": ivf_macro,
+                "ivf_incremental_min": inc_min,
+                "ivf_incremental_macro": inc_macro,
+                "ivf_incremental_n_probe": n_probe,
+                "pq_min": pq_min,
+                "pq_macro": pq_macro,
+            }
+        )
+
+    doc = {
+        "metric": "ann_tune_frontier",
+        "round": rnd,
+        "eval": "noop",
+        "note": (
+            "Per-round measured ANN frontiers. bitext/banded: the same "
+            "config grids as r10 (ladder constants re-confirmed). NEW "
+            "r11 sections: rrf_ann_gates (hybrid_retrieval_rrf_ann "
+            "production-leg margins vs the exact audit — floors 0.85 "
+            "overlap / -0.05 NDCG) and ivf_pq_trainer (per-query "
+            "min/macro recall under the deterministic Lloyd trainer "
+            "that replaced Spark ML in r11 — IVF floor 0.8, PQ floor "
+            "0.6, incremental floors 0.8/0.8)."
+        ),
+        "bitext_frontier": bitext,
+        "banded_frontier": banded,
+        "rrf_ann_gates": rrf,
+        "ivf_pq_trainer": trainer,
+    }
+    out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
+    with open(out, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -286,6 +286,7 @@ def main() -> None:
 
     regr = {}
     waived = {}
+    confirm_cleared = {}
     if prev:
         for q, cur in rows.items():
             pq = prev[1].get(q, {})
@@ -312,6 +313,15 @@ def main() -> None:
                         f"probe factor {f:.2f} -> {norm:.2f}x normalized",
                         file=sys.stderr,
                     )
+                else:
+                    # no silent caps: a raw>1.5 entry whose CONFIRM
+                    # rerun came back clean is transient (cold page
+                    # cache / burst), but the artifact must say so —
+                    # r12's vs_prev reads the raw first-run time
+                    confirm_cleared[q] = {
+                        "raw": round(cur["sf1"] / p1, 2),
+                        "confirm": round(t1c / p1, 2),
+                    }
 
     doc = {
         "metric": "sf1_heavy_tier",
@@ -327,6 +337,7 @@ def main() -> None:
             "ref": prev[0] if prev else None,
             "regr": regr,
             "waived": waived,
+            "confirm_cleared": confirm_cleared,
         },
         "sf1_rows": {"lineitem": 6000000, "documents": 50000, "embeddings": 20000},
     }
