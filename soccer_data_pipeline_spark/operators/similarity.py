@@ -307,21 +307,23 @@ def ivf_search(
     ).withColumn("qn", _norm(F.col("qv")))
     # rank cells per query by distance to centroid, keep top n_probe.
     # One parsed SQL string (see lsh_bucket_sql): centroid constants via
-    # the Column API cost ~1k py4j round trips per construction. The
-    # squared-distance sum is the same aggregate/zip_with op tree as
-    # before (the old form dot-multiplied each term by exactly 1.0,
-    # which is an IEEE no-op) — bit-identical dist2.
-    cell_arrays = F.expr(
+    # the Column API cost ~1k py4j round trips per construction. r11:
+    # ONE transform over a single k×d literal array-of-arrays instead
+    # of k copies of the fold — same op tree per element (bit-identical
+    # dist2), but the lambda body parses/analyzes once: measured ~2×
+    # faster plan construction on the k=16 config.
+    centers_2d = (
         "array("
         + ",".join(
-            "named_struct('cell', {i}, 'dist2', "
-            "aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
-            "0D, (acc, x) -> acc + x))".format(
-                i=i, arr="array(" + ",".join(_lit_d(x) for x in c) + ")"
-            )
-            for i, c in enumerate(centroids)
+            "array(" + ",".join(_lit_d(x) for x in c) + ")" for c in centroids
         )
         + ")"
+    )
+    cell_arrays = F.expr(
+        f"transform({centers_2d}, (cv, i) -> "
+        "named_struct('cell', i, 'dist2', "
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)))"
     )
     probed = (
         q.withColumn(

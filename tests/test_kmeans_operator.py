@@ -101,18 +101,39 @@ def test_empty_cluster_keeps_previous_center(spark):
 
 
 def test_inrow_assign_plan_has_no_shuffle(spark):
-    """The corpus assignment (with_cell) must be narrow: no Exchange,
-    no Join in the plan — centers ride as literals inside codegen."""
+    """The corpus assignment (with_cell) must be narrow under BOTH
+    engines: no Exchange, no Join — the Arrow form adds only an
+    ArrowEvalPython (batch-local), the SQL form only codegen."""
     emb = _emb(spark)
     model = fit_deterministic_kmeans(emb, k=4, n_iters=1)
-    plan = (
-        model.with_cell(emb.select("vec_id", "embedding"))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Exchange" not in plan, plan
-    assert "Join" not in plan, plan
+    for engine in ("arrow", "sql"):
+        plan = (
+            model.with_cell(emb.select("vec_id", "embedding"), engine=engine)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (engine, plan)
+        assert "Join" not in plan, (engine, plan)
+
+
+def test_arrow_assign_equals_sql_assign(spark):
+    """The vectorized Arrow assignment (production default) and the
+    pure-JVM SQL twin are the same exact-int64 argmin: quantization
+    happens JVM-side in both, numpy argmin-first == (dist, cid)
+    struct-min tie-break."""
+    emb = _emb(spark)
+    model = fit_deterministic_kmeans(emb, k=8, n_iters=2)
+    base = emb.select("vec_id", "embedding")
+    a = {
+        (r.vec_id, r.cell)
+        for r in model.with_cell(base, engine="arrow").collect()
+    }
+    b = {
+        (r.vec_id, r.cell)
+        for r in model.with_cell(base, engine="sql").collect()
+    }
+    assert a == b
 
 
 def test_local_fit_equals_distributed_fit(spark):
