@@ -215,6 +215,7 @@ HEADLINE = [
     # round-11 additions
     "hybrid_retrieval_rrf_ann",
     "similarity_ivf_incremental",
+    "similarity_ivfpq_recall",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -285,6 +285,50 @@ def ivf_index(
     ).select("candidate_id", "cv", "cn", F.col("prediction").alias("cell"))
 
 
+def _probe_cells(q: DataFrame, model, n_probe: int) -> DataFrame:
+    """Per-query probe routing: rank the k cells by distance to the
+    query against the centroid constants and explode the top
+    ``n_probe`` — (query_id, qv, qn, cell) rows ready for the cell
+    equi-join. One parsed SQL string (see lsh_bucket_sql): centroid
+    constants via the Column API cost ~1k py4j round trips per
+    construction. r11: ONE transform over a single k×d literal
+    array-of-arrays instead of k copies of the fold — same op tree
+    per element (bit-identical dist2), but the lambda body
+    parses/analyzes once: measured ~2× faster plan construction on
+    the k=16 config."""
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centers_2d = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_lit_d(x) for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+    cell_arrays = F.expr(
+        f"transform({centers_2d}, (cv, i) -> "
+        "named_struct('cell', i, 'dist2', "
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)))"
+    )
+    return (
+        q.withColumn(
+            "probe",
+            F.slice(
+                F.array_sort(
+                    cell_arrays,
+                    lambda a, b: F.when(a.dist2 < b.dist2, -1)
+                    .when(a.dist2 > b.dist2, 1)
+                    .otherwise(0),
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .withColumn("cell", F.explode(F.col("probe.cell")))
+        .drop("probe")
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     index: DataFrame,
@@ -301,44 +345,10 @@ def ivf_search(
     :func:`ivf_index` — freshly built, loaded from parquet, or a
     union of both (the incremental path)."""
     assigned = index
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    # rank cells per query by distance to centroid, keep top n_probe.
-    # One parsed SQL string (see lsh_bucket_sql): centroid constants via
-    # the Column API cost ~1k py4j round trips per construction. r11:
-    # ONE transform over a single k×d literal array-of-arrays instead
-    # of k copies of the fold — same op tree per element (bit-identical
-    # dist2), but the lambda body parses/analyzes once: measured ~2×
-    # faster plan construction on the k=16 config.
-    centers_2d = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(_lit_d(x) for x in c) + ")" for c in centroids
-        )
-        + ")"
-    )
-    cell_arrays = F.expr(
-        f"transform({centers_2d}, (cv, i) -> "
-        "named_struct('cell', i, 'dist2', "
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
-        "0D, (acc, x) -> acc + x)))"
-    )
-    probed = (
-        q.withColumn(
-            "probe",
-            F.slice(
-                F.array_sort(
-                    cell_arrays, lambda a, b: F.when(a.dist2 < b.dist2, -1).when(a.dist2 > b.dist2, 1).otherwise(0)
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .withColumn("probe_cell", F.explode(F.col("probe.cell")))
-        .select("query_id", "qv", "qn", F.col("probe_cell").alias("cell"))
-    )
+    probed = _probe_cells(q, model, n_probe)
     sims = probed.join(assigned, "cell").select(
         "query_id",
         "candidate_id",
@@ -614,6 +624,73 @@ def near_dup_pairs_banded(
     ).where(F.col("cosine") >= threshold)
 
 
+def _pq_codebooks(models) -> list[list[list[float]]]:
+    return [[list(map(float, c)) for c in mod.clusterCenters()] for mod in models]
+
+
+def _with_pq_codes(cand_sub: DataFrame, codebooks) -> DataFrame:
+    """Append ``code0..m-1`` + ``chat_norm`` to a frame carrying the
+    ``s0..s{m-1}`` subspace slices: nearest codebook centroid per
+    subspace via the argmin-over-constant-array expression, plus the
+    reconstruction norm looked up from constants. Narrow per-row work
+    against persisted codebooks — the PQ ``add`` step, which makes it
+    the INCREMENTAL encode path too (a new batch encodes without
+    refitting or rescanning the existing corpus)."""
+    m = len(codebooks)
+    enc = cand_sub
+    for s in range(m):
+        cells = F.expr(
+            "array("
+            + ",".join(
+                "named_struct('j', {j}, 'd2', aggregate(zip_with(s{s}, {arr}, "
+                "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))".format(
+                    s=s, j=j, arr="array(" + ",".join(_lit_d(x) for x in c) + ")"
+                )
+                for j, c in enumerate(codebooks[s])
+            )
+            + ")"
+        )
+        best = F.array_sort(
+            cells,
+            lambda a, b: F.when(a.d2 < b.d2, -1).when(a.d2 > b.d2, 1).otherwise(0),
+        )[0]["j"]
+        enc = enc.withColumn(f"code{s}", best)
+    # reconstruction norm via ONE parsed expression (constants inlined
+    # as SQL text — the Column-API form costs hundreds of py4j round
+    # trips per plan construction; same lesson as ivf_topk's cell rank)
+    norm_expr = " + ".join(
+        "element_at(array({arr}), code{s} + 1)".format(
+            s=s, arr=",".join(_lit_d(sum(x * x for x in c)) for c in codebooks[s])
+        )
+        for s in range(m)
+    )
+    return enc.withColumn("chat_norm", F.expr(f"sqrt({norm_expr})"))
+
+
+def _with_pq_luts(q: DataFrame, codebooks, sub: int) -> DataFrame:
+    """Append per-QUERY ADC lookup tables: dot(q_s, centroid_{s,j})
+    for every j — evaluated once per query row, never per pair. One
+    parsed SQL expression per subspace (m exprs total), not m·n_codes
+    Column-API dot products: the Column form measured ~10 s of pure
+    plan construction per bench run at m=16."""
+    for s, book in enumerate(codebooks):
+        entries = ",".join(
+            "aggregate(zip_with(slice(qv, {o}, {w}), array({arr}), "
+            "(a, b) -> a * b), 0D, (acc, x) -> acc + x)".format(
+                o=s * sub + 1, w=sub, arr=",".join(_lit_d(x) for x in c)
+            )
+            for c in book
+        )
+        q = q.withColumn(f"lut{s}", F.expr(f"array({entries})"))
+    return q
+
+
+def _adc_dot_expr(m: int):
+    """Σ_s LUT_s[code_s]: m element_at calls per pair, independent of
+    the raw dimension."""
+    return F.expr(" + ".join(f"element_at(lut{s}, code{s} + 1)" for s in range(m)))
+
+
 def pq_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -700,65 +777,19 @@ def pq_topk(
             for s in range(m)
         ]
 
-    codebooks = [
-        [list(map(float, c)) for c in mod.clusterCenters()] for mod in models
-    ]
-    # encode: nearest centroid per subspace via the same argmin-over-
-    # constant-array expression as ivf_topk's cell ranking
-    enc = cand_sub
-    for s in range(m):
-        cells = F.expr(
-            "array("
-            + ",".join(
-                "named_struct('j', {j}, 'd2', aggregate(zip_with(s{s}, {arr}, "
-                "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))".format(
-                    s=s, j=j, arr="array(" + ",".join(_lit_d(x) for x in c) + ")"
-                )
-                for j, c in enumerate(codebooks[s])
-            )
-            + ")"
-        )
-        best = F.array_sort(
-            cells,
-            lambda a, b: F.when(a.d2 < b.d2, -1).when(a.d2 > b.d2, 1).otherwise(0),
-        )[0]["j"]
-        enc = enc.withColumn(f"code{s}", best)
-    # reconstruction norm via ONE parsed expression (constants inlined
-    # as SQL text — the Column-API form costs hundreds of py4j round
-    # trips per plan construction; same lesson as ivf_topk's cell rank)
-    norm_expr = " + ".join(
-        "element_at(array({arr}), code{s} + 1)".format(
-            s=s, arr=",".join(_lit_d(sum(x * x for x in c)) for c in codebooks[s])
-        )
-        for s in range(m)
-    )
-    encoded = enc.select(
-        "candidate_id",
-        *[f"code{s}" for s in range(m)],
-        F.expr(f"sqrt({norm_expr})").alias("chat_norm"),
+    codebooks = _pq_codebooks(models)
+    encoded = _with_pq_codes(cand_sub, codebooks).select(
+        "candidate_id", *[f"code{s}" for s in range(m)], "chat_norm"
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    # per-QUERY lookup tables: dot(q_s, centroid_{s,j}) for every j —
-    # evaluated once per query row, never per pair. One parsed SQL
-    # expression per subspace (m exprs total), not m·n_codes Column-API
-    # dot products: the Column form measured ~10 s of pure plan
-    # construction per bench run at m=16.
-    for s in range(m):
-        entries = ",".join(
-            "aggregate(zip_with(slice(qv, {o}, {w}), array({arr}), "
-            "(a, b) -> a * b), 0D, (acc, x) -> acc + x)".format(
-                o=s * sub + 1, w=sub, arr=",".join(_lit_d(x) for x in c)
-            )
-            for c in codebooks[s]
-        )
-        q = q.withColumn(f"lut{s}", F.expr(f"array({entries})"))
-
-    approx_dot = F.expr(
-        " + ".join(f"element_at(lut{s}, code{s} + 1)" for s in range(m))
+    q = _with_pq_luts(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", _norm(F.col("qv"))),
+        codebooks,
+        sub,
     )
+    approx_dot = _adc_dot_expr(m)
     sims = q.crossJoin(F.broadcast(encoded)).select(
         "query_id",
         "candidate_id",
@@ -832,3 +863,195 @@ def pq_rerank_topk(
         F.col("rn") <= k
     )
     return out, models
+
+
+def ivfpq_index(
+    candidates: DataFrame,
+    coarse,
+    models: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build — or incrementally EXTEND — the composed IVF×PQ index:
+    (candidate_id, cell, code0..m-1, chat_norm).
+
+    The stored footprint is the coarse cell plus m·log₂(n_codes) bits
+    of PQ code per vector (8 bytes at the m=16/n_codes=16 default —
+    raw vectors are NOT in the index; the exact re-rank reads them
+    from the corpus for the shortlist only). Both the cell and the
+    codes are per-row functions of PERSISTED constants (the coarse
+    centers JSON + the m codebooks), so one narrow pass indexes a new
+    batch with no refit and no rescan — the FAISS IndexIVFPQ ``add``
+    contract, same as :func:`ivf_index`."""
+    codebooks = _pq_codebooks(models)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    subcols = [
+        F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)
+    ]
+    cand_sub = coarse.with_cell(
+        cand.select("candidate_id", "cv", *subcols), vec_col="cv"
+    )
+    return _with_pq_codes(cand_sub, codebooks).select(
+        "candidate_id", "cell", *[f"code{s}" for s in range(m)], "chat_norm"
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    coarse,
+    models: list,
+    k: int = 5,
+    shortlist: int = 200,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-time half of IVF×PQ (the FAISS IndexIVFPQ serving shape,
+    on Spark): route each query to its ``n_probe`` nearest cells
+    (centroid constants, bounded), ADC-scan ONLY the probed cells'
+    codes (m table lookups per scanned code — work tracks
+    corpus/n_centroids × n_probe, never |Q|·|C|, and the scan touches
+    8-byte codes, not vectors), shortlist per query, then exact-cosine
+    re-rank of the shortlist against the full vectors read from
+    ``corpus``. The only stage that touches uncompressed embeddings is
+    the shortlist·|Q| re-rank join."""
+    codebooks = _pq_codebooks(models)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = _with_pq_luts(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", _norm(F.col("qv"))),
+        codebooks,
+        sub,
+    )
+    probed = _probe_cells(q, coarse, n_probe)
+    sims = probed.join(index, "cell").select(
+        "query_id",
+        "candidate_id",
+        (_adc_dot_expr(m) / (F.col("qn") * F.col("chat_norm"))).alias(
+            "approx_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("candidate_id")
+    )
+    short = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "candidate_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    qq = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    rer = (
+        short.join(c, "candidate_id")
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return rer.withColumn("rn", F.row_number().over(w2).cast("long")).where(
+        F.col("rn") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    shortlist: int = 200,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    coarse=None,
+    models: list | None = None,
+    fit_sample_rows: int | None = None,
+):
+    """The composed IVF×PQ path the flat-PQ docstring promised
+    ('at 100 TB this composes with IVF — probe cells first, ADC inside
+    the probed cells'), now a real operator: coarse-route → ADC scan
+    inside probed cells → shortlist → exact re-rank. Both quantizers
+    are the deterministic Lloyd trainer (persistable as JSON), fit on
+    bounded samples. Returns (results_df, coarse, models)."""
+    from .kmeans import fit_deterministic_kmeans
+
+    if models is not None:
+        sub = len(models[0].clusterCenters()[0])
+        dim = sub * m
+    else:
+        probe = candidates.select(_as_double(F.col(vec_col)).alias("v")).first()
+        if probe is None:
+            raise ValueError(
+                "ivfpq_topk: candidate frame is empty — pass prefit "
+                "models or a non-empty corpus"
+            )
+        dim = len(probe["v"])
+        sub = dim // m
+        assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    if coarse is None:
+        coarse = fit_deterministic_kmeans(
+            candidates,
+            k=n_centroids,
+            n_iters=4,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=fit_sample_rows or 256 * n_centroids,
+            seed=seed,
+        )
+    if models is None:
+        cand = candidates.select(
+            F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        subcols = [
+            F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)
+        ]
+        cand_sub = cand.select("candidate_id", *subcols)
+        target = 256 * n_codes
+        n_cand = cand.count()
+        base = cand_sub
+        if n_cand > target:
+            base = cand_sub.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
+        base = base.localCheckpoint(eager=True)  # one sample, m fits
+        models = [
+            fit_deterministic_kmeans(
+                base.select("candidate_id", f"s{s}"),
+                k=n_codes,
+                n_iters=4,
+                id_col="candidate_id",
+                vec_col=f"s{s}",
+            )
+            for s in range(m)
+        ]
+    index = ivfpq_index(candidates, coarse, models, id_col=id_col, vec_col=vec_col)
+    out = ivfpq_search(
+        queries,
+        index,
+        candidates,
+        coarse,
+        models,
+        k=k,
+        shortlist=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return out, coarse, models

@@ -263,6 +263,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # maintenance: base-fit quantizer, new batch assigned in-row with no
 # refit/rescan, per-query + new-batch recall gates in-plan) likewise
 # sits local-oracle + benched next to the in-window ANN rep.
+# similarity_ivfpq_recall (new in r11, the composed IVF x PQ serving
+# path with its own in-plan recall gate) completes that family's
+# local-oracle tier.
 
 
 def _ordered_names() -> list[str]:

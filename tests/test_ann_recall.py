@@ -157,3 +157,44 @@ def test_ivf_incremental_gates(spark):
     assert len(rows) == 10
     bad = [r.query_id for r in rows if not (r.recall_ok and r.new_recall_ok)]
     assert not bad, f"incremental IVF gate false for queries {bad}"
+
+
+def test_ivfpq_gates_and_incremental_index(spark):
+    """Composed IVF×PQ: the registered gate is TRUE at sf0.001, and
+    ivfpq_index extends incrementally — index(base) ∪ index(new) with
+    the same quantizers searches identically to a one-shot build
+    (cells and codes are per-row functions of persisted constants)."""
+    from soccer_data_pipeline_spark.operators.kmeans import fit_deterministic_kmeans
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    rows = QUERIES["similarity_ivfpq_recall"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not r.recall_ok]
+    assert not bad, f"IVFPQ per-query recall < 0.8 for queries {bad}"
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    full, coarse, models = ivfpq_topk(
+        q, c, k=5, shortlist=50, n_centroids=8, n_probe=4, m=16, n_codes=8
+    )
+    base = c.where(F.col("vec_id") % 10 != 7)
+    new = c.where(F.col("vec_id") % 10 == 7)
+    incr = ivfpq_search(
+        q,
+        ivfpq_index(base, coarse, models).unionByName(
+            ivfpq_index(new, coarse, models)
+        ),
+        c,
+        coarse,
+        models,
+        k=5,
+        shortlist=50,
+        n_probe=4,
+    )
+    key = lambda rs: {(r.query_id, r.rn): r.candidate_id for r in rs}  # noqa: E731
+    assert key(incr.collect()) == key(full.collect())

@@ -355,6 +355,7 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # r11: incremental IVF — probe/search windows partition by
         # query_id; index build is in-row (no windows at all)
         "similarity_ivf_incremental",
+        "similarity_ivfpq_recall",
         # r10b: argmin is a groupBy min(struct) — zero Window nodes
         "kmeans_fixed_assign",
     ):

@@ -90,6 +90,7 @@ HEAVY = [
     # incremental IVF maintenance path (corpus-scale in-row assign)
     "hybrid_retrieval_rrf_ann",
     "similarity_ivf_incremental",
+    "similarity_ivfpq_recall",
     # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
     "kmeans_fixed_assign",
 ]
