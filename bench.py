@@ -216,6 +216,9 @@ HEADLINE = [
     "hybrid_retrieval_rrf_ann",
     "similarity_ivf_incremental",
     "similarity_ivfpq_recall",
+    "similarity_ivfpq_residual",
+    "semantic_dedup_semdedup",
+    "bpe_learn_merges",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

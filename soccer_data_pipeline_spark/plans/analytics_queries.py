@@ -4728,3 +4728,156 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_rows") / F.col("exact_rows").cast("double"), 6
         ).alias("est_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge LEARNING [beyond-ref] — the iterative half of tokenizer
+# training that bpe_pair_counts only counts one round of: R=4 rounds of
+# (count adjacent symbol pairs globally) -> (pick the argmax merge,
+# count desc / pair asc) -> (APPLY the merge to every token) -> repeat,
+# emitting the learned merge table with per-round pair counts and the
+# number of merge applications actually performed.
+#
+# Merge application is defined cross-engine-exactly as TWO passes of
+# literal leftmost-nonoverlapping string replace over the single-space
+# symbol encoding (' a b c ' with bounding spaces, pattern ' a b ' ->
+# ' ab '): symbols never contain spaces, so a match always aligns with
+# whole symbols; pass 1 can skip an occurrence that shares a boundary
+# space with the previous match, and pass 2 (whose deferred occurrences
+# are provably mutually non-adjacent) reaches the fixpoint. Spark's
+# `replace` and DuckDB's REPLACE implement the identical single-scan
+# semantics, so the working corpus after every round is byte-equal in
+# both engines. (Inside odd-length self-runs this yields e.g.
+# [aa, a, aa] where HF-BPE's priority-queue applier yields [aa, aa, a]
+# — same symbol multiset, different positions; a documented tie-rule
+# choice, deterministic in both engines.)
+#
+# Scale shape per round: one explode over the working corpus feeding a
+# map-side-combined (a, b) hash agg (output <= |symbol alphabet|²); the
+# argmax is a 1-row TakeOrderedAndProject; the apply is a NARROW per-row
+# double replace. Rounds are a constant (4); the working corpus is
+# localCheckpointed per round (the pagerank discipline) so round r+1
+# scans materialized rows instead of replaying r rounds of lineage. The
+# per-round driver reads are one merge row + one total — the bounded
+# kmeans-trainer pattern, never corpus rows. A production tokenizer
+# trainer runs the same loop longer on a sampled corpus; rounds scale
+# the number of passes, not the shuffle width.
+# ---------------------------------------------------------------------------
+
+_BPE_LEARN_ROUNDS = 4
+
+
+def _bpe_learn_oracle(rounds: int) -> str:
+    """Generated unrolled-CTE oracle (the MMR discipline): round r has
+    pair-count, argmax, apply, and total CTEs; the final SELECT unions
+    the merge table with counts cast to BIGINT."""
+    parts = [
+        """
+tok AS (
+  SELECT token FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) WHERE LENGTH(token) >= 2
+),
+w0 AS (
+  SELECT ' ' || ARRAY_TO_STRING(regexp_split_to_array(token, ''), ' ') || ' ' AS w
+  FROM tok
+),
+t0 AS (SELECT SUM(LEN(STRING_SPLIT(TRIM(w), ' '))) AS tot FROM w0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, COUNT(*) AS n
+  FROM (SELECT STRING_SPLIT(TRIM(w), ' ') AS s FROM w{r - 1}),
+       UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+w{r} AS (
+  SELECT REPLACE(REPLACE(w, ' ' || m.a || ' ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' '),
+                 ' ' || m.a || ' ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS w
+  FROM w{r - 1} CROSS JOIN m{r} m
+),
+t{r} AS (SELECT SUM(LEN(STRING_SPLIT(TRIM(w), ' '))) AS tot FROM w{r})"""
+        )
+    selects = [
+        f"""
+SELECT {r} AS round, m{r}.a AS pair_a, m{r}.b AS pair_b,
+       CAST(m{r}.n AS BIGINT) AS pair_count,
+       CAST(t{r - 1}.tot - t{r}.tot AS BIGINT) AS n_applied
+FROM m{r}, t{r - 1}, t{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",".join(parts) + "\nUNION ALL".join(selects)
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_learn_oracle(_BPE_LEARN_ROUNDS),
+    doc=(
+        "[beyond-ref] BPE vocabulary induction: 4 unrolled merge-learning "
+        "rounds (global pair count -> argmax merge -> corpus-wide apply), "
+        "emitting the merge table with per-round pair counts and applied "
+        "merges — the iterative tokenizer-training loop bpe_pair_counts "
+        "counts one round of (SURVEY §2.10 text-analysis tier)"
+    ),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") >= 2
+    )
+    w = tok.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("token", ""), " "), F.lit(" ")
+        ).alias("w")
+    ).localCheckpoint(eager=True)
+
+    def _total(frame: DataFrame) -> int:
+        return frame.select(
+            F.sum(F.size(F.split(F.trim(F.col("w")), " "))).alias("t")
+        ).collect()[0]["t"]
+
+    prev_tot = _total(w)
+    merges: list[tuple] = []
+    for r in range(1, _BPE_LEARN_ROUNDS + 1):
+        pairs = (
+            w.select(F.split(F.trim(F.col("w")), " ").alias("s"))
+            # a fully-merged token (one symbol) has no pairs; without
+            # this filter Spark's sequence(0, size-2) DESCENDS for
+            # size=1 and s[1] faults (DuckDB's GENERATE_SERIES(1, 0)
+            # is empty, so only this side needs the guard)
+            .where(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(s[i] AS a, s[i + 1] AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )[0]
+        pat = F.lit(f" {top.a} {top.b} ")
+        rep = F.lit(f" {top.a}{top.b} ")
+        w = w.select(
+            F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w")
+        ).localCheckpoint(eager=True)
+        tot = _total(w)
+        merges.append((r, top.a, top.b, int(top.n), int(prev_tot - tot)))
+        prev_tot = tot
+    return spark.createDataFrame(
+        merges,
+        "round int, pair_a string, pair_b string, "
+        "pair_count bigint, n_applied bigint",
+    )

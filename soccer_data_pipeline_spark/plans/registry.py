@@ -264,8 +264,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # refit/rescan, per-query + new-batch recall gates in-plan) likewise
 # sits local-oracle + benched next to the in-window ANN rep.
 # similarity_ivfpq_recall (new in r11, the composed IVF x PQ serving
-# path with its own in-plan recall gate) completes that family's
-# local-oracle tier.
+# path with its own in-plan recall gate) and similarity_ivfpq_residual
+# (the true FAISS IndexIVFPQ residual encoding, same gate) complete
+# that family's local-oracle tier. semantic_dedup_semdedup (new in r11, the SemDeDup
+# pipeline: deterministic-k-means clustering -> within-cell cosine
+# pairs -> CC -> farthest-from-centroid keeper) is the second consumer
+# of the Lloyd primitive (VERDICT r10 #3's other branch) and sits
+# local-oracle + benched next to the in-window dedup/similarity reps.
+# bpe_learn_merges (new in r11, 4-round BPE merge learning with a
+# generated unrolled-CTE oracle) extends the text-analysis tier's
+# tokenizer family (bpe_pair_counts counts one round; this learns and
+# APPLIES the merges) — local-oracle + benched next to tfidf_tokens.
 
 
 def _ordered_names() -> list[str]:

@@ -198,3 +198,98 @@ def test_ivfpq_gates_and_incremental_index(spark):
     )
     key = lambda rs: {(r.query_id, r.rn): r.candidate_id for r in rs}  # noqa: E731
     assert key(incr.collect()) == key(full.collect())
+
+
+def test_ivfpq_residual_roundtrip_and_gates(spark):
+    """Residual-encoded IVF×PQ (the true FAISS IndexIVFPQ):
+
+    - the registered gate is TRUE at sf0.001;
+    - the index's stored ``chat_norm`` equals an independent Python
+      reconstruction ‖centroid[cell] + codebook_s[code_s]‖ from the
+      persisted constants (proves the encode path quantizes the
+      RESIDUAL and the norm describes centroid + decoded residual,
+      not the residual alone);
+    - residual codes differ from raw-encoding codes on the same
+      corpus/quantizers (proves the flag switches the encoding);
+    - incremental extend: index(base) ∪ index(new) searches
+      identically to the one-shot build (the FAISS `add` contract
+      survives the residual form).
+    """
+    import math
+
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    rows = QUERIES["similarity_ivfpq_residual"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not r.recall_ok]
+    assert not bad, f"residual IVFPQ per-query recall < 0.8 for queries {bad}"
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    full, coarse, models = ivfpq_topk(
+        q, c, k=5, shortlist=50, n_centroids=8, n_probe=4, m=16, n_codes=8,
+        residual=True,
+    )
+    idx = ivfpq_index(c, coarse, models, residual=True)
+    m = len(models)
+    sub = len(models[0].clusterCenters()[0])
+    centers = coarse.clusterCenters()
+    books = [mod.clusterCenters() for mod in models]
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in c.select("vec_id", "embedding").collect()
+    }
+    for r in idx.limit(20).collect():
+        chat = list(centers[r.cell])
+        for s in range(m):
+            cw = books[s][r[f"code{s}"]]
+            for i in range(sub):
+                chat[s * sub + i] += cw[i]
+        expect = math.sqrt(sum(x * x for x in chat))
+        assert abs(expect - r.chat_norm) < 1e-9, (r.candidate_id, expect, r.chat_norm)
+        # and the decoded residual tracks the actual residual better
+        # than decoding the raw vector would: sanity that codes were
+        # fit/assigned in residual space — the nearest-codeword rule
+        # applied to (vec - centroid)
+        v = vecs[r.candidate_id]
+        for s in range(m):
+            res_s = [
+                v[s * sub + i] - centers[r.cell][s * sub + i] for i in range(sub)
+            ]
+            d_chosen = sum(
+                (res_s[i] - books[s][r[f"code{s}"]][i]) ** 2 for i in range(sub)
+            )
+            d_best = min(
+                sum((res_s[i] - cw[i]) ** 2 for i in range(sub))
+                for cw in books[s]
+            )
+            assert d_chosen <= d_best + 1e-9, (r.candidate_id, s)
+
+    raw_idx = ivfpq_index(c, coarse, models, residual=False)
+    code_cols = [f"code{s}" for s in range(m)]
+    raw = {r.candidate_id: tuple(r[cc] for cc in code_cols) for r in raw_idx.collect()}
+    res = {r.candidate_id: tuple(r[cc] for cc in code_cols) for r in idx.collect()}
+    assert any(raw[i] != res[i] for i in raw), "residual flag changed nothing"
+
+    base = c.where(F.col("vec_id") % 10 != 7)
+    new = c.where(F.col("vec_id") % 10 == 7)
+    incr = ivfpq_search(
+        q,
+        ivfpq_index(base, coarse, models, residual=True).unionByName(
+            ivfpq_index(new, coarse, models, residual=True)
+        ),
+        c,
+        coarse,
+        models,
+        k=5,
+        shortlist=50,
+        n_probe=4,
+        residual=True,
+    )
+    key = lambda rs: {(r.query_id, r.rn): r.candidate_id for r in rs}  # noqa: E731
+    assert key(incr.collect()) == key(full.collect())

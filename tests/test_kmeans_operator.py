@@ -147,3 +147,37 @@ def test_local_fit_equals_distributed_fit(spark):
         local = fit_deterministic_kmeans(emb, k=8, n_iters=3, init=init)
         dist = fit_deterministic_kmeans(emb, k=8, n_iters=3, init=init, local_cap=0)
         assert local.centers_q == dist.centers_q, init
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup (plans/llm_queries.semantic_dedup_semdedup) structural
+    invariants, independently recomputed from the collected result:
+
+    - every dup cluster has EXACTLY one keeper;
+    - the keeper is the member farthest from its k-means centroid
+      (max exact-int64 dist_q2, ties to the smaller vec_id — the
+      paper's keep-the-outlier rule on the house integer grid);
+    - all members of a cluster share one learned cell (edges only ever
+      connect same-cell rows, so CC can never merge across cells);
+    - cluster_size matches the actual member count and every cluster
+      has >= 2 members (singletons are not duplicates);
+    - cluster_id is the component minimum (min-label convention).
+    """
+    from collections import defaultdict
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["semantic_dedup_semdedup"].fn(spark, SF).collect()
+    assert rows, "semdedup produced no dup groups on the test corpus"
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1, (cid, keepers)
+        best = sorted(members, key=lambda m: (-m.dist_q2, m.vec_id))[0]
+        assert keepers[0].vec_id == best.vec_id, (cid, keepers[0], best)
+        assert len({m.cell for m in members}) == 1, (cid, "cells differ")
+        assert len(members) >= 2, (cid, "singleton cluster")
+        assert all(m.cluster_size == len(members) for m in members), cid
+        assert cid == min(m.vec_id for m in members), (cid, "not min-label")

@@ -324,6 +324,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "zipf_slope_audit",
         "session_path_counts",
         "bpe_pair_counts",
+        # r11: merge learning — per-round argmax is a 1-row
+        # TakeOrderedAndProject, apply is a narrow double replace
+        "bpe_learn_merges",
         "pagerank_suppliers",
         "revenue_concentration",
         "corpus_shuffle_order",
@@ -356,8 +359,14 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # query_id; index build is in-row (no windows at all)
         "similarity_ivf_incremental",
         "similarity_ivfpq_recall",
+        # r11: residual encoding changes the ADC numerator, not the
+        # plan shape — same query_id-partitioned windows only
+        "similarity_ivfpq_residual",
         # r10b: argmin is a groupBy min(struct) — zero Window nodes
         "kmeans_fixed_assign",
+        # r11: SemDeDup's only window is the keeper rank inside
+        # partitionBy(cluster_id) — dup groups, never the corpus
+        "semantic_dedup_semdedup",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

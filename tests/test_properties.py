@@ -517,3 +517,62 @@ def test_privacy_q18_invariants(spark):
     assert q and [r.rk for r in q] == list(range(1, len(q) + 1))
     assert all(r.sum_qty > 200.0 for r in q)
     assert all(q[i].o_totalprice >= q[i + 1].o_totalprice for i in range(len(q) - 1))
+
+
+def test_bpe_learn_merges_matches_python_reference(spark, tmp_path):
+    """bpe_learn_merges vs a plain-Python reference implementing the
+    declared semantics (global pair count -> argmax by (count desc,
+    pair asc) -> TWO passes of leftmost-nonoverlapping replace) on a
+    fixture planted with the adversarial shapes: odd self-runs
+    ('aaaaa' — where the two-pass rule's [aa, a, aa] tie choice
+    differs from HF's priority applier), boundary-sharing chains
+    ('ababab'), and merged-symbol adjacency across rounds."""
+    import os
+
+    import duckdb
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    sf = tmp_path / "sf_bpe"
+    sf.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        os.symlink(f"{src}/{t}.parquet", sf / f"{t}.parquet")
+    toks = ["aaaaa", "ababab", "banana", "aa", "abab", "baaab", "xy"]
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT 1 AS doc_id, '{" ".join(toks)}' AS text,
+                 'xx' AS lang, 'synthetic' AS source, 1 AS label
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+    def reference(tokens, rounds):
+        ws = [" " + " ".join(t) + " " for t in tokens if len(t) >= 2]
+        out = []
+        prev_tot = sum(len(w.split()) for w in ws)
+        for r in range(1, rounds + 1):
+            counts = {}
+            for w in ws:
+                s = w.split()
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+            (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            ws = [w.replace(pat, rep).replace(pat, rep) for w in ws]
+            tot = sum(len(w.split()) for w in ws)
+            out.append((r, a, b, n, prev_tot - tot))
+            prev_tot = tot
+        return out
+
+    got = [
+        (r.round, r.pair_a, r.pair_b, r.pair_count, r.n_applied)
+        for r in QUERIES["bpe_learn_merges"].fn(spark, str(sf)).collect()
+    ]
+    assert got == reference(toks, 4), got

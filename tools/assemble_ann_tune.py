@@ -154,6 +154,34 @@ def main() -> None:
             }
         )
 
+    # r11b: residual-vs-raw IVF×PQ encode frontier (the encoding choice
+    # is a config, so its effect is MEASURED per round like every other
+    # ladder constant): same coarse quantizer, per-encoding codebooks,
+    # recall at the registered shortlist=200 and at the stressed 50.
+    from soccer_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    ivfpq_res = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where("vec_id < 10")
+        c = emb.where("vec_id >= 10")
+        n_probe = 16 if c.count() < 1024 else 12
+        row = {"sf_dir": sf, "n_probe": n_probe}
+        coarse = None
+        for res in (False, True):
+            models = None
+            for sl in (200, 50):
+                out, coarse, models = ivfpq_topk(
+                    q, c, k=5, shortlist=sl, n_centroids=16, n_probe=n_probe,
+                    m=16, n_codes=16, seed=42, coarse=coarse, models=models,
+                    residual=res,
+                )
+                mn, macro = recalls(q, c, out)
+                tag = "residual" if res else "raw"
+                row[f"{tag}_sl{sl}_min"] = mn
+                row[f"{tag}_sl{sl}_macro"] = macro
+        ivfpq_res.append(row)
+
     doc = {
         "metric": "ann_tune_frontier",
         "round": rnd,
@@ -166,12 +194,17 @@ def main() -> None:
             "overlap / -0.05 NDCG) and ivf_pq_trainer (per-query "
             "min/macro recall under the deterministic Lloyd trainer "
             "that replaced Spark ML in r11 — IVF floor 0.8, PQ floor "
-            "0.6, incremental floors 0.8/0.8)."
+            "0.6, incremental floors 0.8/0.8). r11b: "
+            "ivfpq_residual_frontier measures the residual-vs-raw "
+            "encode choice (same coarse quantizer, per-encoding "
+            "codebooks) at the registered shortlist=200 and the "
+            "stressed 50."
         ),
         "bitext_frontier": bitext,
         "banded_frontier": banded,
         "rrf_ann_gates": rrf,
         "ivf_pq_trainer": trainer,
+        "ivfpq_residual_frontier": ivfpq_res,
     }
     out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
     with open(out, "w") as fh:

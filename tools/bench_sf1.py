@@ -91,6 +91,13 @@ HEAVY = [
     "hybrid_retrieval_rrf_ann",
     "similarity_ivf_incremental",
     "similarity_ivfpq_recall",
+    # r11b: the residual IVF x PQ encode/serve, SemDeDup (kmeans assign
+    # + within-cell pair join whose k-ladder is the thing to watch at
+    # 10x data), and the 4-round BPE merge-learning loop (R full-corpus
+    # passes — linear per round by design)
+    "similarity_ivfpq_residual",
+    "semantic_dedup_semdedup",
+    "bpe_learn_merges",
     # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
     "kmeans_fixed_assign",
 ]
