@@ -890,6 +890,59 @@ def pq_rerank_topk(
     return out, models
 
 
+def fit_pq_codebooks(
+    cand: DataFrame,
+    coarse,
+    m: int,
+    n_codes: int,
+    sub: int,
+    seed: int = 42,
+    residual: bool = False,
+) -> list:
+    """Fit the m per-subspace PQ codebooks on a bounded sample of
+    ``cand`` (a (candidate_id, cv) frame of double arrays) — extracted
+    verbatim from the ivfpq_topk fit block so the index-build pipeline
+    and the registered query share one code path (the kmeans-trainer
+    discipline: byte-identical codebooks per corpus+config wherever
+    the fit runs). ``residual=True`` trains on the coarse residuals
+    (x − centroid[cell]) — codebooks must model what they will
+    encode."""
+    from .kmeans import fit_deterministic_kmeans
+
+    if residual:
+        # one narrow with_cell + zip_with pass over the training sample
+        centers = _centers_2d_sql(
+            [list(map(float, c)) for c in coarse.clusterCenters()]
+        )
+        cand = coarse.with_cell(cand, vec_col="cv").select(
+            "candidate_id",
+            F.expr(
+                f"zip_with(cv, element_at({centers}, cell + 1), "
+                "(a, b) -> a - b)"
+            ).alias("cv"),
+        )
+    subcols = [
+        F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)
+    ]
+    cand_sub = cand.select("candidate_id", *subcols)
+    target = 256 * n_codes
+    n_cand = cand.count()
+    base = cand_sub
+    if n_cand > target:
+        base = cand_sub.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
+    base = base.localCheckpoint(eager=True)  # one sample, m fits
+    return [
+        fit_deterministic_kmeans(
+            base.select("candidate_id", f"s{s}"),
+            k=n_codes,
+            n_iters=4,
+            id_col="candidate_id",
+            vec_col=f"s{s}",
+        )
+        for s in range(m)
+    ]
+
+
 def ivfpq_index(
     candidates: DataFrame,
     coarse,
@@ -1119,40 +1172,10 @@ def ivfpq_topk(
         cand = candidates.select(
             F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
         )
-        if residual:
-            # codebooks must model what they will encode: the coarse
-            # residuals — one narrow with_cell + zip_with pass over
-            # the (bounded) training sample
-            centers = _centers_2d_sql(
-                [list(map(float, c)) for c in coarse.clusterCenters()]
-            )
-            cand = coarse.with_cell(cand, vec_col="cv").select(
-                "candidate_id",
-                F.expr(
-                    f"zip_with(cv, element_at({centers}, cell + 1), "
-                    "(a, b) -> a - b)"
-                ).alias("cv"),
-            )
-        subcols = [
-            F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)
-        ]
-        cand_sub = cand.select("candidate_id", *subcols)
-        target = 256 * n_codes
-        n_cand = cand.count()
-        base = cand_sub
-        if n_cand > target:
-            base = cand_sub.sample(fraction=min(1.0, 1.2 * target / n_cand), seed=seed)
-        base = base.localCheckpoint(eager=True)  # one sample, m fits
-        models = [
-            fit_deterministic_kmeans(
-                base.select("candidate_id", f"s{s}"),
-                k=n_codes,
-                n_iters=4,
-                id_col="candidate_id",
-                vec_col=f"s{s}",
-            )
-            for s in range(m)
-        ]
+        models = fit_pq_codebooks(
+            cand, coarse, m=m, n_codes=n_codes, sub=sub, seed=seed,
+            residual=residual,
+        )
     index = ivfpq_index(
         candidates, coarse, models, id_col=id_col, vec_col=vec_col, residual=residual
     )

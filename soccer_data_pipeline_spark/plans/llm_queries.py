@@ -6317,7 +6317,8 @@ def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale via DeterministicKMeans.with_cell); the pair join is equi on the
 # learned cell, so pair work is Σ n_c² — bounded by scaling k with the
 # corpus (the paper holds cluster size ~constant; the ladder below is
-# that mechanism: k = 8 below 8192 rows, 32 at/above, mirrored by a
+# that mechanism: k = 8 below 8192 rows, 32 to 16383, 128 at/above —
+# cluster size stays a few hundred at every rung — mirrored by a
 # scalar subquery in the oracle so both engines derive the SAME k from
 # the data). CC is the three-tier operators/graph.dup_clusters; the
 # keeper window partitions by dup cluster (bounded groups), never
@@ -6332,7 +6333,14 @@ def kmeans_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
-_SEMDEDUP_K_LADDER = "CASE WHEN COUNT(*) >= 8192 THEN 32 ELSE 8 END"
+# hold within-cell pair work ~linear: cluster size ~n/k stays a few
+# hundred rows at every rung (8 → ~250 @2k, 32 → ~250 @8k, 128 →
+# ~160 @20k sf1) — the paper's constant-cluster-size discipline; the
+# oracle derives the SAME k from the data via this scalar subquery
+_SEMDEDUP_K_LADDER = (
+    "CASE WHEN COUNT(*) >= 16384 THEN 128 "
+    "WHEN COUNT(*) >= 8192 THEN 32 ELSE 8 END"
+)
 
 
 @register(
@@ -6437,7 +6445,8 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # corpus-size k ladder, mirrored by the oracle's scalar subquery —
     # the SemDeDup discipline of holding cluster size ~constant
-    k = 32 if emb.count() >= 8192 else 8
+    n = emb.count()
+    k = 128 if n >= 16384 else 32 if n >= 8192 else 8
 
     e = emb.select("vec_id", quantize_vec(F.col("embedding"), _KM_Q).alias("xq"))
     seeds = e.where(F.col("vec_id") < k).select(
