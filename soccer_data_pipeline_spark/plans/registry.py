@@ -104,12 +104,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lang_id_heuristic",
     "tfidf_tokens",
     "char_entropy_quality",
-    # dedup tiers (exact, MinHash+LSH, clusters, guaranteed-recall
-    # prefix-filter join; edit-distance ceded in r11 — see ledger)
+    # dedup tiers (exact, clusters-over-MinHash-pairs, guaranteed-recall
+    # prefix-filter join, SemDeDup; edit-distance ceded in r11a and the
+    # standalone MinHash pair list in r11b — see ledger: the CC query's
+    # oracle embeds the identical banded pair pipeline, so its hash
+    # still covers pair generation)
     "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
     "dedup_connected_clusters",
     "jaccard_prefix_join",
+    "semantic_dedup_semdedup",
     # rank statistics / experimentation (r8: spearman carries the
     # family's hard rows AND the value_bucketed_prefix_sum midrank path)
     "spearman_spend_balance",
@@ -255,6 +258,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # mmr_diverse_rerank (diversified re-rank — the retrieval-eval family's
 # first hard rows, whose exact micro-unit-long greedy fold also
 # hash-checks the single-shuffle in-row scoring path).
+# Round 11b: one swap — dedup_minhash_lsh_pairs ceded (its ENTIRE pair
+# pipeline — shingles, minhash signatures, banded bucket join, hot-
+# bucket cap, Jaccard threshold — is embedded verbatim in in-window
+# dedup_connected_clusters' plan AND oracle (_MINHASH_PAIRS_CTES), so
+# the CC hash already hard-checks pair generation; the standalone pair
+# list stays local-oracle + benched) for semantic_dedup_semdedup — the
+# SemDeDup family's first hard rows, which also give the deterministic
+# Lloyd assignment path (kmeans_fixed_assign stayed local in r10b) a
+# driver hash through the learned-cell blocking.
 # hybrid_retrieval_rrf_ann (new in r11, the production-legged RRF with
 # in-plan overlap/NDCG gates) sits local-oracle + benched next to its
 # in-window exact twin; its gates assert in-row at every sf, so the

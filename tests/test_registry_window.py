@@ -37,26 +37,34 @@ FAMILY_REPRESENTATIVES = {
     # r6b: restores the in-window text-quality rep (quality_score ceded r6a)
     "text_quality": "char_entropy_quality",
     "dedup_exact": "dedup_exact_documents",
-    "dedup_lsh": "dedup_minhash_lsh_pairs",
+    # r11b: dedup_minhash_lsh_pairs ceded its slot (registry.py ledger —
+    # the CC query's plan AND oracle embed the identical banded pair
+    # pipeline, so its hash still hard-checks shingles/signatures/
+    # band-join/Jaccard) for semantic_dedup_semdedup; the families that
+    # rode the pair list now ride the CC superset
+    "dedup_lsh": "dedup_connected_clusters",
     "dedup_cc": "dedup_connected_clusters",
     # r9: dedup_simhash_groups ceded its slot — sign-sketch band-join
     # mechanics are superset-exercised by the minhash + banded-embedding
     # window reps; SimHash stays local-oracle + benched
-    "dedup_simhash": "dedup_minhash_lsh_pairs",
+    "dedup_simhash": "dedup_connected_clusters",
     # r9: guaranteed-recall prefix-filtered exact set-similarity
     # (PPJoin family) gains the freed hard-signal slot
     "dedup_prefix_filter": "jaccard_prefix_join",
     # r8: ngram_jaccard_pairs ceded its slot — shingle-Jaccard semantics
     # are superset-exercised by the minhash tier (same shingles, same
     # Jaccard, approximated); exact-Jaccard stays local-oracle + benched
-    "dedup_ngram": "dedup_minhash_lsh_pairs",
+    "dedup_ngram": "dedup_connected_clusters",
     # r11: fuzzy_levenshtein_pairs ceded its slot (registry.py ledger —
     # character edit-distance blocking is the same length-bucket
     # equi-join mechanics the in-window MinHash/prefix tiers exercise;
     # the theta-join guard stays enforced by
     # test_fuzzy_levenshtein_equi_join) for mmr_diverse_rerank — the
     # diversification/eval family's first hard rows
-    "dedup_editdist": "dedup_minhash_lsh_pairs",
+    "dedup_editdist": "dedup_connected_clusters",
+    # r11b: SemDeDup (learned-cell semantic dedup on the deterministic
+    # Lloyd primitive) gains the freed hard-signal slot
+    "dedup_semantic": "semantic_dedup_semdedup",
     "retrieval_diversification": "mmr_diverse_rerank",
     # r8: rank statistics / experimentation family (VERDICT r7 #6)
     "rank_statistics": "spearman_spend_balance",
