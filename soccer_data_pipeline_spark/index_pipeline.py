@@ -45,11 +45,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.kmeans import DeterministicKMeans, fit_deterministic_kmeans
+from .operators.kmeans import DeterministicKMeans
 from .operators.similarity import (
     _as_double,
     brute_force_topk,
-    fit_pq_codebooks,
+    fit_ivfpq_quantizers,
     ivfpq_index,
     ivfpq_search,
 )
@@ -123,23 +123,19 @@ def run_ann_index_build(
     if probe is None:
         raise ValueError("run_ann_index_build: empty candidate frame")
     dim = len(probe["v"])
-    sub = dim // m
-    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
 
-    coarse = fit_deterministic_kmeans(
+    # the SAME fit (hyperparameters and all) the hash-checked registered
+    # queries run — quantizers persisted here are byte-identical to what
+    # ivfpq_topk would fit on this corpus+config
+    coarse, models = fit_ivfpq_quantizers(
         candidates,
-        k=n_centroids,
-        n_iters=4,
+        n_centroids=n_centroids,
+        m=m,
+        n_codes=n_codes,
+        seed=seed,
+        residual=residual,
         id_col=id_col,
         vec_col=vec_col,
-        sample_rows=256 * n_centroids,
-        seed=seed,
-    )
-    cand = candidates.select(
-        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    models = fit_pq_codebooks(
-        cand, coarse, m=m, n_codes=n_codes, sub=sub, seed=seed, residual=residual
     )
 
     index = ivfpq_index(

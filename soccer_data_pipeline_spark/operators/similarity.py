@@ -296,14 +296,7 @@ def _probe_cells(q: DataFrame, model, n_probe: int) -> DataFrame:
     per element (bit-identical dist2), but the lambda body
     parses/analyzes once: measured ~2× faster plan construction on
     the k=16 config."""
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    centers_2d = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(_lit_d(x) for x in c) + ")" for c in centroids
-        )
-        + ")"
-    )
+    centers_2d = _coarse_centers_sql(model)
     cell_arrays = F.expr(
         f"transform({centers_2d}, (cv, i) -> "
         "named_struct('cell', i, 'dist2', "
@@ -704,6 +697,13 @@ def _centers_2d_sql(centers: list[list[float]]) -> str:
     )
 
 
+def _coarse_centers_sql(model) -> str:
+    """The coarse quantizer's k×d centers as one SQL literal — the one
+    place the defensive float cast lives (legacy ML models return numpy
+    scalars from clusterCenters())."""
+    return _centers_2d_sql([list(map(float, c)) for c in model.clusterCenters()])
+
+
 def _rhat_sql(codebooks) -> str:
     """SQL text reconstructing the PQ-decoded vector from the row's
     ``code0..m-1``: per subspace, select the codeword from the constant
@@ -911,9 +911,7 @@ def fit_pq_codebooks(
 
     if residual:
         # one narrow with_cell + zip_with pass over the training sample
-        centers = _centers_2d_sql(
-            [list(map(float, c)) for c in coarse.clusterCenters()]
-        )
+        centers = _coarse_centers_sql(coarse)
         cand = coarse.with_cell(cand, vec_col="cv").select(
             "candidate_id",
             F.expr(
@@ -980,9 +978,7 @@ def ivfpq_index(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     if residual:
-        centers = _centers_2d_sql(
-            [list(map(float, c)) for c in coarse.clusterCenters()]
-        )
+        centers = _coarse_centers_sql(coarse)
         with_cell = coarse.with_cell(cand, vec_col="cv")
         rv = with_cell.withColumn(
             "rv",
@@ -1065,9 +1061,7 @@ def ivfpq_search(
     probed = _probe_cells(q, coarse, n_probe)
     adc = _adc_dot_expr(m)
     if residual:
-        centers = _centers_2d_sql(
-            [list(map(float, c)) for c in coarse.clusterCenters()]
-        )
+        centers = _coarse_centers_sql(coarse)
         probed = probed.withColumn(
             "qc",
             F.expr(
@@ -1114,6 +1108,60 @@ def ivfpq_search(
     )
 
 
+def fit_ivfpq_quantizers(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    seed: int = 42,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse=None,
+    models: list | None = None,
+    fit_sample_rows: int | None = None,
+):
+    """Fit whichever IVF×PQ quantizers are missing — THE single home
+    for the fit hyperparameters (n_iters=4, 256·k coarse sample,
+    256·n_codes codebook sample), shared by ``ivfpq_topk`` (what the
+    hash-checked registered queries run) and the index-build pipeline
+    (what production persists), so the two can never drift apart.
+    Returns (coarse, models)."""
+    from .kmeans import fit_deterministic_kmeans
+
+    if models is not None:
+        sub = len(models[0].clusterCenters()[0])
+    else:
+        probe = candidates.select(_as_double(F.col(vec_col)).alias("v")).first()
+        if probe is None:
+            raise ValueError(
+                "fit_ivfpq_quantizers: candidate frame is empty — pass "
+                "prefit models or a non-empty corpus"
+            )
+        dim = len(probe["v"])
+        sub = dim // m
+        assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    if coarse is None:
+        coarse = fit_deterministic_kmeans(
+            candidates,
+            k=n_centroids,
+            n_iters=4,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=fit_sample_rows or 256 * n_centroids,
+            seed=seed,
+        )
+    if models is None:
+        cand = candidates.select(
+            F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        models = fit_pq_codebooks(
+            cand, coarse, m=m, n_codes=n_codes, sub=sub, seed=seed,
+            residual=residual,
+        )
+    return coarse, models
+
+
 def ivfpq_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1143,39 +1191,19 @@ def ivfpq_topk(
     residuals end to end — the true FAISS IndexIVFPQ. Codebooks fit
     with ``residual=True`` only decode residual-encoded indexes (and
     vice versa); keep the two cached separately."""
-    from .kmeans import fit_deterministic_kmeans
-
-    if models is not None:
-        sub = len(models[0].clusterCenters()[0])
-        dim = sub * m
-    else:
-        probe = candidates.select(_as_double(F.col(vec_col)).alias("v")).first()
-        if probe is None:
-            raise ValueError(
-                "ivfpq_topk: candidate frame is empty — pass prefit "
-                "models or a non-empty corpus"
-            )
-        dim = len(probe["v"])
-        sub = dim // m
-        assert sub * m == dim, f"dim {dim} not divisible by m={m}"
-    if coarse is None:
-        coarse = fit_deterministic_kmeans(
-            candidates,
-            k=n_centroids,
-            n_iters=4,
-            id_col=id_col,
-            vec_col=vec_col,
-            sample_rows=fit_sample_rows or 256 * n_centroids,
-            seed=seed,
-        )
-    if models is None:
-        cand = candidates.select(
-            F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-        )
-        models = fit_pq_codebooks(
-            cand, coarse, m=m, n_codes=n_codes, sub=sub, seed=seed,
-            residual=residual,
-        )
+    coarse, models = fit_ivfpq_quantizers(
+        candidates,
+        n_centroids=n_centroids,
+        m=m,
+        n_codes=n_codes,
+        seed=seed,
+        residual=residual,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse=coarse,
+        models=models,
+        fit_sample_rows=fit_sample_rows,
+    )
     index = ivfpq_index(
         candidates, coarse, models, id_col=id_col, vec_col=vec_col, residual=residual
     )

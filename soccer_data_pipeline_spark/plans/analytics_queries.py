@@ -4861,13 +4861,19 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.a", "p.b")
         )
-        top = (
+        top_rows = (
             pairs.groupBy("a", "b")
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not top_rows:
+            # pair-exhausted corpus (every token fully merged): stop —
+            # the oracle's remaining m{r} CTEs are empty and contribute
+            # no rows, so both engines emit only the learned rounds
+            break
+        top = top_rows[0]
         pat = F.lit(f" {top.a} {top.b} ")
         rep = F.lit(f" {top.a}{top.b} ")
         w = w.select(

@@ -6454,7 +6454,12 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = assign_cells(e, seeds, out_col="c1")
     cent = lloyd_recompute(a1, e, cell_col="c1")
-    a2 = assign_cells(e, cent, out_col="cell", keep_dist=True)
+    # a2 feeds BOTH sides of the pair self-join plus the final keeper
+    # join — without materialization the whole 2-iteration Lloyd
+    # lineage re-executes ~3x (0 ReusedExchange; caught in r11b review)
+    a2 = assign_cells(e, cent, out_col="cell", keep_dist=True).localCheckpoint(
+        eager=True
+    )
 
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

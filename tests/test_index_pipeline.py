@@ -18,7 +18,10 @@ from soccer_data_pipeline_spark.index_pipeline import (
     run_ann_index_build,
     run_streaming_index_updates,
 )
-from soccer_data_pipeline_spark.operators.similarity import ivfpq_search
+from soccer_data_pipeline_spark.operators.similarity import (
+    ivfpq_index,
+    ivfpq_search,
+)
 from soccer_data_pipeline_spark.sources import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -104,13 +107,10 @@ def test_streaming_incremental_updates_equal_one_shot(spark, tmp_path):
     stored = load_ann_index(spark, out_dir)
     assert stored.count() == c.count()
 
+    # one-shot encode of the FULL corpus under the same quantizers
     one_shot = ivfpq_search(
         q,
-        # one-shot encode of the FULL corpus under the same quantizers
-        __import__(
-            "soccer_data_pipeline_spark.operators.similarity",
-            fromlist=["ivfpq_index"],
-        ).ivfpq_index(c, built.coarse, built.models, residual=True),
+        ivfpq_index(c, built.coarse, built.models, residual=True),
         c, built.coarse, built.models, k=5, shortlist=50, n_probe=4,
         residual=True,
     )

@@ -563,6 +563,8 @@ def test_bpe_learn_merges_matches_python_reference(spark, tmp_path):
                 s = w.split()
                 for i in range(len(s) - 1):
                     counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+            if not counts:  # pair-exhausted: both engines emit no more rounds
+                break
             (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             pat, rep = f" {a} {b} ", f" {a}{b} "
             ws = [w.replace(pat, rep).replace(pat, rep) for w in ws]
@@ -576,3 +578,39 @@ def test_bpe_learn_merges_matches_python_reference(spark, tmp_path):
         for r in QUERIES["bpe_learn_merges"].fn(spark, str(sf)).collect()
     ]
     assert got == reference(toks, 4), got
+
+    # pair-exhausted corpus: every token is 'ab', round 1 merges it all
+    # and rounds 2-4 have no pairs left — the Spark side must stop (the
+    # oracle's remaining m{r} CTEs are empty) and the differential must
+    # still hash-match on the 1-row result
+    sf2 = tmp_path / "sf_bpe_dry"
+    sf2.mkdir()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        os.symlink(f"{src}/{t}.parquet", sf2 / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT 1 AS doc_id, 'ab ab ab' AS text,
+                 'xx' AS lang, 'synthetic' AS source, 1 AS label
+        ) TO '{sf2}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    got2 = [
+        (r.round, r.pair_a, r.pair_b, r.pair_count, r.n_applied)
+        for r in QUERIES["bpe_learn_merges"].fn(spark, str(sf2)).collect()
+    ]
+    assert got2 == [(1, "a", "b", 3, 3)], got2
+    assert got2 == reference(["ab", "ab", "ab"], 4)
+    from tests.oracle_harness import compare
+
+    ok, msg = compare(
+        QUERIES["bpe_learn_merges"].fn(spark, str(sf2)),
+        QUERIES["bpe_learn_merges"].oracle,
+        str(sf2),
+    )
+    assert ok, msg
