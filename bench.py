@@ -219,6 +219,8 @@ HEADLINE = [
     "similarity_ivfpq_residual",
     "semantic_dedup_semdedup",
     "bpe_learn_merges",
+    "pass_at_k_eval",
+    "bradley_terry_rating",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

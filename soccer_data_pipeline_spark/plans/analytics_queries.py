@@ -4836,16 +4836,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     ).localCheckpoint(eager=True)
 
-    def _total(frame: DataFrame) -> int:
-        return frame.select(
-            F.sum(F.size(F.split(F.trim(F.col("w")), " "))).alias("t")
-        ).collect()[0]["t"]
-
-    prev_tot = _total(w)
-    merges: list[tuple] = []
-    for r in range(1, _BPE_LEARN_ROUNDS + 1):
+    def _pair_counts(frame: DataFrame) -> DataFrame:
+        """(a, b, n) global adjacent-pair counts of the working corpus
+        — ONE corpus pass, checkpointed because the round reads it
+        twice (argmax + total). The per-round symbol TOTAL also derives
+        from it (Σ size = Σ n + n_rows, rows never disappear), so the
+        old separate corpus-wide total pass is gone: 2 passes/round
+        (count + apply) instead of 3."""
         pairs = (
-            w.select(F.split(F.trim(F.col("w")), " ").alias("s"))
+            frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
             # a fully-merged token (one symbol) has no pairs; without
             # this filter Spark's sequence(0, size-2) DESCENDS for
             # size=1 and s[1] faults (DuckDB's GENERATE_SERIES(1, 0)
@@ -4861,10 +4860,22 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.a", "p.b")
         )
-        top_rows = (
+        return (
             pairs.groupBy("a", "b")
             .agg(F.count("*").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _total_pairs(counts: DataFrame) -> int:
+        row = counts.select(F.sum("n").alias("t")).collect()[0]
+        return int(row["t"] or 0)
+
+    counts = _pair_counts(w)
+    prev_pairs = _total_pairs(counts)
+    merges: list[tuple] = []
+    for r in range(1, _BPE_LEARN_ROUNDS + 1):
+        top_rows = (
+            counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
@@ -4879,9 +4890,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.select(
             F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w")
         ).localCheckpoint(eager=True)
-        tot = _total(w)
-        merges.append((r, top.a, top.b, int(top.n), int(prev_tot - tot)))
-        prev_tot = tot
+        counts = _pair_counts(w)
+        tot_pairs = _total_pairs(counts)
+        # Σ size = Σ pairs + n_rows with n_rows constant, so the
+        # symbol-count delta (merges applied) is the PAIR-count delta
+        merges.append((r, top.a, top.b, int(top.n), int(prev_pairs - tot_pairs)))
+        prev_pairs = tot_pairs
     return spark.createDataFrame(
         merges,
         "round int, pair_a string, pair_b string, "

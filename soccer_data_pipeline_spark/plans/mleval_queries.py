@@ -419,3 +419,261 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uncertainty"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k [beyond-ref] — the unbiased estimator from the HumanEval paper
+# (Chen et al. 2021, arXiv:2107.03374 §2.1): with n samples per task
+# and c of them correct, pass@k = 1 − C(n−c, k)/C(n, k), computed
+# stably as 1 − Π_{j=0..k−1} (n−c−j)/(n−j). The task/sample frame
+# derives deterministically from orders (task = o_custkey % 32, a
+# sample per order, correct ⇔ o_orderstatus = 'F'), so n ≥ 35 at
+# every sf and k ≤ 10 is always in range.
+#
+# Cross-engine exactness: n and c are exact int64 aggregates; each
+# product term is one correctly-rounded double division of integer
+# operands; the Π folds LEFT-TO-RIGHT over j in both engines (Spark
+# aggregate over sequence(0, k−1) vs DuckDB LIST_REDUCE over the same
+# generated list — LIST_REDUCE seeds with element 0, Spark with
+# 1.0·element 0, exactly equal), so the doubles agree bit-for-bit
+# before the final 6-dp round.
+#
+# Scale shape: ONE map-side-combined groupBy collapses orders to the
+# 32-row task frame; every pass@k is a k-bounded in-row fold. Zero
+# windows, zero joins.
+# ---------------------------------------------------------------------------
+
+_PASS_KS = (1, 5, 10)
+
+
+def _pass_at_k_sql(k: int) -> str:
+    return f"""
+  CASE WHEN c = 0 THEN 0.0
+       WHEN n - c < {k} THEN 1.0
+       ELSE ROUND(1.0 - LIST_REDUCE(
+              CAST(LIST_TRANSFORM(GENERATE_SERIES(0, {k} - 1),
+                   j -> CAST(n - c - j AS DOUBLE) / CAST(n - j AS DOUBLE))
+                   AS DOUBLE[]),
+              (a, b) -> a * b), 6)
+  END AS pass_at_{k}"""
+
+
+@register(
+    "pass_at_k_eval",
+    oracle=f"""
+WITH t AS (
+  SELECT o_custkey % 32 AS task_id,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c
+  FROM orders GROUP BY 1
+)
+SELECT task_id, CAST(n AS BIGINT) AS n_samples, CAST(c AS BIGINT) AS n_correct,
+{",".join(_pass_at_k_sql(k) for k in _PASS_KS)}
+FROM t
+""",
+    doc=(
+        "[beyond-ref] unbiased pass@k estimator (Chen et al. 2021): "
+        "1 - C(n-c,k)/C(n,k) as a left-to-right product fold, per "
+        "deterministic task bucket — the eval-tier metric for "
+        "sampled-generation benchmarks (SURVEY §2.10 eval tier)"
+    ),
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.groupBy((F.col("o_custkey") % 32).alias("task_id")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("c"),
+    )
+    cols = [
+        F.col("task_id"),
+        F.col("n").cast("long").alias("n_samples"),
+        F.col("c").cast("long").alias("n_correct"),
+    ]
+    for k in _PASS_KS:
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, j: acc
+            * ((F.col("n") - F.col("c") - j).cast("double")
+               / (F.col("n") - j).cast("double")),
+        )
+        cols.append(
+            F.when(F.col("c") == 0, F.lit(0.0))
+            .when(F.col("n") - F.col("c") < k, F.lit(1.0))
+            .otherwise(F.round(F.lit(1.0) - prod, 6))
+            .alias(f"pass_at_{k}")
+        )
+    return t.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference ratings [beyond-ref] — the pairwise-
+# preference model under RLHF reward-data pipelines, fit with two
+# unrolled minorization-maximization iterations (Hunter 2004):
+#
+#   s_i ← (W_i + ½) / ( Σ_j n_ij / (s_i + s_j)  +  1/(s_i + 1) )
+#
+# The ½ win and the virtual unit-rated opponent are the standard
+# pseudo-game regularization, keeping every rating strictly positive
+# (an all-losses player would otherwise hit 0 and the next iteration
+# would divide by s_i + s_j = 0).
+#
+# Comparisons derive deterministically from lineitem: for every order
+# with ≥ 2 lines, line 1's supplier bucket (l_suppkey % 16) plays
+# line 2's; earlier l_shipdate wins, date ties break to the smaller
+# bucket, self-pairs are dropped.
+#
+# Cross-engine exactness: W, N, n_ij are exact int64; iteration 1
+# closes to a single integer-operand division s1 = (2W+1)/(N+1) (with
+# s0 = 1 the pair sum is N/2 and the virtual term ½ — no float fold
+# at all); iteration 2's pair sum folds LEFT-TO-RIGHT over opponents
+# in ascending bucket order in both engines (sorted collect_list +
+# aggregate vs LIST(... ORDER BY) + LIST_REDUCE), so the doubles
+# agree bit-for-bit before the 6-dp round.
+#
+# Scale shape: comparisons collapse at the FIRST shuffle (groupBy
+# order key, ≤ 2 rows in); the rating frame is |buckets| = 16 rows;
+# iteration joins are 16×16 at most. At 100 TB the pattern holds:
+# pairwise counts are |entities|²-bounded, never comparison-bounded.
+# ---------------------------------------------------------------------------
+
+_BT_BUCKETS = 16
+
+
+@register(
+    "bradley_terry_rating",
+    oracle=f"""
+WITH two AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_linenumber = 1 THEN l_suppkey % {_BT_BUCKETS} END) AS e1,
+         MAX(CASE WHEN l_linenumber = 2 THEN l_suppkey % {_BT_BUCKETS} END) AS e2,
+         MAX(CASE WHEN l_linenumber = 1 THEN l_shipdate END) AS d1,
+         MAX(CASE WHEN l_linenumber = 2 THEN l_shipdate END) AS d2
+  FROM lineitem WHERE l_linenumber <= 2
+  GROUP BY l_orderkey
+),
+games AS (
+  SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e1 ELSE e2 END AS winner,
+         CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e2 ELSE e1 END AS loser
+  FROM two WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
+),
+pairs AS (
+  SELECT winner AS i, loser AS j, COUNT(*) AS n FROM games GROUP BY 1, 2
+),
+sym AS (
+  SELECT i, j, SUM(n) AS n_ij FROM (
+    SELECT i, j, n FROM pairs
+    UNION ALL
+    SELECT j AS i, i AS j, n FROM pairs
+  ) GROUP BY i, j
+),
+ent AS (
+  SELECT i AS entity,
+         SUM(n_ij) AS n_games,
+         COALESCE((SELECT SUM(n) FROM pairs p WHERE p.i = sym.i), 0) AS wins
+  FROM sym GROUP BY i
+),
+s1 AS (
+  SELECT entity, n_games, wins,
+         CAST(2 * wins + 1 AS DOUBLE) / CAST(n_games + 1 AS DOUBLE) AS s
+  FROM ent
+),
+terms AS (
+  SELECT a.entity,
+         LIST_REDUCE(
+           CAST(LIST(CAST(sym.n_ij AS DOUBLE) / (a.s + b.s) ORDER BY b.entity)
+                AS DOUBLE[]),
+           (x, y) -> x + y) AS pair_sum
+  FROM s1 a
+  JOIN sym ON sym.i = a.entity
+  JOIN s1 b ON b.entity = sym.j
+  GROUP BY a.entity
+)
+SELECT s1.entity, CAST(s1.n_games AS BIGINT) AS n_games,
+       CAST(s1.wins AS BIGINT) AS wins,
+       ROUND(s1.s, 6) AS rating_1,
+       ROUND((s1.wins + 0.5) / (terms.pair_sum + 1.0 / (s1.s + 1.0)), 6)
+         AS rating_2
+FROM s1 JOIN terms USING (entity)
+""",
+    doc=(
+        "[beyond-ref] Bradley-Terry preference ratings (Hunter 2004 MM, "
+        "2 unrolled regularized iterations) over deterministic pairwise "
+        "comparisons — the preference-model fit under RLHF reward-data "
+        "pipelines (SURVEY §2.10 eval tier)"
+    ),
+)
+def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    b = (F.col("l_suppkey") % _BT_BUCKETS)
+    two = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_linenumber") == 1, b)).alias("e1"),
+        F.max(F.when(F.col("l_linenumber") == 2, b)).alias("e2"),
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_shipdate"))).alias("d1"),
+        F.max(F.when(F.col("l_linenumber") == 2, F.col("l_shipdate"))).alias("d2"),
+    ).where(F.col("e1").isNotNull() & F.col("e2").isNotNull()
+            & (F.col("e1") != F.col("e2")))
+    first_wins = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("e1") < F.col("e2"))
+    )
+    games = two.select(
+        F.when(first_wins, F.col("e1")).otherwise(F.col("e2")).alias("winner"),
+        F.when(first_wins, F.col("e2")).otherwise(F.col("e1")).alias("loser"),
+    )
+    pairs = games.groupBy(
+        F.col("winner").alias("i"), F.col("loser").alias("j")
+    ).agg(F.count("*").alias("n"))
+    sym = (
+        pairs.select("i", "j", "n")
+        .unionAll(pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n_ij"))
+    )
+    wins = pairs.groupBy("i").agg(F.sum("n").alias("wins"))
+    ent = (
+        sym.groupBy("i")
+        .agg(F.sum("n_ij").alias("n_games"))
+        .join(wins, "i", "left")
+        .withColumn("wins", F.coalesce(F.col("wins"), F.lit(0)))
+    )
+    s1 = ent.withColumn(
+        "s",
+        (2 * F.col("wins") + 1).cast("double") / (F.col("n_games") + 1).cast("double"),
+    )
+    a = s1.select(F.col("i").alias("entity"), F.col("s").alias("sa"))
+    bb = s1.select(F.col("i").alias("j"), F.col("s").alias("sb"))
+    terms = (
+        sym.join(a, sym.i == a.entity)
+        .join(bb, "j")
+        .groupBy("entity")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j"),
+                            (F.col("n_ij").cast("double")
+                             / (F.col("sa") + F.col("sb"))).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e["t"],
+            ).alias("pair_sum")
+        )
+    )
+    return (
+        s1.select(F.col("i").alias("entity"), "n_games", "wins", "s")
+        .join(terms, "entity")
+        .select(
+            "entity",
+            F.col("n_games").cast("long").alias("n_games"),
+            F.col("wins").cast("long").alias("wins"),
+            F.round(F.col("s"), 6).alias("rating_1"),
+            F.round(
+                (F.col("wins") + 0.5)
+                / (F.col("pair_sum") + 1.0 / (F.col("s") + 1.0)),
+                6,
+            ).alias("rating_2"),
+        )
+    )

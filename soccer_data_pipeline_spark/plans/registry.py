@@ -287,6 +287,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # generated unrolled-CTE oracle) extends the text-analysis tier's
 # tokenizer family (bpe_pair_counts counts one round; this learns and
 # APPLIES the merges) — local-oracle + benched next to tfidf_tokens.
+# pass_at_k_eval and bradley_terry_rating (new in r11b) extend the
+# eval tier with the sampled-generation benchmark estimator and the
+# RLHF preference-model fit — local-oracle + benched next to the
+# auc/calibration family.
 
 
 def _ordered_names() -> list[str]:

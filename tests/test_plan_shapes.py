@@ -364,6 +364,10 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "similarity_ivfpq_residual",
         # r10b: argmin is a groupBy min(struct) — zero Window nodes
         "kmeans_fixed_assign",
+        # r11b: pass@k is one 32-row groupBy + in-row folds; BT rates
+        # a 16-entity frame with bounded joins — zero Window nodes
+        "pass_at_k_eval",
+        "bradley_terry_rating",
         # r11: SemDeDup's only window is the keeper rank inside
         # partitionBy(cluster_id) — dup groups, never the corpus
         "semantic_dedup_semdedup",

@@ -614,3 +614,90 @@ def test_bpe_learn_merges_matches_python_reference(spark, tmp_path):
         str(sf2),
     )
     assert ok, msg
+
+
+def test_pass_at_k_matches_comb_formula(spark):
+    """pass@k product fold vs the definitional C(n-c,k)/C(n,k) from
+    math.comb — independent recomputation at full double precision
+    (the product form must agree with the binomial form to well under
+    the 6-dp round for the data's n <= a few thousand)."""
+    import math
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["pass_at_k_eval"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 32
+    for r in rows:
+        n, c = r.n_samples, r.n_correct
+        for k in (1, 5, 10):
+            got = getattr(r, f"pass_at_{k}")
+            if c == 0:
+                expect = 0.0
+            elif n - c < k:
+                expect = 1.0
+            else:
+                expect = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+            assert abs(got - expect) < 5e-6, (n, c, k, got, expect)
+
+
+def test_bradley_terry_matches_python_mm_reference(spark):
+    """Two regularized MM iterations recomputed in plain Python from
+    the collected (entity, n_games, wins) frame plus the pair matrix —
+    verifies the rating algebra (including the virtual-opponent term
+    and the closed-form first iteration) independently of both SQL
+    engines, and the basic sanity that more wins at equal games never
+    rates lower after iteration 1."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.entity: r for r in QUERIES["bradley_terry_rating"].fn(spark, sf).collect()}
+
+    # rebuild the symmetric pair matrix the same way the query does
+    li = load_table(spark, sf, "lineitem").where("l_linenumber <= 2")
+    b = F.col("l_suppkey") % 16
+    two = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_linenumber") == 1, b)).alias("e1"),
+        F.max(F.when(F.col("l_linenumber") == 2, b)).alias("e2"),
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_shipdate"))).alias("d1"),
+        F.max(F.when(F.col("l_linenumber") == 2, F.col("l_shipdate"))).alias("d2"),
+    ).where("e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2")
+    games = [
+        (r.e1, r.e2) if (r.d1, r.e1) < (r.d2, r.e2) else (r.e2, r.e1)
+        for r in two.collect()
+    ]
+    n_ij: dict = {}
+    wins: dict = {}
+    for w_, l_ in games:
+        n_ij[(w_, l_)] = n_ij.get((w_, l_), 0) + 1
+        n_ij[(l_, w_)] = n_ij.get((l_, w_), 0) + 1
+        wins[w_] = wins.get(w_, 0) + 1
+    ents = sorted({e for pair in n_ij for e in pair})
+    n_games = {
+        e: sum(n for (i, _), n in n_ij.items() if i == e) for e in ents
+    }
+    s = {e: 1.0 for e in ents}
+    for _ in range(2):
+        new = {}
+        for e in ents:
+            denom = sum(
+                n_ij[(e, j)] / (s[e] + s[j])
+                for j in sorted(ents)
+                if (e, j) in n_ij
+            ) + 1.0 / (s[e] + 1.0)
+            new[e] = (wins.get(e, 0) + 0.5) / denom
+        s = new
+    for e in ents:
+        assert out[e].n_games == n_games[e]
+        assert out[e].wins == wins.get(e, 0)
+        assert abs(out[e].rating_2 - s[e]) < 5e-6, (e, out[e].rating_2, s[e])
+    # monotonicity after the closed-form first iteration
+    by_games: dict = {}
+    for e in ents:
+        by_games.setdefault(n_games[e], []).append(e)
+    for _, grp in by_games.items():
+        grp = sorted(grp, key=lambda e: wins.get(e, 0))
+        for lo, hi in zip(grp, grp[1:]):
+            assert out[lo].rating_1 <= out[hi].rating_1 + 1e-12
