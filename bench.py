@@ -221,6 +221,11 @@ HEADLINE = [
     "bpe_learn_merges",
     "pass_at_k_eval",
     "bradley_terry_rating",
+    # round-12 additions
+    "similarity_index_served",
+    "semantic_dedup_repair",
+    "winrate_trajectory",
+    "bpe_learn_merges_sampled",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with
@@ -900,6 +905,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "eval": EVAL_MODE,
+        # provenance (VERDICT r11 #6): BENCH_DETAIL is overwritten by
+        # EVERY bench run — the driver's post-round run included — so
+        # the committed canonical (an idle-machine run stamped
+        # canonical-idle) and a loaded-session driver overwrite are
+        # self-describing instead of a two-artifact trap. Idle runs set
+        # SPARK_GRAFT_BENCH_PROVENANCE=canonical-idle before committing.
+        "provenance": os.environ.get(
+            "SPARK_GRAFT_BENCH_PROVENANCE", "unattributed-session"
+        ),
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,

@@ -52,6 +52,7 @@ class CorpusBuildOutputs:
     selection: DataFrame | None = None  # budgeted-selection ledger (token_budget runs)
     leakage: DataFrame | None = None  # split-leakage actions (leakage_ngram runs)
     contamination: DataFrame | None = None  # decontamination actions (benchmark runs)
+    semantic: DataFrame | None = None  # SemDeDup actions (embeddings runs)
 
 
 def run_corpus_build(
@@ -64,6 +65,8 @@ def run_corpus_build(
     leakage_ngram: int | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 5,
+    embeddings: DataFrame | None = None,
+    semantic_tau: float = 0.35,
     selection: str = "quality",
     dsir_target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
     **clean_kwargs,
@@ -114,6 +117,18 @@ def run_corpus_build(
     stage for the ``benchmark_contamination`` audit, placed BEFORE
     selection so contaminated docs never consume token budget. The
     per-doc action ledger lands in ``outputs.contamination``.
+
+    ``embeddings`` (optional, r12 — VERDICT r11 #2) adds a SEMANTIC
+    DEDUP stage after decontamination: SemDeDup keeper/drop decisions
+    (operators/semdedup.semantic_actions — the code path the
+    ``semantic_dedup_repair`` differential hash-checks) over the KEPT
+    docs' embeddings, joined via the doc_id↔vec_id correspondence;
+    non-keeper dup-cluster members are dropped (folded into decisions
+    as ``drop_semantic``), placed BEFORE selection so semantic
+    duplicates never consume token budget. The per-doc action ledger
+    lands in ``outputs.semantic``. Post-action the corpus re-audits
+    clean under the same learned cell assignment (asserted end-to-end
+    in tests).
     """
     from .operators.corpus import (
         budget_select,
@@ -143,6 +158,28 @@ def run_corpus_build(
         decisions = decisions.join(dropped, "doc_id", "left").select(
             "doc_id",
             F.when(F.coalesce(F.col("_ct"), F.lit(False)), "drop_contaminated")
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+    semantic_df = None
+    if embeddings is not None:
+        from .operators.semdedup import semantic_actions
+
+        vecs = embeddings.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        semantic_df = semantic_actions(vecs, tau=semantic_tau).select(
+            F.col("vec_id").alias("doc_id"), "action"
+        )
+        dropped_sem = (
+            semantic_df.where(F.col("action") == "drop_semantic")
+            .select("doc_id")
+            .withColumn("_sd", F.lit(True))
+        )
+        kept = kept.join(dropped_sem, "doc_id", "left_anti")
+        decisions = decisions.join(dropped_sem, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.coalesce(F.col("_sd"), F.lit(False)), "drop_semantic")
             .otherwise(F.col("decision"))
             .alias("decision"),
         )
@@ -230,4 +267,5 @@ def run_corpus_build(
         selection=selection_df,
         leakage=leakage_df,
         contamination=contamination_df,
+        semantic=semantic_df,
     )

@@ -1,0 +1,200 @@
+"""[beyond-ref] SemDeDup as a reusable operator (Abbas et al. 2023,
+arXiv:2303.09540): cluster the embedding space with the deterministic
+Lloyd primitive, find within-cluster pairs whose cosine similarity
+exceeds a threshold, consolidate them into semantic-duplicate groups
+via connected components, and KEEP the member farthest from its
+cluster centroid (the paper's rule: the outlier carries the most
+marginal information; the near-centroid copies are redundant).
+
+Extracted from the registered ``semantic_dedup_semdedup`` differential
+(plans/llm_queries.py) in r12 so the corpus build can consume the SAME
+keeper/drop decisions as a ``drop_semantic`` reason (VERDICT r11 #2 —
+the audit→action pattern of the r9 leakage and r10 contamination
+closures). The registered query and the pipeline share this one code
+path, so the driver hash covers both.
+
+Scale shape (unchanged from the query): assignment is a broadcast-
+k-row pass; the pair join is equi on the learned cell, so pair work is
+Σ n_c² — bounded by the corpus-size k ladder holding cluster size
+~constant (the paper's discipline); CC is the three-tier
+``operators/graph.dup_clusters``; the keeper window partitions by dup
+cluster (bounded groups), never globally. At 100 TB: k ~ n/4096
+cells, per-cell blocks of ~4096 rows — embarrassingly parallel, no
+corpus-sized window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .graph import dup_clusters
+from .kmeans import GRID_Q, assign_cells, lloyd_recompute, quantize_vec
+
+# the established house near-dup band for this corpus family
+# (embedding_near_dup provenance: near-uniform random 64-d, max pair
+# cosine ~0.47 — 0.35 is the dup cut)
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_k(n: int) -> int:
+    """Corpus-size k ladder: hold within-cell pair work ~linear by
+    keeping cluster size ~n/k at a few hundred rows per rung —
+    mirrored by a scalar subquery in the DuckDB oracles so both
+    engines derive the SAME k from the data."""
+    return 128 if n >= 16384 else 32 if n >= 8192 else 8
+
+
+def semdedup_assign(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Two unrolled Lloyd iterations from the k smallest-id seeds →
+    (id, cell, dist_q2) with the exact int64 grid distance to the
+    final centroid. LocalCheckpointed: the assignment feeds BOTH sides
+    of the pair self-join plus the keeper/audit joins — without
+    materialization the whole Lloyd lineage re-executes ~3× (caught in
+    the r11b review).
+
+    Seeds are the k SMALLEST ids (a k-row ordered take) — on a dense
+    0..n-1 corpus identical to the original ``vec_id < k`` form, and
+    still exactly k seeds when the caller passes a FILTERED frame
+    (the corpus-build path, where cleaning may have dropped low ids).
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
+    )
+    a1 = assign_cells(e, seeds, out_col="c1")
+    cent = lloyd_recompute(a1, e, cell_col="c1")
+    return assign_cells(e, cent, out_col="cell", keep_dist=True).localCheckpoint(
+        eager=True
+    )
+
+
+def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return v.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def semdedup_pairs(
+    assigned: DataFrame,
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_a, doc_b) within-cell pairs with 6-dp cosine ≥ tau — the
+    cell-equi self-join whose cost the k ladder bounds."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    m = assigned.join(_with_norm(emb, id_col, vec_col), "vec_id")
+    a, b = m.alias("a"), m.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine >= tau)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+
+
+def semdedup_members(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Full SemDeDup member frame: (vec_id, cell, dist_q2, cluster_id,
+    cluster_size, is_keeper) — one row per semantic-dup-cluster MEMBER
+    (singletons never appear). ``assigned`` lets a caller that already
+    holds the checkpointed assignment reuse it."""
+    if k is None:
+        k = semdedup_k(emb.count())
+    a2 = assigned if assigned is not None else semdedup_assign(
+        emb, k, id_col=id_col, vec_col=vec_col
+    )
+    pairs = semdedup_pairs(a2, emb, tau=tau, id_col=id_col, vec_col=vec_col)
+    cc = dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+    out = cc.join(a2, "vec_id")
+    # SemDeDup keeper: the member FARTHEST from its centroid (exact
+    # int64 dist_q2), ties to the smaller id; window partitions by dup
+    # cluster — bounded groups, never a global window
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("dist_q2"), F.asc("vec_id"))
+    return out.select(
+        "vec_id", "cell", "dist_q2", "cluster_id", "cluster_size"
+    ).withColumn("is_keeper", F.row_number().over(w) == F.lit(1))
+
+
+def semantic_actions(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    audit: bool = False,
+) -> DataFrame:
+    """Per-vector SemDeDup ACTION ledger — the action stage the corpus
+    build consumes (``run_corpus_build(embeddings=...)``): (vec_id,
+    action) over EVERY input vector, action ∈ {keep, drop_semantic}
+    (drop = a dup-cluster member that is not its cluster's keeper).
+
+    ``audit=True`` appends a ``post_audit_clean`` column: the pair
+    detection RE-RUN over the kept set under the SAME cell assignment
+    finds zero pairs. Clean by construction when the keeper rule is
+    correct (every pair lies within one CC cluster; each cluster keeps
+    exactly one member), so the column is a hash-checkable invariant
+    of the implementation, not of the data. Scope: the guarantee is
+    under the same assignment — REclustering the reduced corpus from
+    scratch may learn different cells and surface different pairs.
+    """
+    a2 = semdedup_assign(
+        emb, semdedup_k(emb.count()), id_col=id_col, vec_col=vec_col
+    )
+    members = semdedup_members(
+        emb, tau=tau, id_col=id_col, vec_col=vec_col, assigned=a2
+    )
+    drops = members.where(~F.col("is_keeper")).select("vec_id").withColumn(
+        "_d", F.lit(True)
+    )
+    actions = (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.coalesce(F.col("_d"), F.lit(False)), "drop_semantic")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
+    if not audit:
+        return actions
+    kept_assigned = a2.join(drops, "vec_id", "left_anti")
+    audit_pairs = semdedup_pairs(
+        kept_assigned, emb, tau=tau, id_col=id_col, vec_col=vec_col
+    )
+    gate = audit_pairs.agg(
+        (F.count("*") == 0).alias("post_audit_clean")
+    )
+    return actions.crossJoin(F.broadcast(gate))

@@ -907,9 +907,18 @@ def fit_pq_codebooks(
     the fit runs). ``residual=True`` trains on the coarse residuals
     (x − centroid[cell]) — codebooks must model what they will
     encode."""
-    from .kmeans import fit_deterministic_kmeans
+    from .kmeans import DeterministicKMeans, fit_deterministic_kmeans
 
     if residual:
+        if not isinstance(coarse, DeterministicKMeans):
+            # the legacy Spark-ML KMeansModel path (supported for raw
+            # encoding via transform()) has no with_cell/grid-center
+            # contract; failing loudly beats an AttributeError mid-plan
+            raise ValueError(
+                "residual encoding requires a DeterministicKMeans coarse "
+                "quantizer (legacy Spark-ML KMeansModel quantizers only "
+                "support residual=False)"
+            )
         # one narrow with_cell + zip_with pass over the training sample
         centers = _coarse_centers_sql(coarse)
         cand = coarse.with_cell(cand, vec_col="cv").select(
@@ -971,6 +980,14 @@ def ivfpq_index(
     ``chat_norm`` stores ‖chat‖ so search normalizes the same way;
     everything stays a per-row fold over persisted constants (the
     ``add`` contract is unchanged)."""
+    from .kmeans import DeterministicKMeans
+
+    if residual and not isinstance(coarse, DeterministicKMeans):
+        raise ValueError(
+            "residual encoding requires a DeterministicKMeans coarse "
+            "quantizer (legacy Spark-ML KMeansModel quantizers only "
+            "support residual=False)"
+        )
     codebooks = _pq_codebooks(models)
     m = len(codebooks)
     sub = len(codebooks[0][0])

@@ -4814,6 +4814,59 @@ FROM m{r}, t{r - 1}, t{r}"""
     return "WITH " + ",".join(parts) + "\nUNION ALL".join(selects)
 
 
+def _bpe_working_corpus(docs: DataFrame) -> DataFrame:
+    """Token frame → single-space symbol encoding (' a b c ' with
+    bounding spaces), checkpointed — the working corpus both BPE
+    learners iterate on."""
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") >= 2
+    )
+    return tok.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("token", ""), " "), F.lit(" ")
+        ).alias("w")
+    ).localCheckpoint(eager=True)
+
+
+def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
+    """(a, b, n) global adjacent-pair counts of the working corpus
+    — ONE corpus pass, checkpointed because the round reads it
+    twice (argmax + total). The per-round symbol TOTAL also derives
+    from it (Σ size = Σ n + n_rows, rows never disappear), so the
+    old separate corpus-wide total pass is gone: 2 passes/round
+    (count + apply) instead of 3."""
+    pairs = (
+        frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
+        # a fully-merged token (one symbol) has no pairs; without
+        # this filter Spark's sequence(0, size-2) DESCENDS for
+        # size=1 and s[1] faults (DuckDB's GENERATE_SERIES(1, 0)
+        # is empty, so only this side needs the guard)
+        .where(F.size("s") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2), "
+                    "i -> struct(s[i] AS a, s[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_apply_expr(col, a: str, b: str):
+    """The cross-engine-exact merge application: TWO passes of literal
+    leftmost-nonoverlapping replace (see the block comment above)."""
+    pat = F.lit(f" {a} {b} ")
+    rep = F.lit(f" {a}{b} ")
+    return F.replace(F.replace(col, pat, rep), pat, rep)
+
+
 @register(
     "bpe_learn_merges",
     oracle=_bpe_learn_oracle(_BPE_LEARN_ROUNDS),
@@ -4827,44 +4880,8 @@ FROM m{r}, t{r - 1}, t{r}"""
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
-        F.length("token") >= 2
-    )
-    w = tok.select(
-        F.concat(
-            F.lit(" "), F.array_join(F.split("token", ""), " "), F.lit(" ")
-        ).alias("w")
-    ).localCheckpoint(eager=True)
-
-    def _pair_counts(frame: DataFrame) -> DataFrame:
-        """(a, b, n) global adjacent-pair counts of the working corpus
-        — ONE corpus pass, checkpointed because the round reads it
-        twice (argmax + total). The per-round symbol TOTAL also derives
-        from it (Σ size = Σ n + n_rows, rows never disappear), so the
-        old separate corpus-wide total pass is gone: 2 passes/round
-        (count + apply) instead of 3."""
-        pairs = (
-            frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
-            # a fully-merged token (one symbol) has no pairs; without
-            # this filter Spark's sequence(0, size-2) DESCENDS for
-            # size=1 and s[1] faults (DuckDB's GENERATE_SERIES(1, 0)
-            # is empty, so only this side needs the guard)
-            .where(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s) - 2), "
-                        "i -> struct(s[i] AS a, s[i + 1] AS b))"
-                    )
-                ).alias("p")
-            )
-            .select("p.a", "p.b")
-        )
-        return (
-            pairs.groupBy("a", "b")
-            .agg(F.count("*").alias("n"))
-            .localCheckpoint(eager=True)
-        )
+    w = _bpe_working_corpus(docs)
+    _pair_counts = _bpe_pair_counts
 
     def _total_pairs(counts: DataFrame) -> int:
         row = counts.select(F.sum("n").alias("t")).collect()[0]
@@ -4885,10 +4902,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no rows, so both engines emit only the learned rounds
             break
         top = top_rows[0]
-        pat = F.lit(f" {top.a} {top.b} ")
-        rep = F.lit(f" {top.a}{top.b} ")
         w = w.select(
-            F.replace(F.replace(F.col("w"), pat, rep), pat, rep).alias("w")
+            _bpe_apply_expr(F.col("w"), top.a, top.b).alias("w")
         ).localCheckpoint(eager=True)
         counts = _pair_counts(w)
         tot_pairs = _total_pairs(counts)
@@ -4898,6 +4913,160 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_pairs = tot_pairs
     return spark.createDataFrame(
         merges,
+        "round int, pair_a string, pair_b string, "
+        "pair_count bigint, n_applied bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning, SAMPLED (r12, VERDICT r11 #3/#4 of the next-round
+# list: "give BPE a scale story") — the production split the kmeans
+# trainer already models (fit on a bounded deterministic sample, apply
+# distributed):
+#
+# - LEARN on the _BPE_SAMPLE_ROWS docs with the smallest md5(doc_id)
+#   (an ordered take — deterministic, engine-portable, and BOUNDED: at
+#   100 TB the learn loop's per-round pair count runs over a CONSTANT
+#   ~2k-doc working set, so R rounds cost O(R · sample), not
+#   O(R · corpus)).
+# - APPLY the learned merge table to the FULL corpus in ONE narrow
+#   pass: the R merges chain as nested two-pass replaces inside a
+#   single projection (per-round n_applied totals fall out of the same
+#   pass as R+1 symbol-count sums) — vs the unsampled learner's R
+#   corpus rewrites.
+#
+# The 4-round unsampled `bpe_learn_merges` stays registered as the
+# correctness audit of the learn loop itself (identical loop, corpus =
+# sample); this form is the one whose cost survives a 32k-merge
+# production vocabulary: learn scales with merges × sample, apply
+# stays one pass with a deeper expression chain (or a scan-chain of
+# ~R/64 passes when expression depth caps out — a constant-factor
+# knob, never a per-merge corpus rewrite).
+# ---------------------------------------------------------------------------
+
+_BPE_SAMPLE_ROWS = 2048
+
+
+def _bpe_sampled_oracle(rounds: int) -> str:
+    """Generated unrolled-CTE oracle: the learn chain (p/m/w CTEs) runs
+    on the md5-ordered bounded sample; the apply chain (f/g CTEs)
+    replays the learned merges over the FULL corpus for the n_applied
+    totals."""
+    sym = (
+        "SELECT ' ' || ARRAY_TO_STRING(regexp_split_to_array(token, ''), ' ')"
+        " || ' ' AS w"
+    )
+    parts = [
+        f"""
+sdocs AS (
+  SELECT text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_BPE_SAMPLE_ROWS}
+),
+tok AS (
+  SELECT token FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM sdocs
+  ) WHERE LENGTH(token) >= 2
+),
+w0 AS ({sym} FROM tok),
+ftok AS (
+  SELECT token FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) WHERE LENGTH(token) >= 2
+),
+f0 AS ({sym} FROM ftok),
+g0 AS (SELECT SUM(LEN(STRING_SPLIT(TRIM(w), ' '))) AS tot FROM f0)"""
+    ]
+    rep = (
+        "REPLACE(REPLACE(w, ' ' || m.a || ' ' || m.b || ' ',"
+        " ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ',"
+        " ' ' || m.a || m.b || ' ')"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, COUNT(*) AS n
+  FROM (SELECT STRING_SPLIT(TRIM(w), ' ') AS s FROM w{r - 1}),
+       UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+w{r} AS (SELECT {rep} AS w FROM w{r - 1} CROSS JOIN m{r} m),
+f{r} AS (SELECT {rep} AS w FROM f{r - 1} CROSS JOIN m{r} m),
+g{r} AS (SELECT SUM(LEN(STRING_SPLIT(TRIM(w), ' '))) AS tot FROM f{r})"""
+        )
+    selects = [
+        f"""
+SELECT {r} AS round, m{r}.a AS pair_a, m{r}.b AS pair_b,
+       CAST(m{r}.n AS BIGINT) AS pair_count,
+       CAST(g{r - 1}.tot - g{r}.tot AS BIGINT) AS n_applied
+FROM m{r}, g{r - 1}, g{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",".join(parts) + "\nUNION ALL".join(selects)
+
+
+@register(
+    "bpe_learn_merges_sampled",
+    oracle=_bpe_sampled_oracle(_BPE_LEARN_ROUNDS),
+    doc=(
+        "[beyond-ref] BPE vocabulary induction at production shape: "
+        "merges learned on a bounded deterministic sample (smallest-"
+        "md5 ordered take), then applied to the FULL corpus in one "
+        "narrow chained-replace pass with per-round application counts "
+        "— the learn-on-sample / apply-distributed split "
+        "(SURVEY §2.10 text-analysis tier)"
+    ),
+)
+def bpe_learn_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = docs.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).limit(_BPE_SAMPLE_ROWS)
+    w = _bpe_working_corpus(sliced.select("text"))
+    counts = _bpe_pair_counts(w)
+    merges: list[tuple] = []
+    for r in range(1, _BPE_LEARN_ROUNDS + 1):
+        top_rows = (
+            counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        top = top_rows[0]
+        merges.append((r, top.a, top.b, int(top.n)))
+        if r < _BPE_LEARN_ROUNDS:
+            w = w.select(
+                _bpe_apply_expr(F.col("w"), top.a, top.b).alias("w")
+            ).localCheckpoint(eager=True)
+            counts = _bpe_pair_counts(w)
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "round int, pair_a string, pair_b string, "
+            "pair_count bigint, n_applied bigint",
+        )
+    # distributed APPLY: one narrow pass over the full corpus — the R
+    # merges chain as nested expressions; the R+1 symbol totals (hence
+    # every per-round n_applied) come out of the same single job
+    full = _bpe_working_corpus(docs)
+    expr = F.col("w")
+    sizes = [F.size(F.split(F.trim(expr), " ")).cast("long").alias("t0")]
+    for i, (_, a, b, _n) in enumerate(merges, start=1):
+        expr = _bpe_apply_expr(expr, a, b)
+        sizes.append(F.size(F.split(F.trim(expr), " ")).cast("long").alias(f"t{i}"))
+    tot = (
+        full.select(*sizes)
+        .agg(*[F.sum(f"t{i}").alias(f"t{i}") for i in range(len(sizes))])
+        .collect()[0]
+    )
+    rows = [
+        (r, a, b, n, int(tot[f"t{i - 1}"] - tot[f"t{i}"]))
+        for i, (r, a, b, n) in enumerate(merges, start=1)
+    ]
+    return spark.createDataFrame(
+        rows,
         "round int, pair_a string, pair_b string, "
         "pair_count bigint, n_applied bigint",
     )

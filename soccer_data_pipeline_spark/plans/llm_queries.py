@@ -14,6 +14,8 @@ for 100 TB scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1397,6 +1399,111 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exact"),
         (F.sum("hit") >= 0.6 * F.count("*")).alias("recall_ok"),
     )
+
+
+# persisted-index build cache for similarity_index_served: sf_dir →
+# (out_dir, coarse, models). Built ONCE per (process, corpus) into a
+# temp directory; repeat calls (and bench repeats) serve from the same
+# persisted artifacts — the production build-once/serve-many contract.
+_ANN_INDEX_BUILDS: dict = {}
+
+
+@register(
+    "similarity_index_served",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS served_matches_memory
+FROM topk
+GROUP BY query_id
+""",
+    doc=(
+        "[beyond-ref] production ANN serving contract: IVF x PQ search "
+        "over the PERSISTED index_pipeline artifacts (parquet codes + "
+        "JSON quantizers read from disk), gated in-plan on per-query "
+        "recall >= 0.8 AND row-identity with the in-memory index "
+        "(SURVEY §2.10 similarity tier)"
+    ),
+)
+def similarity_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index serving path as a hard signal (VERDICT r11
+    #1): ``run_ann_index_build`` once per (process, corpus) into a
+    temp directory, then EVERY search in this plan reads the index
+    parquet and the kilobyte JSON quantizers from disk through
+    ``ann_index_search`` — the `_IVF_QUANTIZERS` process-dict warm path
+    plays no part. Config matches ``similarity_ivfpq_residual``
+    (16 cells / m=16 / 16 codes / residual / seed 42, probe ladder,
+    shortlist 200), so the measured recall provenance carries over
+    (min-per-query 1.0/1.0/0.80 at sf0.001/0.01/0.1).
+
+    Two in-plan gates, both literally TRUE in the oracle:
+
+    - recall_ok: per-query recall >= 0.8 vs exact top-5 — serving from
+      disk must not cost recall vs the hash-checked in-memory forms.
+    - served_matches_memory: the disk-served top-5 is ROW-IDENTICAL
+      (query, rank) → candidate to a search over an in-memory encode
+      under the same quantizers — the round-trip contract
+      ``test_index_pipeline`` asserts, now hash-checked by the driver
+      at every sf.
+
+    Scale shape: the index is code-sized parquet partitionable by
+    cell; search cost is the ivfpq_search shape (probed-cell ADC over
+    8-byte codes, shortlist-only exact re-rank); the build runs once
+    per corpus and amortizes across queries exactly as in production.
+    """
+    import tempfile
+
+    from ..index_pipeline import ann_index_search, run_ann_index_build
+    from ..operators.similarity import ivfpq_index, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    n_probe = 16 if c.count() < 1024 else 12
+
+    cached = _ANN_INDEX_BUILDS.get(sf_dir)
+    if cached is None or not os.path.isdir(os.path.join(cached[0], "index")):
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_index_")
+        built = run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True,
+            seed=42,
+        )
+        cached = (out_dir, built.coarse, built.models)
+        _ANN_INDEX_BUILDS[sf_dir] = cached
+    out_dir, coarse, models = cached
+
+    served = ann_index_search(
+        q, c, out_dir, k=5, shortlist=200, n_probe=n_probe
+    )
+    mem = ivfpq_search(
+        q, ivfpq_index(c, coarse, models, residual=True), c, coarse, models,
+        k=5, shortlist=200, n_probe=n_probe, residual=True,
+    )
+    match_gate = (
+        served.select("query_id", "rn", F.col("candidate_id").alias("s_cand"))
+        .join(
+            mem.select("query_id", "rn", F.col("candidate_id").alias("m_cand")),
+            ["query_id", "rn"],
+            "full_outer",
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_cand") == F.col("m_cand"), 1).otherwise(0)
+                )
+                == F.count("*")
+            ).alias("served_matches_memory")
+        )
+    )
+
+    j = _ann_recall_frame(
+        spark, sf_dir, lambda qq, cc: served
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
+    )
+    return per_q.crossJoin(F.broadcast(match_gate))
 
 
 # ---------------------------------------------------------------------------
@@ -6343,9 +6450,12 @@ _SEMDEDUP_K_LADDER = (
 )
 
 
-@register(
-    "semantic_dedup_semdedup",
-    oracle=f"""
+# Shared oracle CTE chain for the SemDeDup family: two unrolled Lloyd
+# iterations (recursive CTE only for the CC reachability), within-cell
+# cosine pairs, CC labels, members, and the keeper ranking. The
+# differential query selects `ranked` directly; the repair query maps
+# it to per-doc actions (r12, VERDICT r11 #2).
+_SEMDEDUP_CTES = f"""
 WITH RECURSIVE e AS (
   SELECT vec_id,
          LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
@@ -6420,15 +6530,26 @@ labels AS (
 members AS (
   SELECT l.vec_id, a2.cell, a2.dist_q2, l.cluster_id
   FROM labels l JOIN a2 USING (vec_id)
+),
+ranked AS (
+  SELECT m.vec_id, m.cell, m.dist_q2, m.cluster_id,
+         CAST(s.cs AS BIGINT) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.cluster_id ORDER BY m.dist_q2 DESC, m.vec_id
+         ) = 1 AS is_keeper
+  FROM members m
+  JOIN (SELECT cluster_id, COUNT(*) AS cs FROM members GROUP BY cluster_id) s
+    USING (cluster_id)
 )
-SELECT m.vec_id, m.cell, m.dist_q2, m.cluster_id,
-       CAST(s.cs AS BIGINT) AS cluster_size,
-       ROW_NUMBER() OVER (
-         PARTITION BY m.cluster_id ORDER BY m.dist_q2 DESC, m.vec_id
-       ) = 1 AS is_keeper
-FROM members m
-JOIN (SELECT cluster_id, COUNT(*) AS cs FROM members GROUP BY cluster_id) s
-  USING (cluster_id)
+"""
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle=_SEMDEDUP_CTES
+    + """
+SELECT vec_id, cell, dist_q2, cluster_id, cluster_size, is_keeper
+FROM ranked
 """,
     doc=(
         "[beyond-ref] SemDeDup semantic deduplication (arXiv:2303.09540): "
@@ -6439,62 +6560,47 @@ JOIN (SELECT cluster_id, COUNT(*) AS cs FROM members GROUP BY cluster_id) s
     ),
 )
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import dup_clusters
-    from ..operators.kmeans import assign_cells, lloyd_recompute, quantize_vec
+    # r12: the pipeline moved to operators/semdedup.py so the corpus
+    # build consumes the SAME keeper/drop decisions (drop_semantic) —
+    # this query is now the hash-checked twin of that shared code path
+    from ..operators.semdedup import semdedup_members
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # corpus-size k ladder, mirrored by the oracle's scalar subquery —
-    # the SemDeDup discipline of holding cluster size ~constant
-    n = emb.count()
-    k = 128 if n >= 16384 else 32 if n >= 8192 else 8
+    return semdedup_members(emb, tau=_SEMDEDUP_TAU)
 
-    e = emb.select("vec_id", quantize_vec(F.col("embedding"), _KM_Q).alias("xq"))
-    seeds = e.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
-    )
-    a1 = assign_cells(e, seeds, out_col="c1")
-    cent = lloyd_recompute(a1, e, cell_col="c1")
-    # a2 feeds BOTH sides of the pair self-join plus the final keeper
-    # join — without materialization the whole 2-iteration Lloyd
-    # lineage re-executes ~3x (0 ReusedExchange; caught in r11b review)
-    a2 = assign_cells(e, cent, out_col="cell", keep_dist=True).localCheckpoint(
-        eager=True
-    )
 
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    v = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    v = v.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    m = a2.join(v, "vec_id")
-    a, b = m.alias("a"), m.alias("b")
-    cosine = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cosine >= _SEMDEDUP_TAU)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
-    )
-    cc = dup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
-    )
-    out = cc.join(a2, "vec_id")
-    # SemDeDup keeper: the member FARTHEST from its centroid (exact
-    # int64 dist_q2), ties to the smaller id; window partitions by dup
-    # cluster — bounded groups, never a global window
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("dist_q2"), F.asc("vec_id")
-    )
-    return out.select(
-        "vec_id", "cell", "dist_q2", "cluster_id", "cluster_size"
-    ).withColumn("is_keeper", F.row_number().over(w) == F.lit(1))
+@register(
+    "semantic_dedup_repair",
+    oracle=_SEMDEDUP_CTES
+    + """
+SELECT e.vec_id,
+       CASE WHEN r.vec_id IS NOT NULL AND NOT r.is_keeper
+            THEN 'drop_semantic' ELSE 'keep' END AS action,
+       TRUE AS post_audit_clean
+FROM e LEFT JOIN ranked r USING (vec_id)
+""",
+    doc=(
+        "[beyond-ref] SemDeDup repair: per-vector keep/drop_semantic "
+        "action ledger (drop = dup-cluster member that is not its "
+        "cluster's keeper), with the post-action audit — pair detection "
+        "re-run over the kept set under the same cell assignment finds "
+        "zero pairs — asserted in-plan (SURVEY §2.10 training-data tier)"
+    ),
+)
+def semantic_dedup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION stage of the SemDeDup audit (VERDICT r11 #2 — the
+    r9-leakage / r10-contamination audit→action pattern, closed for
+    the semantic tier): exactly what
+    ``corpus_pipeline.run_corpus_build(embeddings=...)`` consumes
+    (operators/semdedup.semantic_actions), emitted per vector with the
+    in-plan post-audit gate (literally TRUE in the oracle, so a broken
+    keeper rule hard-fails the driver hash).
+
+    Scale shape: see the operator — assignment is the broadcast-k-row
+    checkpointed pass, both pair joins are cell-equi under the k
+    ladder, and the action join carries only (vec_id, flag) rows.
+    """
+    from ..operators.semdedup import semantic_actions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_actions(emb, tau=_SEMDEDUP_TAU, audit=True)

@@ -539,11 +539,12 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BT_BUCKETS = 16
 
-
-@register(
-    "bradley_terry_rating",
-    oracle=f"""
-WITH two AS (
+# Shared comparison derivation for the preference-eval family
+# (bradley_terry_rating + winrate_trajectory): line 1's supplier bucket
+# plays line 2's per order; earlier l_shipdate wins, date ties break to
+# the smaller bucket; game month = the earlier ship date's month.
+_BT_GAMES_CTES = f"""
+two AS (
   SELECT l_orderkey,
          MAX(CASE WHEN l_linenumber = 1 THEN l_suppkey % {_BT_BUCKETS} END) AS e1,
          MAX(CASE WHEN l_linenumber = 2 THEN l_suppkey % {_BT_BUCKETS} END) AS e2,
@@ -554,9 +555,40 @@ WITH two AS (
 ),
 games AS (
   SELECT CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e1 ELSE e2 END AS winner,
-         CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e2 ELSE e1 END AS loser
+         CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e2 ELSE e1 END AS loser,
+         STRFTIME(LEAST(d1, d2), '%Y-%m') AS game_month
   FROM two WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
-),
+)
+"""
+
+
+def _bt_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(winner, loser, game_month) comparison frame — the Spark twin of
+    ``_BT_GAMES_CTES``; comparisons collapse at the FIRST shuffle
+    (groupBy order key, ≤ 2 rows in)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    b = (F.col("l_suppkey") % _BT_BUCKETS)
+    two = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_linenumber") == 1, b)).alias("e1"),
+        F.max(F.when(F.col("l_linenumber") == 2, b)).alias("e2"),
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_shipdate"))).alias("d1"),
+        F.max(F.when(F.col("l_linenumber") == 2, F.col("l_shipdate"))).alias("d2"),
+    ).where(F.col("e1").isNotNull() & F.col("e2").isNotNull()
+            & (F.col("e1") != F.col("e2")))
+    first_wins = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("e1") < F.col("e2"))
+    )
+    return two.select(
+        F.when(first_wins, F.col("e1")).otherwise(F.col("e2")).alias("winner"),
+        F.when(first_wins, F.col("e2")).otherwise(F.col("e1")).alias("loser"),
+        F.date_format(F.least("d1", "d2"), "yyyy-MM").alias("game_month"),
+    )
+
+
+@register(
+    "bradley_terry_rating",
+    oracle=f"""
+WITH {_BT_GAMES_CTES.strip()},
 pairs AS (
   SELECT winner AS i, loser AS j, COUNT(*) AS n FROM games GROUP BY 1, 2
 ),
@@ -604,22 +636,7 @@ FROM s1 JOIN terms USING (entity)
     ),
 )
 def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
-    b = (F.col("l_suppkey") % _BT_BUCKETS)
-    two = li.groupBy("l_orderkey").agg(
-        F.max(F.when(F.col("l_linenumber") == 1, b)).alias("e1"),
-        F.max(F.when(F.col("l_linenumber") == 2, b)).alias("e2"),
-        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_shipdate"))).alias("d1"),
-        F.max(F.when(F.col("l_linenumber") == 2, F.col("l_shipdate"))).alias("d2"),
-    ).where(F.col("e1").isNotNull() & F.col("e2").isNotNull()
-            & (F.col("e1") != F.col("e2")))
-    first_wins = (F.col("d1") < F.col("d2")) | (
-        (F.col("d1") == F.col("d2")) & (F.col("e1") < F.col("e2"))
-    )
-    games = two.select(
-        F.when(first_wins, F.col("e1")).otherwise(F.col("e2")).alias("winner"),
-        F.when(first_wins, F.col("e2")).otherwise(F.col("e1")).alias("loser"),
-    )
+    games = _bt_games(spark, sf_dir)
     pairs = games.groupBy(
         F.col("winner").alias("i"), F.col("loser").alias("j")
     ).agg(F.count("*").alias("n"))
@@ -676,4 +693,93 @@ def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rating_2"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Win-rate trajectory [beyond-ref] (VERDICT r11 #8) — the temporal axis
+# of the preference-eval tier: per entity, the month-by-month cumulative
+# win record over the SAME deterministic comparisons Bradley-Terry fits
+# on, plus the Laplace-smoothed running rating (wins+1)/(games+2) — the
+# simple posterior-mean strength estimate a reward-data dashboard
+# tracks between full BT refits.
+#
+# Cross-engine exactness: per-month wins/games are exact int64; the
+# cumulatives are int64 window sums over the entity-bounded month frame;
+# the two ratios are single integer-operand double divisions before the
+# 6-dp round — no float folds at all.
+#
+# Scale shape: comparisons collapse at the FIRST shuffle (the shared
+# _bt_games order-key groupBy), then again to the |entities| × |months|
+# frame (16 × ~85 rows here) at the second; the trajectory window
+# partitions by entity over that BOUNDED frame — never over raw
+# comparisons. At 100 TB the pattern holds: trajectory state is
+# entities × time-buckets, not comparison-bounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winrate_trajectory",
+    oracle=f"""
+WITH {_BT_GAMES_CTES.strip()},
+per AS (
+  SELECT entity, game_month,
+         CAST(COUNT(*) AS BIGINT) AS n_games,
+         CAST(SUM(win) AS BIGINT) AS n_wins
+  FROM (
+    SELECT winner AS entity, game_month, 1 AS win FROM games
+    UNION ALL
+    SELECT loser AS entity, game_month, 0 AS win FROM games
+  ) GROUP BY entity, game_month
+)
+SELECT entity, game_month, n_games, n_wins,
+       CAST(SUM(n_games) OVER w AS BIGINT) AS cum_games,
+       CAST(SUM(n_wins) OVER w AS BIGINT) AS cum_wins,
+       ROUND(CAST(SUM(n_wins) OVER w AS DOUBLE)
+             / CAST(SUM(n_games) OVER w AS DOUBLE), 6) AS winrate_cum,
+       ROUND(CAST(SUM(n_wins) OVER w + 1 AS DOUBLE)
+             / CAST(SUM(n_games) OVER w + 2 AS DOUBLE), 6) AS rating_smoothed
+FROM per
+WINDOW w AS (PARTITION BY entity ORDER BY game_month)
+""",
+    doc=(
+        "[beyond-ref] win-rate-over-time trajectory per entity over the "
+        "Bradley-Terry comparison stream: monthly win record, cumulative "
+        "win rate, Laplace-smoothed running rating — the preference-eval "
+        "tier's temporal axis (SURVEY §2.10 eval tier)"
+    ),
+)
+def winrate_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    games = _bt_games(spark, sf_dir)
+    per = (
+        games.select(
+            F.col("winner").alias("entity"), "game_month", F.lit(1).alias("win")
+        )
+        .unionAll(
+            games.select(
+                F.col("loser").alias("entity"), "game_month", F.lit(0).alias("win")
+            )
+        )
+        .groupBy("entity", "game_month")
+        .agg(
+            F.count("*").cast("long").alias("n_games"),
+            F.sum("win").cast("long").alias("n_wins"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("game_month")
+    cg = F.sum("n_games").over(w).cast("long")
+    cw = F.sum("n_wins").over(w).cast("long")
+    return per.select(
+        "entity",
+        "game_month",
+        "n_games",
+        "n_wins",
+        cg.alias("cum_games"),
+        cw.alias("cum_wins"),
+        F.round(cw.cast("double") / cg.cast("double"), 6).alias("winrate_cum"),
+        F.round(
+            (cw + 1).cast("double") / (cg + 2).cast("double"), 6
+        ).alias("rating_smoothed"),
     )

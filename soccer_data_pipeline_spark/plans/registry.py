@@ -100,9 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bounded_topk rank path; triangles/k-core stay local)
     "pagerank_suppliers",
     # text analysis (char entropy carries the quality family's hard
-    # rows since quality_score ceded in r6a; fingerprints stay local)
+    # rows since quality_score ceded in r6a; fingerprints stay local;
+    # tfidf_tokens ceded in r12 — idf-weighted term scoring is
+    # hash-checked in-window by hybrid_retrieval_rrf_ann's lexical leg,
+    # token-count mechanics by explode_tokens)
     "lang_id_heuristic",
-    "tfidf_tokens",
     "char_entropy_quality",
     # dedup tiers (exact, clusters-over-MinHash-pairs, guaranteed-recall
     # prefix-filter join, SemDeDup; edit-distance ceded in r11a and the
@@ -114,15 +116,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "jaccard_prefix_join",
     "semantic_dedup_semdedup",
     # rank statistics / experimentation (r8: spearman carries the
-    # family's hard rows AND the value_bucketed_prefix_sum midrank path)
+    # family's hard rows AND the value_bucketed_prefix_sum midrank
+    # path; r12: Bradley-Terry gives the eval/preference-rating tier
+    # its first hard rows — ordered-fold MM iterations)
     "spearman_spend_balance",
+    "bradley_terry_rating",
     # similarity search (LSH-blocked near-dup, ANN recall gate) and
-    # retrieval fusion (r10b: RRF carries the postings-join lexical leg
-    # plus the dense leg in one hard-signal query; r11: MMR gives the
-    # diversification/eval family its first hard rows)
+    # retrieval fusion (r12: the production ANN-legged RRF carries the
+    # hard rows — its oracle embeds the exact-legged fusion AND the
+    # NDCG audit, and its in-plan gates hard-fail on ANN degradation;
+    # the exact-legged form ceded per the bitext precedent; r11: MMR
+    # gives the diversification/eval family its first hard rows)
     "embedding_near_dup_banded",
     "similarity_ann_recall",
-    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_rrf_ann",
     "mmr_diverse_rerank",
     # multimodal
     "multimodal_binary_stats",
@@ -291,6 +298,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # eval tier with the sampled-generation benchmark estimator and the
 # RLHF preference-model fit — local-oracle + benched next to the
 # auc/calibration family.
+# Round 12: two swaps (VERDICT r11 #3). (1) hybrid_retrieval_rrf ceded
+# for hybrid_retrieval_rrf_ann — the production path takes the hard
+# rows (the bitext precedent); nothing is lost: the ANN form's oracle
+# embeds the IDENTICAL exact-legged fusion CTEs (_RRF_FUSED_CTE_SQL)
+# as its audit side, so exact fusion mechanics keep a hard hash, and
+# the in-plan overlap/NDCG gates make ANN degradation hash-fatal.
+# (2) tfidf_tokens ceded (idf-weighted term scoring is hash-checked
+# in-window by rrf_ann's lexical leg — the same log(N/df) weighting
+# over the same explode-distinct postings; token-count mechanics ride
+# in-window explode_tokens; tfidf stays local-oracle + benched) for
+# bradley_terry_rating — the eval tier's first hard rows (VERDICT r11
+# #3's second ask), whose ordered-fold MM iterations also hash-check
+# the sorted-collect_list/aggregate float-determinism idiom.
+# similarity_index_served (new in r12, the persisted-index serving
+# contract: reads index parquet + JSON quantizers from disk, gated on
+# recall AND row-identity with the in-memory encode) and
+# semantic_dedup_repair (new in r12, the SemDeDup audit→action ledger
+# with the post-audit-clean gate, consumed by run_corpus_build) sit
+# local-oracle + benched next to their in-window family reps
+# (similarity_ann_recall / semantic_dedup_semdedup).
 
 
 def _ordered_names() -> list[str]:

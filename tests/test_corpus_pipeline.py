@@ -265,6 +265,64 @@ def test_decontamination_drops_benchmark_overlap(spark):
     assert post.where("action = 'drop_contaminated'").count() == 0
 
 
+def test_semantic_dedup_drops_fold_into_decisions(spark):
+    """r12 audit→action closure for SemDeDup (VERDICT r11 #2): with an
+    embeddings frame, non-keeper dup-cluster members drop as
+    'drop_semantic', the decisions↔corpus reconciliation holds
+    unconditionally with the new reason, the action set agrees with
+    the shared operator run standalone on the same kept set, and the
+    post-action corpus re-audits clean under the same cell assignment
+    (the semantic_dedup_repair gate, asserted here end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.semdedup import (
+        semantic_actions,
+        semdedup_assign,
+        semdedup_k,
+        semdedup_pairs,
+    )
+
+    docs = _docs(spark)
+    emb = load_table(spark, SF, "embeddings")
+    out = run_corpus_build(docs, embeddings=emb)
+    dropped = {
+        r.doc_id for r in out.semantic.collect() if r.action == "drop_semantic"
+    }
+    assert dropped, "fixture has no semantic dup clusters"
+    corpus_ids = {r.doc_id for r in out.corpus.collect()}
+    assert corpus_ids.isdisjoint(dropped)
+    dec = {r.doc_id: r.decision for r in out.decisions.collect()}
+    assert {d for d, v in dec.items() if v == "drop_semantic"} == dropped
+    # reconciliation invariant: corpus count == decisions keep count
+    assert {d for d, v in dec.items() if v == "keep"} == corpus_ids
+
+    # agreement with the shared operator on the same (clean-kept) set
+    clean_kept = docs.join(
+        out.decisions.where(
+            F.col("decision").isin("keep", "drop_semantic")
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    vecs = emb.join(
+        clean_kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    standalone = {
+        r.vec_id
+        for r in semantic_actions(vecs).collect()
+        if r.action == "drop_semantic"
+    }
+    assert standalone == dropped
+
+    # post-action audit: zero within-cell pairs among survivors under
+    # the SAME learned assignment
+    a2 = semdedup_assign(vecs, semdedup_k(vecs.count()))
+    kept_assigned = a2.join(
+        out.corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    assert semdedup_pairs(kept_assigned, vecs).count() == 0
+
+
 def test_verbatim_overlap_caught_where_minhash_misses(spark):
     """Golden (VERDICT r8 #3): two otherwise-unrelated docs sharing one
     >= 31-char verbatim quote (the winnowing k+2w-1 two-fingerprint

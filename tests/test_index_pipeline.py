@@ -15,6 +15,7 @@ from soccer_data_pipeline_spark.index_pipeline import (
     ann_index_search,
     load_ann_index,
     load_ann_quantizers,
+    rebalance_cell,
     run_ann_index_build,
     run_streaming_index_updates,
 )
@@ -153,3 +154,133 @@ def test_raw_encoding_config_round_trip(spark, tmp_path):
     got = ann_index_search(q, c, d_raw, k=5, shortlist=50, n_probe=4)
     per_q = got.groupBy("query_id").count().collect()
     assert len(per_q) == 10 and all(r["count"] == 5 for r in per_q)
+
+
+def test_rebalance_cell_splits_hot_cell_and_serves(spark, tmp_path):
+    """Index lifecycle (VERDICT r11 #5): splitting the manifest-argmax
+    cell grows the coarse quantizer by one, re-encodes ONLY that cell's
+    members, preserves every candidate, measurably improves the max
+    cell share, and the post-rebalance recall audit (served from the
+    rewritten disk artifacts) passes its floor on every query."""
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    # n_centroids=4 concentrates enough rows per cell for a visible split
+    run_ann_index_build(c, out_dir, n_centroids=4, m=16, n_codes=8,
+                        residual=True)
+    before, after, audit = rebalance_cell(
+        spark, c, out_dir, audit_queries=q, n_probe=4, shortlist=200,
+    )
+    b = {r.cell: r.n_vectors for r in before.collect()}
+    a = {r.cell: r.n_vectors for r in after.collect()}
+    hot = max(b, key=lambda x: (b[x], -x))
+    assert sum(a.values()) == sum(b.values()) == c.count()
+    # quantizer grew by one and the config stamp tracks it
+    coarse2, _, config2 = load_ann_quantizers(out_dir)
+    assert len(coarse2.centers_q) == 5 and config2["n_centroids"] == 5
+    # the hot cell's load strictly decreased (its members now spread
+    # over sub-cells {hot, 4} — and possibly others, by re-assignment)
+    assert a.get(hot, 0) < b[hot]
+    assert max(a.values()) <= max(b.values())
+    # recall audit from the rewritten artifacts: floor holds per query
+    rows = audit.collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not r.recall_ok]
+    assert not bad, f"post-rebalance recall below floor for {bad}"
+    # serving still returns k rows per query through the same surface
+    got = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=4)
+    per_q = got.groupBy("query_id").count().collect()
+    assert len(per_q) == 10 and all(r["count"] == 5 for r in per_q)
+
+
+def test_residual_requires_deterministic_kmeans(spark):
+    """ADVICE r11: a legacy (non-DeterministicKMeans) coarse quantizer
+    on the residual paths raises a descriptive ValueError up front, not
+    an AttributeError mid-plan."""
+    import pytest
+
+    from soccer_data_pipeline_spark.operators.similarity import (
+        fit_pq_codebooks,
+    )
+
+    _, c = _sides(spark)
+    cand = c.select("vec_id", F.col("embedding"))
+
+    class FakeLegacyModel:  # stands in for a pre-r11 Spark-ML KMeansModel
+        pass
+
+    with pytest.raises(ValueError, match="residual encoding requires"):
+        fit_pq_codebooks(
+            cand.select(
+                F.col("vec_id").alias("candidate_id"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+            ),
+            FakeLegacyModel(), m=16, n_codes=8, sub=4, residual=True,
+        )
+    with pytest.raises(ValueError, match="residual encoding requires"):
+        ivfpq_index(c, FakeLegacyModel(), models=[], residual=True)
+
+
+def test_streaming_rejects_mis_dimensioned_batch(spark, tmp_path):
+    """ADVICE r11: a batch whose vectors do not match the persisted
+    config dim fails the stream loudly instead of appending corrupt
+    codes."""
+    import pytest
+
+    _, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+
+    src = str(tmp_path / "incoming")
+    bad = c.limit(3).select(
+        "vec_id", "label", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    bad.write.parquet(src)
+    before = load_ann_index(spark, out_dir).count()
+    with pytest.raises(Exception, match="dim 32 != persisted index dim 64"):
+        run_streaming_index_updates(
+            spark, src, out_dir, str(tmp_path / "ckpt"),
+            schema=spark.read.parquet(src).schema,
+        )
+    # nothing corrupt was appended
+    assert load_ann_index(spark, out_dir).count() == before
+
+
+def test_registered_query_serves_from_persisted_index(spark):
+    """similarity_index_served (VERDICT r11 #1): the registered query's
+    physical plan reads the index PARQUET from the persisted build dir
+    — the serving contract is disk artifacts, not the in-process
+    quantizer warm cache — and both in-plan gates are TRUE."""
+    from soccer_data_pipeline_spark.plans import llm_queries
+
+    out = llm_queries.similarity_index_served(spark, SF)
+    rows = out.collect()
+    assert rows and all(r.recall_ok and r.served_matches_memory for r in rows)
+
+    out_dir = llm_queries._ANN_INDEX_BUILDS[SF][0]
+    assert os.path.isdir(os.path.join(out_dir, "index"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert out_dir in plan, "plan does not scan the persisted index dir"
+
+
+def test_loader_dedup_is_deterministic_on_changed_rows(spark, tmp_path):
+    """ADVICE r11: out-of-contract re-stream of an existing id with a
+    CHANGED embedding — the loader keeps ONE deterministic row (max
+    code-struct) across repeated reads, not an arbitrary-per-scan row."""
+    _, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    built = run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+
+    # append a conflicting encode of an existing id (embedding reversed)
+    changed = c.limit(1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    ivfpq_index(changed, built.coarse, built.models).write.mode(
+        "append"
+    ).parquet(os.path.join(out_dir, "index"))
+
+    rows1 = {r.candidate_id: r for r in load_ann_index(spark, out_dir).collect()}
+    rows2 = {r.candidate_id: r for r in load_ann_index(spark, out_dir).collect()}
+    assert len(rows1) == c.count()
+    assert {k: tuple(v) for k, v in rows1.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }

@@ -371,6 +371,19 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # r11: SemDeDup's only window is the keeper rank inside
         # partitionBy(cluster_id) — dup groups, never the corpus
         "semantic_dedup_semdedup",
+        # r12: the repair shares the SemDeDup operator (same windows);
+        # its audit gate is aggregation-only
+        "semantic_dedup_repair",
+        # r12: persisted-index serving — search windows partition by
+        # query_id; the match gate folds over <= queries x k rows
+        "similarity_index_served",
+        # r12: trajectory windows partition by entity over the bounded
+        # entity x month frame (corpus collapses at the first shuffle)
+        "winrate_trajectory",
+        # r12: sampled learn is the same loop over a bounded ordered
+        # take; the distributed apply is one narrow chained-replace
+        # projection — no windows at all
+        "bpe_learn_merges_sampled",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

@@ -701,3 +701,47 @@ def test_bradley_terry_matches_python_mm_reference(spark):
         grp = sorted(grp, key=lambda e: wins.get(e, 0))
         for lo, hi in zip(grp, grp[1:]):
             assert out[lo].rating_1 <= out[hi].rating_1 + 1e-12
+
+
+def test_winrate_trajectory_final_row_matches_bradley_terry(spark):
+    """Cross-query invariant: each entity's LAST cumulative trajectory
+    row must reproduce bradley_terry_rating's (n_games, wins) — the two
+    queries derive from the shared _bt_games comparisons — and the
+    cumulative columns must be non-decreasing with exact ratio columns."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bt = {r.entity: r for r in QUERIES["bradley_terry_rating"].fn(spark, sf).collect()}
+    rows = QUERIES["winrate_trajectory"].fn(spark, sf).collect()
+    by_ent: dict = {}
+    for r in rows:
+        by_ent.setdefault(r.entity, []).append(r)
+    assert set(by_ent) == set(bt)
+    for e, rs in by_ent.items():
+        rs.sort(key=lambda r: r.game_month)
+        cg = cw = 0
+        for r in rs:
+            cg += r.n_games
+            cw += r.n_wins
+            assert (r.cum_games, r.cum_wins) == (cg, cw)
+            assert abs(r.winrate_cum - round(cw / cg, 6)) < 1e-9
+            assert abs(r.rating_smoothed - round((cw + 1) / (cg + 2), 6)) < 1e-9
+        assert rs[-1].cum_games == bt[e].n_games
+        assert rs[-1].cum_wins == bt[e].wins
+
+
+def test_bpe_sampled_equals_unsampled_when_sample_covers_corpus(spark):
+    """At sf0.001 the bounded sample (2048 smallest-md5 docs) IS the
+    whole 500-doc corpus, so the sampled learner's merge table —
+    including the full-corpus n_applied totals computed through the
+    one-pass chained apply — must equal the unsampled learner's row
+    for row. Verifies the chained-replace apply against the per-round
+    rewrite independently of the SQL oracles."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["bpe_learn_merges"].fn(spark, sf).collect()))
+    b = sorted(
+        map(tuple, QUERIES["bpe_learn_merges_sampled"].fn(spark, sf).collect())
+    )
+    assert a == b and len(a) == 4

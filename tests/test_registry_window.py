@@ -33,7 +33,9 @@ FAMILY_REPRESENTATIVES = {
     "sliding_window": "sessionize_events",
     "sequence_markov": "event_transition_matrix",
     "lang_id": "lang_id_heuristic",
-    "tfidf": "tfidf_tokens",
+    # r12: tfidf_tokens ceded its slot (registry.py ledger) — idf-
+    # weighted term scoring is hash-checked by rrf_ann's lexical leg
+    "tfidf": "hybrid_retrieval_rrf_ann",
     # r6b: restores the in-window text-quality rep (quality_score ceded r6a)
     "text_quality": "char_entropy_quality",
     "dedup_exact": "dedup_exact_documents",
@@ -74,8 +76,12 @@ FAMILY_REPRESENTATIVES = {
     "similarity_ann": "similarity_ann_recall",
     # r10b: the IVF rep ceded its slot (ANN-recall family keeps
     # similarity_ann_recall; IVF stays local-oracle + benched) for the
-    # retrieval-fusion family — registry.py slot ledger
-    "retrieval_fusion": "hybrid_retrieval_rrf",
+    # retrieval-fusion family — registry.py slot ledger. r12: the
+    # production ANN-legged form took the hard rows (its oracle embeds
+    # the exact-legged fusion as the audit side)
+    "retrieval_fusion": "hybrid_retrieval_rrf_ann",
+    # r12: the eval/preference-rating tier's first hard rows
+    "eval_rating": "bradley_terry_rating",
     "multimodal": "multimodal_binary_stats",
     "split": "train_val_test_split",
     # sampling: stratified_sample_docs ceded its slot in r3c — the
@@ -93,9 +99,10 @@ FAMILY_REPRESENTATIVES = {
     "corpus_clean": "corpus_clean_decisions",
     # r10: latest_version_per_key ceded — top-1-per-key hard rows ride
     # topk_orders_per_customer; token_count_bpe ceded — token counting
-    # rides tfidf_tokens' explode-count path
+    # rides the explode-count path (r12: explode_tokens, after
+    # tfidf_tokens ceded)
     "version_sort": "topk_orders_per_customer",
-    "token_count": "tfidf_tokens",
+    "token_count": "explode_tokens",
     # r10: the r9 training-data families gain hard-signal slots
     "leakage_audit": "split_ngram_leakage",
     "budget_selection": "corpus_budget_select",

@@ -100,6 +100,14 @@ HEAVY = [
     "bpe_learn_merges",
     # r10b: the k-means recompute shuffle (dim x corpus exact-long sums)
     "kmeans_fixed_assign",
+    # r12: the persisted-index serving contract (build-once amortizes,
+    # search scales with probed cells), the SemDeDup action ledger
+    # (same pair joins + the kept-set re-audit), and the sampled BPE
+    # learner — the scale claim IS the thing to measure: learn cost
+    # constant (bounded sample), apply one corpus pass
+    "similarity_index_served",
+    "semantic_dedup_repair",
+    "bpe_learn_merges_sampled",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
