@@ -226,6 +226,7 @@ HEADLINE = [
     "semantic_dedup_repair",
     "winrate_trajectory",
     "bpe_learn_merges_sampled",
+    "cohens_kappa_raters",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -783,3 +783,88 @@ def winrate_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cw + 1).cast("double") / (cg + 2).cast("double"), 6
         ).alias("rating_smoothed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa [beyond-ref] — inter-rater agreement, the labeler-QA
+# metric of an RLHF annotation pipeline (two annotators rate the same
+# items; kappa corrects raw agreement for chance). Raters derive
+# deterministically from orders: rater A flags o_orderstatus = 'F',
+# rater B flags o_orderpriority in ('1-URGENT', '2-HIGH').
+#
+# Exactness: the whole statistic reduces to ONE double division of
+# int64 operands — with marginal products as exact integer numerators,
+#   kappa = (n·(n00+n11) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))
+# (n² fits int64 to n ≈ 3·10⁹ rated items; promote to DECIMAL past
+# that, the house note). po/pe are emitted as their own single
+# divisions for the dashboard columns.
+#
+# Scale shape: ONE map-side-combined aggregate collapses the corpus to
+# four confusion cells; everything after is constant-size arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohens_kappa_raters",
+    oracle="""
+WITH r AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS b
+  FROM orders
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n00, n01, n10, n11,
+       ROUND(CAST(n00 + n11 AS DOUBLE) / n, 6) AS po,
+       ROUND(CAST((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) AS DOUBLE)
+             / (n * n), 6) AS pe,
+       ROUND(CAST(n * (n00 + n11) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+             / CAST(n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE), 6) AS kappa
+FROM c
+""",
+    doc=(
+        "[beyond-ref] Cohen's kappa inter-rater agreement between two "
+        "deterministic raters over orders — chance-corrected agreement "
+        "as one exact-int64 numerator/denominator pair and a single "
+        "double division (SURVEY §2.10 eval tier)"
+    ),
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    b = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    c = orders.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    a1 = F.col("n11") + F.col("n10")
+    b1 = F.col("n11") + F.col("n01")
+    a0 = F.col("n00") + F.col("n01")
+    b0 = F.col("n00") + F.col("n10")
+    pe_num = a1 * b1 + a0 * b0
+    n = F.col("n")
+    return c.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round((F.col("n00") + F.col("n11")).cast("double") / n, 6).alias("po"),
+        F.round(pe_num.cast("double") / (n * n), 6).alias("pe"),
+        F.round(
+            (n * (F.col("n00") + F.col("n11")) - pe_num).cast("double")
+            / (n * n - pe_num).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -384,6 +384,8 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # take; the distributed apply is one narrow chained-replace
         # projection — no windows at all
         "bpe_learn_merges_sampled",
+        # r12: kappa is one map-side-combined agg to 4 confusion cells
+        "cohens_kappa_raters",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

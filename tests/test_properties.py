@@ -745,3 +745,35 @@ def test_bpe_sampled_equals_unsampled_when_sample_covers_corpus(spark):
         map(tuple, QUERIES["bpe_learn_merges_sampled"].fn(spark, sf).collect())
     )
     assert a == b and len(a) == 4
+
+
+def test_cohens_kappa_matches_python_definition(spark):
+    """Recompute kappa from the collected rater columns with the
+    textbook float definition (po − pe)/(1 − pe) — verifies the
+    integer-numerator algebra independently of both SQL engines."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["cohens_kappa_raters"].fn(spark, sf).collect()[0]
+    rows = load_table(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    pairs = [
+        (
+            1 if r.o_orderstatus == "F" else 0,
+            1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0,
+        )
+        for r in rows
+    ]
+    n = len(pairs)
+    n11 = sum(1 for a, b in pairs if a and b)
+    n10 = sum(1 for a, b in pairs if a and not b)
+    n01 = sum(1 for a, b in pairs if not a and b)
+    n00 = n - n11 - n10 - n01
+    assert (out.n, out.n00, out.n01, out.n10, out.n11) == (n, n00, n01, n10, n11)
+    po = (n00 + n11) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert abs(out.kappa - kappa) < 1e-6
+    assert abs(out.po - po) < 1e-6 and abs(out.pe - pe) < 1e-6
