@@ -182,6 +182,51 @@ def main() -> None:
                 row[f"{tag}_sl{sl}_macro"] = macro
         ivfpq_res.append(row)
 
+    # r12: persisted-index serving margins — the similarity_index_served
+    # gates, measured: recall of ann_index_search (index parquet + JSON
+    # quantizers read from disk) vs brute force, and row-identity of the
+    # served top-k with an in-memory encode under the same quantizers.
+    import tempfile
+
+    from soccer_data_pipeline_spark.index_pipeline import (
+        ann_index_search,
+        run_ann_index_build,
+    )
+    from soccer_data_pipeline_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_search,
+    )
+
+    served = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where("vec_id < 10")
+        c = emb.where("vec_id >= 10")
+        n_probe = 16 if c.count() < 1024 else 12
+        out_dir = tempfile.mkdtemp(prefix="ann_tune_served_")
+        built = run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True, seed=42
+        )
+        srv = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=n_probe)
+        mn, macro = recalls(q, c, srv)
+        mem = ivfpq_search(
+            q, ivfpq_index(c, built.coarse, built.models, residual=True),
+            c, built.coarse, built.models,
+            k=5, shortlist=200, n_probe=n_probe, residual=True,
+        )
+        key = lambda rs: {  # noqa: E731
+            (r.query_id, r.rn): r.candidate_id for r in rs
+        }
+        served.append(
+            {
+                "sf_dir": sf,
+                "n_probe": n_probe,
+                "served_min": mn,
+                "served_macro": macro,
+                "served_matches_memory": key(srv.collect()) == key(mem.collect()),
+            }
+        )
+
     doc = {
         "metric": "ann_tune_frontier",
         "round": rnd,
@@ -205,6 +250,9 @@ def main() -> None:
         "rrf_ann_gates": rrf,
         "ivf_pq_trainer": trainer,
         "ivfpq_residual_frontier": ivfpq_res,
+        # r12: the persisted-serving gates measured (floors 0.8 recall,
+        # row-identity with the in-memory encode)
+        "index_served_gates": served,
     }
     out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
     with open(out, "w") as fh:
