@@ -31,7 +31,10 @@ reads idempotent under foreachBatch's at-least-once replay, the same
 argument ``streaming/incremental.py`` documents for its MERGE path).
 
 At 100 TB: the index is (corpus/8-byte-codes)-sized parquet
-partitionable by cell (each probe equi-join prunes to probed cells);
+PARTITIONED BY CELL on disk (r12 — every write path partitionBy's, so
+a probe equi-join prunes the scan to probed cells: with n_probe=12 of
+k cells, the ADC stage reads 12/k of the index files, and Spark's
+dynamic partition pruning applies when the probed side broadcasts);
 the quantizers stay kilobytes; batch adds are one narrow pass over
 the batch alone.
 """
@@ -151,7 +154,9 @@ def run_ann_index_build(
         candidates, coarse, models, id_col=id_col, vec_col=vec_col,
         residual=residual,
     )
-    index.write.mode("overwrite").parquet(os.path.join(out_dir, "index"))
+    index.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "index")
+    )
     config = {
         "n_centroids": n_centroids,
         "m": m,
@@ -253,8 +258,12 @@ def rebalance_cell(
     as new cell id k — so the coarse quantizer grows by one and ONLY
     the hot cell's members re-encode (one narrow ``ivfpq_index`` pass
     over the members against the new quantizer; every other row's cell
-    and codes are untouched). Bounded-cost contract: work tracks the
-    hot cell's size, never the index size.
+    and codes are untouched). Bounded-cost contract, IO included (r12,
+    on the cell-partitioned layout): the member read statically prunes
+    to the hot cell's partition directory, and the rewrite deletes that
+    one directory and appends the re-encoded rows — every other cell's
+    files are never read or written. Work tracks the hot cell's size,
+    never the index size.
 
     Scope (and why the audit exists): rows OUTSIDE the hot cell keep
     their assignment even if the new sub-centroids would now be
@@ -270,10 +279,12 @@ def rebalance_cell(
     import shutil
 
     coarse, models, config = load_ann_quantizers(out_dir)
-    stored = load_ann_index(spark, out_dir).localCheckpoint(eager=True)
-    manifest_before = stored.groupBy("cell").agg(
+    index_dir = os.path.join(out_dir, "index")
+    # manifest pass reads only (candidate_id, cell) — the per-cell
+    # balance record the caller keeps, and the argmax source
+    manifest_before = load_ann_index(spark, out_dir).groupBy("cell").agg(
         F.count("*").alias("n_vectors")
-    )
+    ).localCheckpoint(eager=True)
     if cell is None:
         top = manifest_before.orderBy(
             F.desc("n_vectors"), F.asc("cell")
@@ -282,7 +293,16 @@ def rebalance_cell(
             raise ValueError("rebalance_cell: empty index")
         cell = int(top["cell"])
 
-    member_ids = stored.where(F.col("cell") == cell).select("candidate_id")
+    # bounded member read: the cell filter hits the partition column,
+    # so the scan statically prunes to the ONE hot-cell directory
+    # (dedup within one cell is exact under the append-only contract —
+    # replays are byte-identical)
+    member_ids = (
+        spark.read.parquet(index_dir)
+        .where(F.col("cell") == cell)
+        .select("candidate_id")
+        .dropDuplicates(["candidate_id"])
+    )
     members = candidates.join(
         member_ids.withColumnRenamed("candidate_id", id_col), id_col, "left_semi"
     )
@@ -296,17 +316,16 @@ def rebalance_cell(
     )
     new_coarse = DeterministicKMeans(new_centers, q=coarse.q)
 
+    # materialize the re-encode BEFORE touching the hot directory (its
+    # lineage reads that directory); members mostly land in {cell, k}
+    # but full nearest-center assignment may route a few elsewhere —
+    # the append below writes whatever cell directories they need
     re_encoded = ivfpq_index(
         members, new_coarse, models, id_col=id_col, vec_col=vec_col,
         residual=bool(config["residual"]),
-    )
-    new_index = stored.where(F.col("cell") != cell).unionByName(re_encoded)
-
-    stage = os.path.join(out_dir, "index_stage")
-    final = os.path.join(out_dir, "index")
-    new_index.write.mode("overwrite").parquet(stage)
-    shutil.rmtree(final)
-    os.rename(stage, final)
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(os.path.join(index_dir, f"cell={cell}"))
+    re_encoded.write.mode("append").partitionBy("cell").parquet(index_dir)
     config = dict(config, n_centroids=len(new_centers))
     _save_quantizers(out_dir, new_coarse, models, config)
 
@@ -373,7 +392,9 @@ def run_streaming_index_updates(
         ivfpq_index(
             batch_df, coarse, models, id_col=id_col, vec_col=vec_col,
             residual=residual,
-        ).write.mode("append").parquet(os.path.join(out_dir, "index"))
+        ).write.mode("append").partitionBy("cell").parquet(
+            os.path.join(out_dir, "index")
+        )
 
     q = (
         spark.readStream.schema(schema)

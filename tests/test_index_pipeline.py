@@ -162,17 +162,35 @@ def test_rebalance_cell_splits_hot_cell_and_serves(spark, tmp_path):
     members, preserves every candidate, measurably improves the max
     cell share, and the post-rebalance recall audit (served from the
     rewritten disk artifacts) passes its floor on every query."""
+    import glob
+
     q, c = _sides(spark)
     out_dir = str(tmp_path / "ann")
     # n_centroids=4 concentrates enough rows per cell for a visible split
     run_ann_index_build(c, out_dir, n_centroids=4, m=16, n_codes=8,
                         residual=True)
+    files_before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(out_dir, "index", "cell=*", "*.parquet"))
+    }
     before, after, audit = rebalance_cell(
         spark, c, out_dir, audit_queries=q, n_probe=4, shortlist=200,
     )
     b = {r.cell: r.n_vectors for r in before.collect()}
     a = {r.cell: r.n_vectors for r in after.collect()}
     hot = max(b, key=lambda x: (b[x], -x))
+    # bounded-IO contract: every file of every NON-hot cell directory is
+    # byte-untouched (same path, same mtime) — the rewrite only deleted
+    # the hot directory and appended re-encoded rows
+    untouched = {
+        p: t for p, t in files_before.items()
+        if f"{os.sep}cell={hot}{os.sep}" not in p
+    }
+    files_after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(out_dir, "index", "cell=*", "*.parquet"))
+    }
+    assert untouched.items() <= files_after.items()
     assert sum(a.values()) == sum(b.values()) == c.count()
     # quantizer grew by one and the config stamp tracks it
     coarse2, _, config2 = load_ann_quantizers(out_dir)
