@@ -227,6 +227,10 @@ HEADLINE = [
     "winrate_trajectory",
     "bpe_learn_merges_sampled",
     "cohens_kappa_raters",
+    # round-13 additions
+    "ann_index_rebalance",
+    "fleiss_kappa_raters",
+    "bpe_apply_production",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

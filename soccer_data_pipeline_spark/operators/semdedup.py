@@ -128,11 +128,15 @@ def semdedup_members(
     """Full SemDeDup member frame: (vec_id, cell, dist_q2, cluster_id,
     cluster_size, is_keeper) — one row per semantic-dup-cluster MEMBER
     (singletons never appear). ``assigned`` lets a caller that already
-    holds the checkpointed assignment reuse it."""
-    if k is None:
-        k = semdedup_k(emb.count())
+    holds the checkpointed assignment reuse it — and then k is moot, so
+    the ladder's count job is skipped entirely (ADVICE r12: resolving k
+    unconditionally charged every ``semantic_actions`` caller a full
+    count over the embeddings for an unused value)."""
     a2 = assigned if assigned is not None else semdedup_assign(
-        emb, k, id_col=id_col, vec_col=vec_col
+        emb,
+        k if k is not None else semdedup_k(emb.count()),
+        id_col=id_col,
+        vec_col=vec_col,
     )
     pairs = semdedup_pairs(a2, emb, tau=tau, id_col=id_col, vec_col=vec_col)
     cc = dup_clusters(pairs).select(

@@ -322,6 +322,27 @@ def _probe_cells(q: DataFrame, model, n_probe: int) -> DataFrame:
     )
 
 
+def probe_cell_ids(
+    queries: DataFrame,
+    model,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Distinct probed cell ids for a bounded query batch, as a
+    driver-side sorted list — the STATIC partition-pruning input for a
+    cell-partitioned index scan (``index_pipeline.load_ann_index``'s
+    ``cells`` filter). One bounded job over the query batch; the result
+    is at most min(|Q| · n_probe, k) ints, and k (the coarse quantizer
+    size) is itself a driver-held constant — so at any corpus scale
+    this collect moves a few ints, never data."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    rows = _probe_cells(q, model, n_probe).select("cell").distinct().collect()
+    return sorted(int(r["cell"]) for r in rows)
+
+
 def ivf_search(
     queries: DataFrame,
     index: DataFrame,

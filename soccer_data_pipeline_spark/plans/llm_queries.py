@@ -1506,6 +1506,119 @@ def similarity_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.crossJoin(F.broadcast(match_gate))
 
 
+# rebalance run cache: sf_dir → (out_dir, hot_cell, before_counts).
+# A SEPARATE index from _ANN_INDEX_BUILDS: rebalance MUTATES quantizers
+# and layout, and similarity_index_served's row-identity gate compares
+# disk against an in-memory encode under the BUILD's quantizers — one
+# shared directory would corrupt that contract. The rebalance runs
+# exactly once per (process, corpus); repeat calls re-read the manifests
+# and re-serve from the rewritten artifacts (all deterministic).
+_ANN_REBALANCE_RUNS: dict = {}
+
+
+@register(
+    "ann_index_rebalance",
+    oracle=_EXACT_TOPK_SQL
+    + """
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS counts_preserved,
+       TRUE AS hot_cell_reduced, TRUE AS quantizer_grew
+FROM topk
+GROUP BY query_id
+""",
+    doc=(
+        "[beyond-ref] ANN index lifecycle as a hard signal: rebalance "
+        "the manifest-argmax hot cell (deterministic 2-means split, "
+        "bounded to the one cell's partition directory), then gate "
+        "in-plan on the balance record (counts preserved, hot-cell "
+        "load strictly reduced, quantizer grew k->k+1) AND per-query "
+        "recall >= 0.8 served from the REWRITTEN artifacts "
+        "(SURVEY §2.10 similarity tier)"
+    ),
+)
+def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle maintenance as a registered differential (VERDICT r12
+    #3 — the contract ``index_pipeline.rebalance_cell``'s integration
+    test asserts, promoted to driver-hashable rows): build a fresh
+    IVF×PQ index (16 cells / m=16 / 16 codes / residual / seed 42 — the
+    ``similarity_index_served`` config), split its hottest cell once
+    per (process, corpus), and emit per-query recall rows from the
+    rewritten artifacts crossed with three 1-row balance gates, all
+    literally TRUE in the oracle:
+
+    - counts_preserved: Σ after == Σ before (no row lost by the
+      rewrite — the ADVICE-r12 coverage guard's observable),
+    - hot_cell_reduced: the split cell's post-rebalance load is
+      strictly below its pre-rebalance load,
+    - quantizer_grew: the persisted config stamps k+1 centroids (and
+      an advanced epoch — asserted alongside).
+
+    Scale shape: the one-time rebalance reads/writes ONLY the hot
+    cell's partition directory (static prune on the partition column);
+    per-call work is the k-row manifest pass plus the served search,
+    whose index scan statically prunes to the probed cells. The gates
+    fold to one broadcast row.
+    """
+    import tempfile
+
+    from ..index_pipeline import (
+        ann_index_search,
+        load_ann_index,
+        load_ann_quantizers,
+        rebalance_cell,
+        run_ann_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    small = c.count() < 1024
+
+    cached = _ANN_REBALANCE_RUNS.get(sf_dir)
+    if cached is None or not os.path.isdir(os.path.join(cached[0], "index")):
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_rebalance_")
+        run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True,
+            seed=42,
+        )
+        before, _after, _ = rebalance_cell(spark, c, out_dir)
+        b = {int(r["cell"]): int(r["n_vectors"]) for r in before.collect()}
+        hot = max(b, key=lambda x: (b[x], -x))
+        cached = (out_dir, hot, b)
+        _ANN_REBALANCE_RUNS[sf_dir] = cached
+    out_dir, hot, b = cached
+
+    _, _, config = load_ann_quantizers(out_dir)
+    n_cells = int(config["n_centroids"])
+    # probe-all at tiny sfs (exactness), 13/17 above — the same probe
+    # fraction the 12/16 pre-rebalance ladder held
+    n_probe = n_cells if small else 13
+    manifest_after = load_ann_index(spark, out_dir).groupBy("cell").agg(
+        F.count("*").alias("n_vectors")
+    )
+    gates = manifest_after.agg(
+        (F.sum("n_vectors") == F.lit(sum(b.values()))).alias("counts_preserved"),
+        (
+            F.coalesce(
+                F.max(F.when(F.col("cell") == hot, F.col("n_vectors"))),
+                F.lit(0),
+            )
+            < F.lit(b[hot])
+        ).alias("hot_cell_reduced"),
+        F.lit(
+            n_cells == 17 and int(config.get("epoch", 0)) == 1
+        ).alias("quantizer_grew"),
+    )
+
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=n_probe)
+    j = _ann_recall_frame(spark, sf_dir, lambda qq, cc: served)
+    per_q = j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
+    )
+    return per_q.crossJoin(F.broadcast(gates))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary-column stats (the JVM-side tier of operators/
 # multimodal.py) — byte length + content hash over an opaque payload.
@@ -6463,8 +6576,11 @@ WITH RECURSIVE e AS (
   FROM embeddings
 ),
 seeds AS (
+  -- ordered k-row take, mirroring operators/semdedup.semdedup_assign
+  -- (ADVICE r12: the old `vec_id < k` form matches only on dense
+  -- 0..n-1 ids; the generalized seed rule is the k SMALLEST ids)
   SELECT vec_id AS cid, xq AS sq FROM e
-  WHERE vec_id < (SELECT {_SEMDEDUP_K_LADDER} FROM e)
+  ORDER BY vec_id LIMIT (SELECT {_SEMDEDUP_K_LADDER} FROM e)
 ),
 d1 AS (
   SELECT e.vec_id, s.cid,

@@ -868,3 +868,99 @@ def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa [beyond-ref] (VERDICT r12 #6) — inter-rater agreement
+# for MORE than two raters (Fleiss 1971), the >2-annotator extension of
+# Cohen's kappa above: an RLHF labeling pool where every item is rated
+# by the same n raters. Three deterministic binary raters derive from
+# orders: A flags o_orderstatus = 'F', B flags priority in
+# ('1-URGENT','2-HIGH'), C flags o_totalprice > 150000.
+#
+# With n = 3 raters and 2 categories, per item r1 = votes for 1 and
+# r0 = 3 − r1; the textbook quantities reduce to exact-int64 algebra:
+#
+#   P̄  = (S − 3N) / (6N)            S  = Σ_i (r0² + r1²)
+#   P̄e = (T0² + T1²) / (9N²)        T1 = Σ_i r1, T0 = 3N − T1
+#   κ  = (P̄ − P̄e)/(1 − P̄e) = (3N(S − 3N) − 2(T0²+T1²))
+#                              / (18N² − 2(T0²+T1²))
+#
+# — every operand an exact int64 (18N² fits to N ≈ 7·10⁸ rated items;
+# promote to DECIMAL past that, the house note), each emitted ratio ONE
+# correctly-rounded double division, so both engines agree bit-for-bit
+# before the 6-dp round.
+#
+# Scale shape: ONE map-side-combined aggregate collapses the corpus to
+# (N, T1, S); everything after is constant-size arithmetic — the same
+# shape as Cohen's kappa, independent of rater count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fleiss_kappa_raters",
+    oracle="""
+WITH r AS (
+  SELECT (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+        + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS r1
+  FROM orders
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1) AS BIGINT) AS t1,
+         CAST(SUM((3 - r1) * (3 - r1) + r1 * r1) AS BIGINT) AS s
+  FROM r
+)
+SELECT n, CAST(3 AS BIGINT) AS n_raters, 3 * n - t1 AS t0, t1, s,
+       ROUND(CAST(s - 3 * n AS DOUBLE) / (6 * n), 6) AS p_bar,
+       ROUND(CAST((3 * n - t1) * (3 * n - t1) + t1 * t1 AS DOUBLE)
+             / (9 * n * n), 6) AS p_e,
+       ROUND(CAST(3 * n * (s - 3 * n)
+                  - 2 * ((3 * n - t1) * (3 * n - t1) + t1 * t1) AS DOUBLE)
+             / CAST(18 * n * n
+                  - 2 * ((3 * n - t1) * (3 * n - t1) + t1 * t1) AS DOUBLE),
+             6) AS kappa
+FROM c
+""",
+    doc=(
+        "[beyond-ref] Fleiss' kappa inter-rater agreement for three "
+        "deterministic raters over orders (Fleiss 1971) — the "
+        ">2-annotator chance-corrected agreement, reduced to exact-"
+        "int64 (N, T1, S) by one aggregate and emitted as single "
+        "double divisions (SURVEY §2.10 eval tier)"
+    ),
+)
+def fleiss_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    r1 = (
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        + F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0)
+        + F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    )
+    c = orders.select(r1.alias("r1")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r1").cast("long").alias("t1"),
+        F.sum((3 - F.col("r1")) * (3 - F.col("r1")) + F.col("r1") * F.col("r1"))
+        .cast("long")
+        .alias("s"),
+    )
+    n, t1, s = F.col("n"), F.col("t1"), F.col("s")
+    t0 = 3 * n - t1
+    q = t0 * t0 + t1 * t1
+    return c.select(
+        "n",
+        F.lit(3).cast("long").alias("n_raters"),
+        t0.alias("t0"),
+        "t1",
+        "s",
+        F.round((s - 3 * n).cast("double") / (6 * n), 6).alias("p_bar"),
+        F.round(q.cast("double") / (9 * n * n), 6).alias("p_e"),
+        F.round(
+            (3 * n * (s - 3 * n) - 2 * q).cast("double")
+            / (18 * n * n - 2 * q).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -114,21 +114,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact_documents",
     "dedup_connected_clusters",
     "jaccard_prefix_join",
-    "semantic_dedup_semdedup",
+    "semantic_dedup_repair",
     # rank statistics / experimentation (r8: spearman carries the
     # family's hard rows AND the value_bucketed_prefix_sum midrank
     # path; r12: Bradley-Terry gives the eval/preference-rating tier
     # its first hard rows — ordered-fold MM iterations)
     "spearman_spend_balance",
     "bradley_terry_rating",
-    # similarity search (LSH-blocked near-dup, ANN recall gate) and
+    # similarity search (LSH-blocked near-dup; r13: the PERSISTED-index
+    # serving contract carries the ANN tier's hard rows — recall +
+    # row-identity-with-memory gates literally TRUE in its oracle) and
     # retrieval fusion (r12: the production ANN-legged RRF carries the
     # hard rows — its oracle embeds the exact-legged fusion AND the
     # NDCG audit, and its in-plan gates hard-fail on ANN degradation;
     # the exact-legged form ceded per the bitext precedent; r11: MMR
     # gives the diversification/eval family its first hard rows)
     "embedding_near_dup_banded",
-    "similarity_ann_recall",
+    "similarity_index_served",
     "hybrid_retrieval_rrf_ann",
     "mmr_diverse_rerank",
     # multimodal
@@ -315,9 +317,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # contract: reads index parquet + JSON quantizers from disk, gated on
 # recall AND row-identity with the in-memory encode) and
 # semantic_dedup_repair (new in r12, the SemDeDup audit→action ledger
-# with the post-audit-clean gate, consumed by run_corpus_build) sit
-# local-oracle + benched next to their in-window family reps
-# (similarity_ann_recall / semantic_dedup_semdedup).
+# with the post-audit-clean gate, consumed by run_corpus_build) sat
+# local-oracle + benched next to their in-window family reps for one
+# round, then took the hard rows in r13 (below).
+# Round 13: two swaps (VERDICT r12 #1 — promote the production ANN
+# contracts to driver hard signals). (1) similarity_ann_recall ceded
+# for similarity_index_served — the persisted-index serving path IS
+# what a deployment runs, and its two in-plan gates (per-query recall
+# >= 0.8 vs exact top-5, row-identity with the in-memory encode) are
+# literally TRUE in the oracle; nothing is lost: sign-LSH band-bucket
+# mechanics keep a window hash through embedding_near_dup_banded (the
+# same banded bucket join over sign sketches), and the LSH recall gate
+# stays local-oracle + benched with its in-plan gate still hard-failing
+# the local differential. (2) semantic_dedup_semdedup ceded for
+# semantic_dedup_repair — the action ledger run_corpus_build actually
+# consumes takes the hard rows (the rrf→rrf_ann precedent); its oracle
+# embeds the IDENTICAL _SEMDEDUP_CTES chain through the keeper ranking,
+# so assignment/pairs/CC/keeper mechanics keep a hard hash via the
+# per-vector actions + the post-audit-clean gate; the member frame's
+# cell/dist/cluster-size detail stays local-oracle + benched.
 
 
 def _ordered_names() -> list[str]:

@@ -302,3 +302,192 @@ def test_loader_dedup_is_deterministic_on_changed_rows(spark, tmp_path):
     assert {k: tuple(v) for k, v in rows1.items()} == {
         k: tuple(v) for k, v in rows2.items()
     }
+
+
+def test_serving_scan_statically_prunes_to_probed_cells(spark, tmp_path):
+    """ADVICE r12: the serving path resolves the query batch's probed
+    cells driver-side and filters the RAW index read below the loader's
+    dedup, so the cell predicate lands in the scan's PartitionFilters
+    (static pruning — not dependent on DPP through the aggregate) and
+    only the probed cells' directories are read."""
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8,
+                        residual=True)
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=50, n_probe=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = served._jdf.queryExecution().explainString(mode)
+    index_scans = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and f"{out_dir}/index" in b
+    ]
+    assert index_scans, "no parquet scan over the index directory in the plan"
+    for b in index_scans:
+        pf = b.split("PartitionFilters: [")[1].split("]")[0]
+        assert "cell" in pf and " IN " in pf, (
+            f"index scan PartitionFilters [{pf}] — cell pruning "
+            "did not reach the scan"
+        )
+
+    # pruning is exact: the pruned serving result is row-identical to a
+    # search over the UNPRUNED loader output under the same quantizers
+    from soccer_data_pipeline_spark.index_pipeline import (
+        load_ann_quantizers as _lq,
+    )
+
+    coarse, models, config = _lq(out_dir)
+    unpruned = ivfpq_search(
+        q, load_ann_index(spark, out_dir), c, coarse, models,
+        k=5, shortlist=50, n_probe=2, residual=True,
+    )
+    key = lambda rs: {(r.query_id, r.rn): r.candidate_id for r in rs}  # noqa: E731
+    assert key(served.collect()) == key(unpruned.collect())
+
+
+def test_rebalance_refuses_uncovered_members(spark, tmp_path):
+    """ADVICE r12: rebalancing with a `candidates` frame that does not
+    cover every hot-cell member (the base corpus after streamed
+    appends) raises BEFORE deleting anything — the index must never
+    silently shrink."""
+    import pytest
+
+    _, c = _sides(spark)
+    base = c.where(F.col("vec_id") % 3 != 0)
+    new = c.where(F.col("vec_id") % 3 == 0)
+    out_dir = str(tmp_path / "ann")
+    built = run_ann_index_build(base, out_dir, n_centroids=4, m=16, n_codes=8)
+    # stream-style append of the remaining vectors under the same quantizers
+    ivfpq_index(new, built.coarse, built.models).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(out_dir, "index"))
+    n_total = load_ann_index(spark, out_dir).count()
+    assert n_total == c.count()
+
+    with pytest.raises(ValueError, match="missing from `candidates`"):
+        rebalance_cell(spark, base, out_dir)
+    # nothing was deleted or rewritten
+    assert load_ann_index(spark, out_dir).count() == n_total
+    assert len(load_ann_quantizers(out_dir)[0].centers_q) == 4
+
+    # the full corpus passes the guard and rebalances normally
+    before, after, _ = rebalance_cell(spark, c, out_dir)
+    assert sum(r.n_vectors for r in after.collect()) == n_total
+
+
+def test_stream_across_rebalance_rejects_stale_epoch(spark, tmp_path):
+    """VERDICT r12 #2: a stream that loaded its quantizers BEFORE a
+    rebalance must fail its next microbatch loudly (epoch assert), not
+    append rows encoded under the stale quantizer into the new layout."""
+    from unittest.mock import patch
+
+    import pytest
+
+    from soccer_data_pipeline_spark import index_pipeline
+
+    _, c = _sides(spark)
+    base = c.where(F.col("vec_id") % 3 != 0)
+    new = c.where(F.col("vec_id") % 3 == 0)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(base, out_dir, n_centroids=4, m=16, n_codes=8)
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 0
+
+    # the stream's view of the world: quantizers as of stream start
+    stale = load_ann_quantizers(out_dir)
+
+    # rebalance lands mid-stream — epoch bumps on disk
+    rebalance_cell(spark, base, out_dir)
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 1
+
+    src = str(tmp_path / "incoming")
+    new.write.parquet(src)
+    n_before = load_ann_index(spark, out_dir).count()
+    with patch.object(index_pipeline, "load_ann_quantizers", return_value=stale):
+        with pytest.raises(Exception, match="epoch advanced 0 -> 1"):
+            run_streaming_index_updates(
+                spark, src, out_dir, str(tmp_path / "ckpt"),
+                schema=spark.read.parquet(src).schema,
+            )
+    # the stale batch appended nothing
+    assert load_ann_index(spark, out_dir).count() == n_before
+
+    # a RESTARTED stream (current quantizers, epoch 1 == 1) succeeds
+    run_streaming_index_updates(
+        spark, src, out_dir, str(tmp_path / "ckpt2"),
+        schema=spark.read.parquet(src).schema,
+    )
+    assert load_ann_index(spark, out_dir).count() == c.count()
+
+
+def test_compact_index_cells_bounded_and_lossless(spark, tmp_path):
+    """Index lifecycle: small-file compaction (r13) — repeated
+    streaming-style appends fragment each cell directory; compaction
+    rewrites ONLY the targeted cells into one file each, preserves the
+    loader's output exactly (same rows, same search results), leaves
+    non-target cells byte-untouched, and does NOT advance the epoch
+    (layout-only rewrite — a running stream stays valid)."""
+    import glob
+
+    from soccer_data_pipeline_spark.index_pipeline import compact_index_cells
+
+    q, c = _sides(spark)
+    base = c.where(F.col("vec_id") % 4 == 1)
+    out_dir = str(tmp_path / "ann")
+    built = run_ann_index_build(base, out_dir, n_centroids=4, m=16, n_codes=8)
+    # three streaming-style appends fragment every cell directory
+    for m_ in (2, 3, 0):
+        ivfpq_index(
+            c.where(F.col("vec_id") % 4 == m_), built.coarse, built.models
+        ).write.mode("append").partitionBy("cell").parquet(
+            os.path.join(out_dir, "index")
+        )
+
+    def files(cell):
+        return sorted(
+            glob.glob(os.path.join(out_dir, "index", f"cell={cell}", "*.parquet"))
+        )
+
+    rows_before = sorted(
+        map(tuple, load_ann_index(spark, out_dir).collect())
+    )
+    served_before = sorted(
+        map(tuple, ann_index_search(q, c, out_dir, k=5, n_probe=4).collect())
+    )
+    counts_before = {cell: len(files(cell)) for cell in range(4)}
+    fragmented = [cell for cell, n in counts_before.items() if n > 2]
+    assert fragmented, "appends did not fragment any cell"
+    target = fragmented[0]
+    others_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for cell in range(4)
+        if cell != target
+        for p in files(cell)
+    }
+    epoch_before = load_ann_quantizers(out_dir)[2]["epoch"]
+
+    result = compact_index_cells(spark, out_dir, cells=[target])
+    assert result == {target: (counts_before[target], 1)}
+    assert len(files(target)) == 1
+    # non-target cells byte-untouched; epoch unchanged
+    assert others_mtimes == {
+        p: os.stat(p).st_mtime_ns
+        for cell in range(4)
+        if cell != target
+        for p in files(cell)
+    }
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == epoch_before
+    # lossless: loader rows and search results identical
+    assert rows_before == sorted(
+        map(tuple, load_ann_index(spark, out_dir).collect())
+    )
+    assert served_before == sorted(
+        map(tuple, ann_index_search(q, c, out_dir, k=5, n_probe=4).collect())
+    )
+
+    # default sweep compacts every remaining fragmented cell
+    swept = compact_index_cells(spark, out_dir, min_files=1)
+    assert all(after == 1 for _, after in swept.values())
+    assert rows_before == sorted(
+        map(tuple, load_ann_index(spark, out_dir).collect())
+    )

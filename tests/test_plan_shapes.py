@@ -386,6 +386,14 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         "bpe_learn_merges_sampled",
         # r12: kappa is one map-side-combined agg to 4 confusion cells
         "cohens_kappa_raters",
+        # r13: Fleiss' kappa is one map-side-combined agg to (N, T1, S)
+        "fleiss_kappa_raters",
+        # r13: production BPE apply — one shuffle-free Arrow pass plus
+        # an R+1-column sum; no windows at all
+        "bpe_apply_production",
+        # r13: rebalance differential — search windows partition by
+        # query_id; manifest + balance gates are aggregation-only
+        "ann_index_rebalance",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)

@@ -777,3 +777,89 @@ def test_cohens_kappa_matches_python_definition(spark):
     kappa = (po - pe) / (1 - pe)
     assert abs(out.kappa - kappa) < 1e-6
     assert abs(out.po - po) < 1e-6 and abs(out.pe - pe) < 1e-6
+
+
+def test_fleiss_kappa_matches_python_definition(spark):
+    """Recompute Fleiss' kappa from the collected rater votes with the
+    textbook float definition (P̄ − P̄e)/(1 − P̄e) over per-item
+    agreement P_i = (Σ_j n_ij(n_ij−1))/(n(n−1)) — verifies the
+    integer-numerator algebra independently of both SQL engines."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["fleiss_kappa_raters"].fn(spark, sf).collect()[0]
+    rows = load_table(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).collect()
+    votes = [
+        (1 if r.o_orderstatus == "F" else 0)
+        + (1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0)
+        + (1 if float(r.o_totalprice) > 150000 else 0)
+        for r in rows
+    ]
+    n_items = len(votes)
+    t1 = sum(votes)
+    s = sum((3 - v) ** 2 + v**2 for v in votes)
+    assert (out.n, out.n_raters, out.t0, out.t1, out.s) == (
+        n_items, 3, 3 * n_items - t1, t1, s,
+    )
+    p_i = [(v * (v - 1) + (3 - v) * (2 - v)) / 6 for v in votes]
+    p_bar = sum(p_i) / n_items
+    p1 = t1 / (3 * n_items)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert abs(out.p_bar - p_bar) < 1e-6
+    assert abs(out.p_e - p_e) < 1e-6
+    assert abs(out.kappa - kappa) < 1e-6
+
+
+def test_bpe_production_apply_equals_sampled_learner(spark):
+    """The production-depth path (driver-side pure-Python learn over
+    the bounded sample + ONE Arrow mapInPandas apply) must reproduce
+    bpe_learn_merges_sampled row for row — same merges, same
+    pair_counts, same full-corpus n_applied totals — verifying both
+    the Python learner against the Spark learner and the memoized
+    two-pass-replace apply against the chained-expression apply,
+    independently of the shared SQL oracle."""
+    from soccer_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        map(tuple, QUERIES["bpe_learn_merges_sampled"].fn(spark, sf).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["bpe_apply_production"].fn(spark, sf).collect())
+    )
+    assert a == b and len(a) == 4
+
+
+def test_bpe_apply_totals_depth_modes_agree(spark):
+    """apply_merges_totals at R=16 (beyond the registered R=4): the
+    prefix-tracking and endpoints-only modes agree on t0 and the final
+    total per document, and totals are monotone non-increasing across
+    the prefix ladder (each merge can only shrink symbol counts)."""
+    from soccer_data_pipeline_spark.operators.bpe import (
+        apply_merges_totals,
+        learn_merges_local,
+    )
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    merges = [(a, b) for _, a, b, _ in learn_merges_local(texts, 16)]
+    assert len(merges) == 16
+    full = {
+        r["doc_id"]: tuple(r[f"t{i}"] for i in range(17))
+        for r in apply_merges_totals(docs, merges).collect()
+    }
+    ends = {
+        r["doc_id"]: (r["t0"], r["t16"])
+        for r in apply_merges_totals(
+            docs, merges, track_prefixes=False
+        ).collect()
+    }
+    assert ends == {k: (v[0], v[-1]) for k, v in full.items()}
+    for v in full.values():
+        assert all(x >= y for x, y in zip(v, v[1:]))

@@ -65,15 +65,23 @@ FAMILY_REPRESENTATIVES = {
     # diversification/eval family's first hard rows
     "dedup_editdist": "dedup_connected_clusters",
     # r11b: SemDeDup (learned-cell semantic dedup on the deterministic
-    # Lloyd primitive) gains the freed hard-signal slot
-    "dedup_semantic": "semantic_dedup_semdedup",
+    # Lloyd primitive) gained the freed hard-signal slot; r13: the
+    # repair/action form took the hard rows (registry.py ledger — its
+    # oracle embeds the identical _SEMDEDUP_CTES chain, so assignment/
+    # pairs/CC/keeper mechanics keep a hard hash via the action ledger)
+    "dedup_semantic": "semantic_dedup_repair",
     "retrieval_diversification": "mmr_diverse_rerank",
     # r8: rank statistics / experimentation family (VERDICT r7 #6)
     "rank_statistics": "spearman_spend_balance",
     # r5: window form is the banded production path with a sampled
     # exact audit; the full-exact form stays local-oracle-covered
     "similarity_near_dup": "embedding_near_dup_banded",
-    "similarity_ann": "similarity_ann_recall",
+    # r13: similarity_ann_recall ceded its slot (registry.py ledger) —
+    # the PERSISTED-index serving contract takes the ANN tier's hard
+    # rows; sign-LSH band-bucket mechanics keep a window hash through
+    # embedding_near_dup_banded
+    "similarity_ann": "similarity_index_served",
+    "index_serving": "similarity_index_served",
     # r10b: the IVF rep ceded its slot (ANN-recall family keeps
     # similarity_ann_recall; IVF stays local-oracle + benched) for the
     # retrieval-fusion family — registry.py slot ledger. r12: the

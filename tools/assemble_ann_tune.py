@@ -227,6 +227,48 @@ def main() -> None:
             }
         )
 
+    # r13: rebalance lifecycle gate margins — the ann_index_rebalance
+    # differential's config (build 16 cells, split the manifest argmax,
+    # probe-all below 1024 candidates / 13-of-17 above), measured from
+    # the REWRITTEN artifacts at every sf
+    from soccer_data_pipeline_spark.index_pipeline import (
+        load_ann_index,
+        load_ann_quantizers,
+        rebalance_cell,
+    )
+
+    rebalance = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where("vec_id < 10")
+        c = emb.where("vec_id >= 10")
+        small = c.count() < 1024
+        out_dir = tempfile.mkdtemp(prefix="ann_tune_rebalance_")
+        run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True, seed=42
+        )
+        before, after, _ = rebalance_cell(spark, c, out_dir)
+        b = {int(r["cell"]): int(r["n_vectors"]) for r in before.collect()}
+        a = {int(r["cell"]): int(r["n_vectors"]) for r in after.collect()}
+        hot = max(b, key=lambda x: (b[x], -x))
+        n_cells = int(load_ann_quantizers(out_dir)[2]["n_centroids"])
+        n_probe = n_cells if small else 13
+        srv = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=n_probe)
+        mn, macro = recalls(q, c, srv)
+        rebalance.append(
+            {
+                "sf_dir": sf,
+                "n_probe": n_probe,
+                "hot_cell": hot,
+                "hot_before": b[hot],
+                "hot_after": a.get(hot, 0),
+                "counts_preserved": sum(a.values()) == sum(b.values()),
+                "epoch": int(load_ann_quantizers(out_dir)[2]["epoch"]),
+                "post_rebalance_min": mn,
+                "post_rebalance_macro": macro,
+            }
+        )
+
     doc = {
         "metric": "ann_tune_frontier",
         "round": rnd,
@@ -253,6 +295,9 @@ def main() -> None:
         # r12: the persisted-serving gates measured (floors 0.8 recall,
         # row-identity with the in-memory encode)
         "index_served_gates": served,
+        # r13: rebalance lifecycle gate margins (ann_index_rebalance's
+        # config) — post-rebalance recall floor 0.8, balance record
+        "rebalance_gates": rebalance,
     }
     out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
     with open(out, "w") as fh:
