@@ -231,6 +231,7 @@ HEADLINE = [
     "ann_index_rebalance",
     "fleiss_kappa_raters",
     "bpe_apply_production",
+    "semantic_dedup_incremental",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

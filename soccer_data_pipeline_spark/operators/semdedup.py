@@ -202,3 +202,117 @@ def semantic_actions(
         (F.count("*") == 0).alias("post_audit_clean")
     )
     return actions.crossJoin(F.broadcast(gate))
+
+
+def semdedup_incremental_actions(
+    base: DataFrame,
+    new: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup (r13) — the semantic tier's streaming twin
+    of ``dedup.minhash_incremental_pairs`` / ``similarity.
+    banded_incremental_candidates``: decide, for a NEW batch of
+    embeddings arriving against an existing BASE corpus, which new
+    vectors are semantically redundant — WITHOUT refitting the
+    clustering or re-pairing the base against itself.
+
+    The FAISS add-vs-train contract applied to SemDeDup:
+
+    - seeds + two Lloyd iterations run on the BASE only (k from the
+      base's corpus-size ladder — the quantizer is a base-corpus
+      artifact, exactly like the ANN index pipeline's);
+    - the new batch is ASSIGNED in-row against those centroids (one
+      narrow broadcast-k pass, no refit);
+    - pairs are within-cell and bounded to (new × base) ∪ (new × new)
+      — never base × base, so incremental work tracks the BATCH size
+      times cell density, not the corpus;
+    - dup groups come from CC over those pairs; the keeper rule
+      prefers BASE members (base-wins ingestion policy: the existing
+      corpus is never retroactively dropped), then the established
+      farthest-from-centroid / smaller-id order among new members.
+
+    Emits (vec_id, action) for EVERY new vector — action ∈ {keep,
+    drop_semantic}; base vectors are never emitted (their standing is
+    immutable under this policy; a full re-run of the batch operator
+    is the tool for re-deciding the whole corpus).
+    """
+    eb = base.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
+    )
+    en = new.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
+    )
+    if k is None:
+        k = semdedup_k(eb.count())
+    seeds = (
+        eb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
+    )
+    a1 = assign_cells(eb, seeds, out_col="c1")
+    cent = lloyd_recompute(a1, eb, cell_col="c1")
+    flagged = eb.withColumn("is_base", F.lit(1)).unionByName(
+        en.withColumn("is_base", F.lit(0))
+    )
+    a2 = (
+        assign_cells(flagged, cent, out_col="cell", keep_dist=True)
+        .join(flagged.select("vec_id", "is_base"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    emb_all = base.select(id_col, vec_col).unionByName(
+        new.select(id_col, vec_col)
+    )
+    m = a2.join(_with_norm(emb_all, id_col, vec_col), "vec_id")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            # incremental bound: at least one side is NEW — base×base
+            # pairs were decided when the base was built
+            & ((F.col("a.is_base") == 0) | (F.col("b.is_base") == 0)),
+        )
+        .where(cosine >= tau)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    cc = dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    members = cc.join(a2, "vec_id")
+    # base-wins keeper: any base member outranks every new member;
+    # among new members the batch rule applies (farthest from centroid,
+    # ties to the smaller id)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("is_base"), F.desc("dist_q2"), F.asc("vec_id")
+    )
+    drops = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 1) & (F.col("is_base") == 0))
+        .select("vec_id")
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        new.select(F.col(id_col).alias("vec_id"))
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.coalesce(F.col("_d"), F.lit(False)), "drop_semantic")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )

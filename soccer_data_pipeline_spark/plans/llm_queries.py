@@ -6720,3 +6720,144 @@ def semantic_dedup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_actions(emb, tau=_SEMDEDUP_TAU, audit=True)
+
+
+# Incremental SemDeDup oracle (r13): seeds + two Lloyd iterations on
+# the BASE slice only (vec_id % 3 != 0 — the established base/new
+# split), every vector assigned against those centroids, pairs bounded
+# to (new x base) ∪ (new x new) within cell, CC over the incremental
+# pair set, keeper rank prefers BASE members (base-wins ingestion
+# policy), actions emitted for NEW vectors only.
+_SEMDEDUP_INC_CTES = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_KM_Q}) AS BIGINT)) AS xq,
+         CASE WHEN vec_id % 3 = 0 THEN 0 ELSE 1 END AS is_base
+  FROM embeddings
+),
+b AS (SELECT vec_id, xq FROM e WHERE is_base = 1),
+seeds AS (
+  SELECT vec_id AS cid, xq AS sq FROM b
+  ORDER BY vec_id LIMIT (SELECT {_SEMDEDUP_K_LADDER} FROM b)
+),
+d1 AS (
+  SELECT b.vec_id, s.cid,
+         (SELECT SUM((b.xq[i] - s.sq[i]) * (b.xq[i] - s.sq[i]))
+          FROM UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)) AS dist
+  FROM b CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cid AS c1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a1.c1 AS cid, t.i,
+         SUM(b.xq[t.i]) AS s, COUNT(*) AS n
+  FROM a1 JOIN b USING (vec_id),
+       UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)
+  GROUP BY a1.c1, t.i
+),
+cent AS (
+  SELECT cid,
+         LIST(CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cq
+  FROM sums GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         (SELECT SUM((e.xq[i] - c.cq[i]) * (e.xq[i] - c.cq[i]))
+          FROM UNNEST(GENERATE_SERIES(1, {_KM_DIMS})) AS t(i)) AS dist
+  FROM e CROSS JOIN cent c
+),
+a2 AS (
+  SELECT vec_id, cid AS cell, CAST(dist AS BIGINT) AS dist_q2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  JOIN ev a ON a.vec_id = x.vec_id
+  JOIN ev b2 ON b2.vec_id = y.vec_id
+  WHERE (ex.is_base = 0 OR ey.is_base = 0)
+    AND ROUND(LIST_DOT_PRODUCT(a.v, b2.v) /
+              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b2.v, b2.v))), 6)
+        >= {_SEMDEDUP_TAU}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+),
+labels AS (
+  SELECT n.u AS vec_id, LEAST(n.u, MIN(r.v)) AS cluster_id
+  FROM (SELECT DISTINCT u FROM und) n JOIN reach r ON r.u = n.u
+  GROUP BY n.u
+),
+ranked AS (
+  SELECT m.vec_id, m.is_base,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.cluster_id
+           ORDER BY m.is_base DESC, m.dist_q2 DESC, m.vec_id
+         ) AS rn
+  FROM (
+    SELECT l.vec_id, l.cluster_id, a2.dist_q2, e.is_base
+    FROM labels l JOIN a2 USING (vec_id) JOIN e USING (vec_id)
+  ) m
+)
+"""
+
+
+@register(
+    "semantic_dedup_incremental",
+    oracle=_SEMDEDUP_INC_CTES
+    + """
+SELECT e.vec_id,
+       CASE WHEN r.vec_id IS NOT NULL AND r.rn > 1
+            THEN 'drop_semantic' ELSE 'keep' END AS action
+FROM e LEFT JOIN ranked r USING (vec_id)
+WHERE e.is_base = 0
+""",
+    doc=(
+        "[beyond-ref] incremental SemDeDup: new-batch semantic-dup "
+        "actions against an existing base corpus — clustering learned "
+        "on the BASE only, new vectors assigned in-row (no refit), "
+        "pairs bounded to new-side x full-side, base-wins keeper "
+        "policy (the base is never retroactively dropped) "
+        "(SURVEY §2.10 dedup/similarity tier)"
+    ),
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic tier's incremental twin (r13) — completing the
+    family symmetry: exact dedup, MinHash, and banded-embedding
+    near-dup each have an incremental form
+    (``dedup.minhash_incremental_pairs``,
+    ``similarity.banded_incremental_candidates``); SemDeDup now does
+    too (``operators/semdedup.semdedup_incremental_actions``). Base =
+    vec_id % 3 != 0, new = the rest (the established split).
+
+    Scale shape: Lloyd runs on the base only (the quantizer is a
+    base-corpus artifact, as in the ANN index pipeline); the new batch
+    assigns in one broadcast-k pass; pair work is (new x full) within
+    cell — batch-bounded, never corpus x corpus; CC runs over the
+    incremental pair set only; the keeper window partitions by dup
+    cluster. Base vectors are never emitted or dropped — the immutable-
+    corpus ingestion policy a streaming pipeline needs.
+    """
+    from ..operators.semdedup import semdedup_incremental_actions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    return semdedup_incremental_actions(base, new, tau=_SEMDEDUP_TAU)

