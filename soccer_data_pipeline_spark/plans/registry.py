@@ -336,6 +336,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # so assignment/pairs/CC/keeper mechanics keep a hard hash via the
 # per-vector actions + the post-audit-clean gate; the member frame's
 # cell/dist/cluster-size detail stays local-oracle + benched.
+# The r13 additions — ann_index_rebalance (lifecycle differential),
+# fleiss_kappa_raters, bpe_apply_production, and
+# semantic_dedup_incremental — sit local-oracle + benched next to
+# their in-window family reps (similarity_index_served /
+# bradley_terry_rating / explode_tokens' token family /
+# semantic_dedup_repair). Next-rotation candidates per VERDICT r12 #7,
+# once the r13 swaps settle: pass_at_k_eval or the ivfpq pair (the
+# last substantial r11 additions without driver signal).
 
 
 def _ordered_names() -> list[str]:
