@@ -177,6 +177,16 @@ def run_ann_index_build(
     index.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "index")
     )
+    # index epoch (r13, VERDICT r12 #2): bumped by EVERY quantizer
+    # rewrite — rebalance AND an in-place rebuild over an existing
+    # directory (a rebuild that reset the epoch to 0 would let a
+    # stream started before it pass the 0 == 0 check against CHANGED
+    # quantizers); the streaming append path asserts it per microbatch
+    # so stale-quantizer encodes fail loudly.
+    prev_epoch = -1
+    if os.path.exists(_config_path(out_dir)):
+        with open(_config_path(out_dir)) as fh:
+            prev_epoch = int(json.load(fh).get("epoch", 0))
     config = {
         "n_centroids": n_centroids,
         "m": m,
@@ -184,10 +194,7 @@ def run_ann_index_build(
         "residual": residual,
         "seed": seed,
         "dim": dim,
-        # index epoch (r13, VERDICT r12 #2): bumped by every quantizer
-        # rewrite (rebalance); the streaming append path asserts it per
-        # microbatch so stale-quantizer encodes fail loudly
-        "epoch": 0,
+        "epoch": prev_epoch + 1,
     }
     _save_quantizers(out_dir, coarse, models, config)
 

@@ -491,3 +491,36 @@ def test_compact_index_cells_bounded_and_lossless(spark, tmp_path):
     assert rows_before == sorted(
         map(tuple, load_ann_index(spark, out_dir).collect())
     )
+
+
+def test_rebuild_in_place_advances_epoch_and_rejects_stale_stream(spark, tmp_path):
+    """An in-place REBUILD over an existing index directory must also
+    advance the epoch (a rebuild that reset it to 0 would let a stream
+    started before it pass the 0 == 0 check against CHANGED
+    quantizers) — same reject discipline as the rebalance case."""
+    from unittest.mock import patch
+
+    import pytest
+
+    from soccer_data_pipeline_spark import index_pipeline
+
+    _, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 0
+    stale = load_ann_quantizers(out_dir)
+
+    # rebuild in place with a DIFFERENT quantizer config
+    run_ann_index_build(c, out_dir, n_centroids=4, m=16, n_codes=8)
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 1
+
+    src = str(tmp_path / "incoming")
+    c.limit(5).write.parquet(src)
+    n_before = load_ann_index(spark, out_dir).count()
+    with patch.object(index_pipeline, "load_ann_quantizers", return_value=stale):
+        with pytest.raises(Exception, match="epoch advanced 0 -> 1"):
+            run_streaming_index_updates(
+                spark, src, out_dir, str(tmp_path / "ckpt"),
+                schema=spark.read.parquet(src).schema,
+            )
+    assert load_ann_index(spark, out_dir).count() == n_before
