@@ -89,6 +89,22 @@ def _save_quantizers(out_dir: str, coarse, models, config: dict) -> None:
         json.dump(config, fh)
 
 
+def _bump_epoch_inplace(out_dir: str) -> int:
+    """Advance the persisted epoch BEFORE a destructive index rewrite
+    (ADVICE r13): the bumped stamp lands first, so a stream running
+    across a rebuild/rebalance fails its next microbatch assert DURING
+    the operation — without this, a crash mid-rewrite leaves a new
+    layout under a stale epoch that a running stream still accepts.
+    The final ``_save_quantizers`` re-writes the full config under the
+    SAME epoch (no double bump). Returns the new epoch."""
+    with open(_config_path(out_dir)) as fh:
+        config = json.load(fh)
+    config["epoch"] = int(config.get("epoch", 0)) + 1
+    with open(_config_path(out_dir), "w") as fh:
+        json.dump(config, fh)
+    return int(config["epoch"])
+
+
 def load_ann_quantizers(out_dir: str):
     """(coarse, models, config) from a persisted index directory."""
     coarse = DeterministicKMeans.load(os.path.join(out_dir, "coarse.json"))
@@ -113,6 +129,13 @@ def load_ann_index(
     with a CHANGED embedding (an update, which the streaming path does
     not support; rebuild or rebalance instead) serves one stable row
     per read rather than an arbitrary-per-scan one (ADVICE r11).
+    Scope of that stability (r14, ADVICE r13): PER PROBE SET — if an
+    out-of-contract re-stream left an id's copies in DIFFERENT cells,
+    a ``cells``-pruned read can see (and serve) only the copy inside
+    the probed cells while an unpruned read dedups across all copies;
+    two reads with differing probe sets may then return different
+    rows for that id. In-contract ids (byte-identical replays share a
+    cell) are unaffected.
 
     ``cells`` filters the RAW read BEFORE the dedup (r13, ADVICE r12:
     a filter above the groupBy cannot reach the scan, so serving would
@@ -170,6 +193,20 @@ def run_ann_index_build(
     # (ADVICE r11; fit_ivfpq_quantizers validates emptiness itself)
     dim = len(coarse.centers_q[0])
 
+    # index epoch (r13, VERDICT r12 #2): bumped by EVERY quantizer
+    # rewrite — rebalance AND an in-place rebuild over an existing
+    # directory (a rebuild that reset the epoch to 0 would let a
+    # stream started before it pass the 0 == 0 check against CHANGED
+    # quantizers); the streaming append path asserts it per microbatch
+    # so stale-quantizer encodes fail loudly. The bump lands BEFORE
+    # the destructive overwrite (r14, ADVICE r13): a stream running
+    # across this rebuild fails during it, and a crash mid-rewrite
+    # leaves a bumped stamp stale streams already reject.
+    epoch = (
+        _bump_epoch_inplace(out_dir)
+        if os.path.exists(_config_path(out_dir))
+        else 0
+    )
     index = ivfpq_index(
         candidates, coarse, models, id_col=id_col, vec_col=vec_col,
         residual=residual,
@@ -177,16 +214,6 @@ def run_ann_index_build(
     index.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "index")
     )
-    # index epoch (r13, VERDICT r12 #2): bumped by EVERY quantizer
-    # rewrite — rebalance AND an in-place rebuild over an existing
-    # directory (a rebuild that reset the epoch to 0 would let a
-    # stream started before it pass the 0 == 0 check against CHANGED
-    # quantizers); the streaming append path asserts it per microbatch
-    # so stale-quantizer encodes fail loudly.
-    prev_epoch = -1
-    if os.path.exists(_config_path(out_dir)):
-        with open(_config_path(out_dir)) as fh:
-            prev_epoch = int(json.load(fh).get("epoch", 0))
     config = {
         "n_centroids": n_centroids,
         "m": m,
@@ -194,7 +221,7 @@ def run_ann_index_build(
         "residual": residual,
         "seed": seed,
         "dim": dim,
-        "epoch": prev_epoch + 1,
+        "epoch": epoch,
     }
     _save_quantizers(out_dir, coarse, models, config)
 
@@ -385,15 +412,18 @@ def rebalance_cell(
         members, new_coarse, models, id_col=id_col, vec_col=vec_col,
         residual=bool(config["residual"]),
     ).localCheckpoint(eager=True)
-    shutil.rmtree(os.path.join(index_dir, f"cell={cell}"))
-    re_encoded.write.mode("append").partitionBy("cell").parquet(index_dir)
     # epoch bump (r13): any stream that loaded the PRE-rebalance
     # quantizers now fails its next microbatch's epoch assert instead
-    # of appending stale-encoded rows into the new layout
+    # of appending stale-encoded rows into the new layout. Bumped
+    # BEFORE the destructive delete (r14, ADVICE r13) so the reject
+    # holds DURING the rewrite and after a mid-rewrite crash.
+    epoch = _bump_epoch_inplace(out_dir)
+    shutil.rmtree(os.path.join(index_dir, f"cell={cell}"))
+    re_encoded.write.mode("append").partitionBy("cell").parquet(index_dir)
     config = dict(
         config,
         n_centroids=len(new_centers),
-        epoch=int(config.get("epoch", 0)) + 1,
+        epoch=epoch,
     )
     _save_quantizers(out_dir, new_coarse, models, config)
 
@@ -522,6 +552,16 @@ def compact_index_cells(
     duplicate byte-identical rows, which ``load_ann_index``'s
     deterministic dedup collapses (the same at-least-once-write +
     idempotent-read pairing the streaming appends rely on).
+
+    Concurrency scope (r14, ADVICE r13): the safety above is
+    WRITER-side. A concurrent READER (``load_ann_index`` /
+    ``ann_index_search``) that planned its file list before the
+    ``os.remove`` step can fail mid-job with missing-file errors —
+    don't race reads against compaction (retry the read), or set
+    ``spark.sql.files.ignoreMissingFiles=true`` on sessions that must
+    read through it (correct here: every removed file's rows were
+    just moved in under a new name, so ignoring the miss loses
+    nothing).
 
     Returns {cell: (n_files_before, n_files_after)}.
     """

@@ -238,17 +238,27 @@ def semdedup_incremental_actions(
     drop_semantic}; base vectors are never emitted (their standing is
     immutable under this policy; a full re-run of the batch operator
     is the tool for re-deciding the whole corpus).
+
+    Empty-base degenerate case (r14, ADVICE r13): with no base there
+    are no seeds, so no centroids, no cells, no pairs — every new
+    vector would silently pass as 'keep' even when the batch contains
+    exact duplicates. Fall back to the BATCH operator on the new frame
+    alone (``semantic_actions`` — same (vec_id, action) contract), so
+    the first batch into an empty corpus is deduped against itself.
     """
     eb = base.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
+    base_n = eb.count()
+    if base_n == 0:
+        return semantic_actions(new, tau=tau, id_col=id_col, vec_col=vec_col)
     en = new.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
     if k is None:
-        k = semdedup_k(eb.count())
+        k = semdedup_k(base_n)
     seeds = (
         eb.orderBy("vec_id")
         .limit(k)

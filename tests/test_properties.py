@@ -919,3 +919,33 @@ def test_semdedup_incremental_matches_batch_when_base_empty_pairs(spark):
     rows = QUERIES["semantic_dedup_incremental"].fn(spark, sf).collect()
     new_ids = {r.vec_id for r in emb.where(F.col("vec_id") % 3 == 0).collect()}
     assert {r.vec_id for r in rows} == new_ids
+
+
+def test_semdedup_incremental_empty_base_falls_back_to_batch(spark):
+    """ADVICE r13: an EMPTY base used to yield no centroids, no pairs,
+    and 'keep' for everything — exact duplicates within the first
+    batch silently passed. The fallback runs the BATCH operator on the
+    new frame, so within-batch dups are caught."""
+    from soccer_data_pipeline_spark.operators.semdedup import (
+        semantic_actions,
+        semdedup_incremental_actions,
+    )
+
+    schema = "vec_id bigint, embedding array<float>"
+    base = spark.createDataFrame([], schema)
+    new = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        schema,
+    )
+    out = {r.vec_id: r.action for r in
+           semdedup_incremental_actions(base, new).collect()}
+    assert sorted(a for a in out.values()) == [
+        "drop_semantic", "keep", "keep"
+    ]
+    assert out[3] == "keep"
+    batch = {r.vec_id: r.action for r in semantic_actions(new).collect()}
+    assert out == batch

@@ -232,7 +232,6 @@ def main() -> None:
     # probe-all below 1024 candidates / 13-of-17 above), measured from
     # the REWRITTEN artifacts at every sf
     from soccer_data_pipeline_spark.index_pipeline import (
-        load_ann_index,
         load_ann_quantizers,
         rebalance_cell,
     )
