@@ -232,6 +232,8 @@ HEADLINE = [
     "fleiss_kappa_raters",
     "bpe_apply_production",
     "semantic_dedup_incremental",
+    # round-14 additions
+    "ann_index_deletes",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

@@ -1522,17 +1522,21 @@ _ANN_REBALANCE_RUNS: dict = {}
     + """
 SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
        TRUE AS recall_ok, TRUE AS counts_preserved,
-       TRUE AS hot_cell_reduced, TRUE AS quantizer_grew
+       TRUE AS hot_cell_reduced, TRUE AS quantizer_grew,
+       TRUE AS quantizer_remerged
 FROM topk
 GROUP BY query_id
 """,
     doc=(
         "[beyond-ref] ANN index lifecycle as a hard signal: rebalance "
         "the manifest-argmax hot cell (deterministic 2-means split, "
-        "bounded to the one cell's partition directory), then gate "
-        "in-plan on the balance record (counts preserved, hot-cell "
-        "load strictly reduced, quantizer grew k->k+1) AND per-query "
-        "recall >= 0.8 served from the REWRITTEN artifacts "
+        "bounded to the one cell's partition directory), then MERGE "
+        "the two coldest cells back (r14 — the split's inverse, "
+        "bounded the same way), and gate in-plan on the balance "
+        "record (counts preserved through BOTH rewrites, hot-cell "
+        "load strictly reduced, quantizer grew k->k+1 then remerged "
+        "to k with the epoch advancing each time) AND per-query "
+        "recall >= 0.8 served from the twice-rewritten artifacts "
         "(SURVEY §2.10 similarity tier)"
     ),
 )
@@ -1546,15 +1550,20 @@ def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten artifacts crossed with three 1-row balance gates, all
     literally TRUE in the oracle:
 
-    - counts_preserved: Σ after == Σ before (no row lost by the
+    - counts_preserved: Σ after == Σ before (no row lost by EITHER
       rewrite — the ADVICE-r12 coverage guard's observable),
-    - hot_cell_reduced: the split cell's post-rebalance load is
-      strictly below its pre-rebalance load,
-    - quantizer_grew: the persisted config stamps k+1 centroids (and
-      an advanced epoch — asserted alongside).
+    - hot_cell_reduced: the split cell's final load is strictly below
+      its pre-rebalance load,
+    - quantizer_grew: the post-split config stamped k+1 centroids with
+      epoch 1 (recorded at split time),
+    - quantizer_remerged (r14): after ``merge_cells`` folds the two
+      coldest cells back, the persisted config stamps k centroids
+      again with epoch 2 — the full grow-and-shrink lifecycle under
+      the same stale-stream reject discipline.
 
     Scale shape: the one-time rebalance reads/writes ONLY the hot
-    cell's partition directory (static prune on the partition column);
+    cell's partition directory and the merge only the two coldest
+    cells' (plus one directory rename for the swapped-in last slot);
     per-call work is the k-row manifest pass plus the served search,
     whose index scan statically prunes to the probed cells. The gates
     fold to one broadcast row.
@@ -1565,6 +1574,7 @@ def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_search,
         load_ann_index,
         load_ann_quantizers,
+        merge_cells,
         rebalance_cell,
         run_ann_index_build,
     )
@@ -1584,15 +1594,22 @@ def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         before, _after, _ = rebalance_cell(spark, c, out_dir)
         b = {int(r["cell"]): int(r["n_vectors"]) for r in before.collect()}
         hot = max(b, key=lambda x: (b[x], -x))
-        cached = (out_dir, hot, b)
+        _, _, split_config = load_ann_quantizers(out_dir)
+        grew = (
+            int(split_config["n_centroids"]) == 17
+            and int(split_config.get("epoch", 0)) == 1
+        )
+        merge_cells(spark, c, out_dir)
+        cached = (out_dir, hot, b, grew)
         _ANN_REBALANCE_RUNS[sf_dir] = cached
-    out_dir, hot, b = cached
+    out_dir, hot, b, grew = cached
 
     _, _, config = load_ann_quantizers(out_dir)
     n_cells = int(config["n_centroids"])
-    # probe-all at tiny sfs (exactness), 13/17 above — the same probe
-    # fraction the 12/16 pre-rebalance ladder held
-    n_probe = n_cells if small else 13
+    # probe-all at tiny sfs (exactness), 12/16 above — the same probe
+    # fraction the pre-rebalance ladder held (split 16->17, merge back
+    # to 16)
+    n_probe = n_cells if small else 12
     manifest_after = load_ann_index(spark, out_dir).groupBy("cell").agg(
         F.count("*").alias("n_vectors")
     )
@@ -1605,9 +1622,10 @@ def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < F.lit(b[hot])
         ).alias("hot_cell_reduced"),
+        F.lit(grew).alias("quantizer_grew"),
         F.lit(
-            n_cells == 17 and int(config.get("epoch", 0)) == 1
-        ).alias("quantizer_grew"),
+            n_cells == 16 and int(config.get("epoch", 0)) == 2
+        ).alias("quantizer_remerged"),
     )
 
     served = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=n_probe)
@@ -1617,6 +1635,140 @@ def ann_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
     )
     return per_q.crossJoin(F.broadcast(gates))
+
+
+# deletion run cache: sf_dir → out_dir of an index built over the FULL
+# candidate side with the vec_id % 7 == 3 slice tombstoned. Separate
+# from the build/rebalance caches — those directories' contents must
+# stay exactly what their gates expect.
+_ANN_DELETE_RUNS: dict = {}
+
+
+@register(
+    "ann_index_deletes",
+    oracle="""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id >= 10 AND vec_id % 7 <> 3),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROUND(LIST_DOT_PRODUCT(q.v, c.v) /
+               (SQRT(LIST_DOT_PRODUCT(q.v, q.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))), 6) AS cosine
+  FROM q CROSS JOIN c
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rn
+    FROM sims
+  ) WHERE rn <= 5
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS deleted_absent, TRUE AS tombstones_match
+FROM topk
+GROUP BY query_id
+""",
+    doc=(
+        "[beyond-ref] ANN index deletion contract: tombstone a corpus "
+        "slice out of the persisted index, then gate in-plan on "
+        "deleted ids NEVER surfacing in served results, the tombstone "
+        "store matching the dropped set exactly, and per-query recall "
+        ">= 0.8 vs exact top-5 over the SURVIVORS "
+        "(SURVEY §2.10 similarity tier)"
+    ),
+)
+def ann_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion as a registered differential (VERDICT r13 #1 —
+    the corpus build drops documents, and without a deletion path the
+    persisted index serves them forever): build the
+    ``similarity_index_served`` config once per (process, corpus),
+    ``delete_ids`` the deterministic ``vec_id % 7 == 3`` slice, and
+    emit per-query recall rows measured over the SURVIVING corpus
+    crossed with two 1-row gates, all literally TRUE in the oracle:
+
+    - deleted_absent: no served (query, rank) row carries a tombstoned
+      id — the serving path's anti-join is load-bearing at every sf,
+    - tombstones_match: the persisted tombstone store holds EXACTLY
+      the dropped slice (no silent loss, no stray id),
+    - recall_ok: per-query recall >= 0.8 vs exact top-5 over the
+      survivors — deletion must not cost the remaining corpus recall
+      (the tombstoned rows still occupy cells until ``purge_deleted``,
+      so this also checks the hidden rows don't crowd out shortlists).
+
+    Scale shape: ``delete_ids`` is O(|ids|) — no index file rewrite;
+    serving reads only probed-cell partitions and broadcast-anti-joins
+    a kilobyte tombstone frame; the exact audit side is the bounded
+    10-query brute-force the whole ANN family uses.
+    """
+    import tempfile
+
+    from ..index_pipeline import (
+        ann_index_search,
+        delete_ids,
+        load_tombstones,
+        run_ann_index_build,
+    )
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    survivors = c.where(F.col("vec_id") % 7 != 3)
+    n_probe = 16 if c.count() < 1024 else 12
+
+    cached = _ANN_DELETE_RUNS.get(sf_dir)
+    if cached is None or not os.path.isdir(os.path.join(cached, "index")):
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_delete_")
+        run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True,
+            seed=42,
+        )
+        delete_ids(
+            spark, out_dir, c.where(F.col("vec_id") % 7 == 3).select("vec_id")
+        )
+        _ANN_DELETE_RUNS[sf_dir] = out_dir
+        cached = out_dir
+    out_dir = cached
+
+    served = ann_index_search(
+        q, survivors, out_dir, k=5, shortlist=200, n_probe=n_probe
+    )
+    deleted_absent = served.agg(
+        (
+            F.sum(F.when(F.col("candidate_id") % 7 == 3, 1).otherwise(0)) == 0
+        ).alias("deleted_absent")
+    )
+    tomb = load_tombstones(spark, out_dir).withColumn("_t", F.lit(1))
+    doomed = (
+        c.where(F.col("vec_id") % 7 == 3)
+        .select(F.col("vec_id").alias("candidate_id"))
+        .withColumn("_d", F.lit(1))
+    )
+    tomb_gate = tomb.join(doomed, "candidate_id", "full_outer").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("_t").isNull() | F.col("_d").isNull(), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("tombstones_match")
+    )
+
+    exact = brute_force_topk(q, survivors, k=5).select(
+        "query_id", "candidate_id"
+    )
+    hits = exact.join(
+        served.select("query_id", "candidate_id").withColumn("hit", F.lit(1)),
+        ["query_id", "candidate_id"],
+        "left",
+    ).withColumn("hit", F.coalesce(F.col("hit"), F.lit(0)))
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum("hit") >= 0.8 * F.count("*")).alias("recall_ok"),
+    )
+    return per_q.crossJoin(F.broadcast(deleted_absent)).crossJoin(
+        F.broadcast(tomb_gate)
+    )
 
 
 # ---------------------------------------------------------------------------

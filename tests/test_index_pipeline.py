@@ -346,6 +346,42 @@ def test_serving_scan_statically_prunes_to_probed_cells(spark, tmp_path):
     assert key(served.collect()) == key(unpruned.collect())
 
 
+def test_serving_plan_with_tombstones_prunes_and_broadcasts(spark, tmp_path):
+    """r14 deletion path plan shape: with tombstones pending, the
+    serving plan must KEEP the static cell PartitionFilters (the
+    anti-join sits above the pruned scan, not below it) and execute
+    the tombstone exclusion as a broadcast left-anti join — never a
+    shuffled join against the kilobyte tombstone frame."""
+    from soccer_data_pipeline_spark.index_pipeline import delete_ids
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8,
+                        residual=True)
+    delete_ids(spark, out_dir, [int(c.orderBy("vec_id").first().vec_id)])
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=50, n_probe=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = served._jdf.queryExecution().explainString(mode)
+    index_scans = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and f"{out_dir}/index" in b
+    ]
+    assert index_scans, "no parquet scan over the index directory in the plan"
+    for b in index_scans:
+        pf = b.split("PartitionFilters: [")[1].split("]")[0]
+        assert "cell" in pf and " IN " in pf, (
+            f"index scan PartitionFilters [{pf}] — tombstone anti-join "
+            "broke static cell pruning"
+        )
+    anti = [
+        ln for ln in plan.splitlines()
+        if "LeftAnti" in ln and "BroadcastHashJoin" in ln
+    ]
+    assert anti, "tombstone exclusion is not a broadcast left-anti join"
+
+
 def test_rebalance_refuses_uncovered_members(spark, tmp_path):
     """ADVICE r12: rebalancing with a `candidates` frame that does not
     cover every hot-cell member (the base corpus after streamed
@@ -524,3 +560,338 @@ def test_rebuild_in_place_advances_epoch_and_rejects_stale_stream(spark, tmp_pat
                 schema=spark.read.parquet(src).schema,
             )
     assert load_ann_index(spark, out_dir).count() == n_before
+
+
+def test_delete_ids_hidden_immediately_and_survivor_identical(spark, tmp_path):
+    """Deletion contract (r14, VERDICT r13 #1): tombstoned ids vanish
+    from every read and search IMMEDIATELY (no file rewrite), serving
+    over the survivors is row-identical to an in-memory search over an
+    encode of the SURVIVING corpus under the same quantizers, and
+    re-appending a deleted id does not resurrect it."""
+    from soccer_data_pipeline_spark.index_pipeline import delete_ids
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    built = run_ann_index_build(
+        c, out_dir, n_centroids=8, m=16, n_codes=8, residual=True,
+    )
+    # delete each query's served top-1 — ids that WOULD be returned
+    top1 = ann_index_search(q, c, out_dir, k=1, shortlist=50, n_probe=8)
+    doomed = sorted({int(r.candidate_id) for r in top1.collect()})
+    index_files_before = {
+        p: os.stat(p).st_mtime_ns
+        for p in _all_index_files(out_dir)
+    }
+    n = delete_ids(spark, out_dir, doomed)
+    assert n == len(doomed)
+    # O(|ids|) writer: no index file touched
+    assert index_files_before == {
+        p: os.stat(p).st_mtime_ns for p in _all_index_files(out_dir)
+    }
+
+    stored = load_ann_index(spark, out_dir)
+    assert stored.where(F.col("candidate_id").isin(doomed)).count() == 0
+    survivors = c.where(~F.col("vec_id").isin(doomed))
+    assert stored.count() == survivors.count()
+
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=50, n_probe=8)
+    assert served.where(F.col("candidate_id").isin(doomed)).count() == 0
+    mem = ivfpq_search(
+        q, ivfpq_index(survivors, built.coarse, built.models, residual=True),
+        survivors, built.coarse, built.models,
+        k=5, shortlist=50, n_probe=8, residual=True,
+    )
+    key = lambda rs: {(r.query_id, r.rn): r.candidate_id for r in rs}  # noqa: E731
+    assert key(served.collect()) == key(mem.collect())
+
+    # idempotent re-delete; a DataFrame of ids (any column name) works
+    delete_ids(spark, out_dir, q.sparkSession.createDataFrame(
+        [(doomed[0],)], "vec_id bigint"
+    ))
+    assert load_ann_index(spark, out_dir).count() == survivors.count()
+
+    # a tombstone outranks an append: re-streaming a deleted id's row
+    # does not resurrect it
+    ivfpq_index(
+        c.where(F.col("vec_id") == doomed[0]), built.coarse, built.models,
+        residual=True,
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(out_dir, "index")
+    )
+    assert (
+        load_ann_index(spark, out_dir)
+        .where(F.col("candidate_id") == doomed[0])
+        .count()
+        == 0
+    )
+
+
+def _all_index_files(out_dir):
+    import glob
+
+    return sorted(
+        glob.glob(os.path.join(out_dir, "index", "cell=*", "*.parquet"))
+    )
+
+
+def test_purge_deleted_bounded_rewrite_and_clears_tombstones(spark, tmp_path):
+    """purge_deleted physically reclaims tombstoned rows: only the
+    affected cells' files are rewritten (untouched cells byte-
+    identical), the RAW parquet no longer contains the ids, search
+    output is unchanged by the purge, the tombstone store is cleared,
+    and the epoch does not advance (layout-only — streams stay valid)."""
+    from soccer_data_pipeline_spark.index_pipeline import (
+        delete_ids,
+        load_tombstones,
+        purge_deleted,
+    )
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    raw = spark.read.parquet(os.path.join(out_dir, "index"))
+    # tombstone every member of ONE cell plus one member of another —
+    # exactly two affected cells
+    cells = sorted(
+        int(r.cell) for r in raw.select("cell").distinct().collect()
+    )
+    doomed = [
+        int(r.candidate_id)
+        for r in raw.where(F.col("cell") == cells[0]).collect()
+    ] + [
+        int(
+            raw.where(F.col("cell") == cells[1])
+            .orderBy("candidate_id")
+            .first()
+            .candidate_id
+        )
+    ]
+    delete_ids(spark, out_dir, doomed)
+    served_before = sorted(
+        map(tuple, ann_index_search(q, c, out_dir, k=5, n_probe=8).collect())
+    )
+    untouched_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for p in _all_index_files(out_dir)
+        if f"cell={cells[0]}" not in p and f"cell={cells[1]}" not in p
+    }
+
+    purged = purge_deleted(spark, out_dir)
+    assert set(purged) == {cells[0], cells[1]}
+    assert sum(purged.values()) == len(doomed)
+    assert load_tombstones(spark, out_dir) is None
+    raw2 = spark.read.parquet(os.path.join(out_dir, "index"))
+    assert raw2.where(F.col("candidate_id").isin(doomed)).count() == 0
+    assert raw2.count() == c.count() - len(doomed)
+    assert untouched_mtimes == {
+        p: os.stat(p).st_mtime_ns
+        for p in _all_index_files(out_dir)
+        if f"cell={cells[0]}" not in p and f"cell={cells[1]}" not in p
+    }
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 0
+    assert served_before == sorted(
+        map(tuple, ann_index_search(q, c, out_dir, k=5, n_probe=8).collect())
+    )
+    # purge with no tombstones is a no-op
+    assert purge_deleted(spark, out_dir) == {}
+
+
+def test_rebuild_clears_tombstones_and_rebalance_skips_deleted(spark, tmp_path):
+    """A full in-place rebuild declares fresh truth (stale tombstones
+    must not hide a legitimately re-added id), and rebalance_cell
+    treats tombstoned ids as non-members (the coverage guard does not
+    demand vectors the corpus dropped; the rewrite purges them)."""
+    from soccer_data_pipeline_spark.index_pipeline import delete_ids
+
+    _, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    some_id = int(c.orderBy("vec_id").first().vec_id)
+    delete_ids(spark, out_dir, [some_id])
+    assert (
+        load_ann_index(spark, out_dir)
+        .where(F.col("candidate_id") == some_id)
+        .count()
+        == 0
+    )
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    assert (
+        load_ann_index(spark, out_dir)
+        .where(F.col("candidate_id") == some_id)
+        .count()
+        == 1
+    )
+
+    # delete a few ids, then rebalance the hot cell with the SURVIVING
+    # corpus only — the guard must not raise, and counts drop by
+    # exactly the hot cell's tombstoned members (physically purged by
+    # the rewrite; other cells keep theirs hidden read-side)
+    manifest = load_ann_index(spark, out_dir).groupBy("cell").agg(
+        F.count("*").alias("n")
+    ).collect()
+    hot = max(manifest, key=lambda r: (r.n, -r.cell)).cell
+    hot_members = [
+        int(r.candidate_id)
+        for r in spark.read.parquet(os.path.join(out_dir, "index"))
+        .where(F.col("cell") == hot)
+        .orderBy("candidate_id")
+        .limit(2)
+        .collect()
+    ]
+    delete_ids(spark, out_dir, hot_members)
+    survivors = c.where(~F.col("vec_id").isin(hot_members))
+    before, after, _ = rebalance_cell(spark, survivors, out_dir, cell=int(hot))
+    assert (
+        sum(r.n_vectors for r in after.collect())
+        == sum(r.n_vectors for r in before.collect())
+    )
+    assert load_ann_index(spark, out_dir).count() == survivors.count()
+
+
+def test_corpus_drop_decisions_propagate_to_served_index(spark, tmp_path):
+    """The corpus-build → delete → serve closure (VERDICT r13 #1): the
+    semantic tier's drop decisions (the same action ledger
+    run_corpus_build consumes) are deleted from a PERSISTED index, and
+    the served results never contain a dropped id while every served
+    id is a kept one."""
+    from soccer_data_pipeline_spark.index_pipeline import delete_ids
+    from soccer_data_pipeline_spark.operators.semdedup import semantic_actions
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    actions = semantic_actions(c)
+    drops = actions.where(F.col("action") == "drop_semantic").select("vec_id")
+    kept = {
+        int(r.vec_id)
+        for r in actions.where(F.col("action") == "keep").collect()
+    }
+    n = delete_ids(spark, out_dir, drops)
+    assert n == actions.count() - len(kept)
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=50, n_probe=8)
+    served_ids = {int(r.candidate_id) for r in served.collect()}
+    assert served_ids <= kept
+    assert served.groupBy("query_id").count().agg(
+        F.min("count")
+    ).first()[0] == 5
+
+
+def test_merge_cells_inverse_lifecycle(spark, tmp_path):
+    """merge_cells (r14, VERDICT r13 #5 — the split's inverse): merging
+    two cells shrinks the quantizer k -> k-1 with counts preserved,
+    re-encodes ONLY the two merged cells' members (every other cell's
+    files byte-untouched; the swapped-in LAST cell's files are the
+    SAME bytes under a renamed directory — codes survive the slot
+    move bit-for-bit), advances the epoch, and the post-merge recall
+    audit served from the rewritten artifacts passes its floor."""
+    import glob
+
+    import pytest
+
+    from soccer_data_pipeline_spark.index_pipeline import merge_cells
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8,
+                        residual=True)
+    rows_before = {
+        r.candidate_id: r for r in load_ann_index(spark, out_dir).collect()
+    }
+    last_ids = {
+        cid for cid, r in rows_before.items() if r.cell == 7
+    }
+    files_before = {
+        p: os.stat(p).st_mtime_ns for p in _all_index_files(out_dir)
+    }
+
+    with pytest.raises(ValueError, match="must differ"):
+        merge_cells(spark, c, out_dir, cell_a=2, cell_b=2)
+    with pytest.raises(ValueError, match="cells must be in"):
+        merge_cells(spark, c, out_dir, cell_a=0, cell_b=8)
+
+    # merge 0 and 1 explicitly: drop=1 != last=7, so the rename path
+    # runs. Audit at probe-all: the gate here checks the REWRITE kept
+    # every neighbor reachable (merging two POPULOUS cells deliberately
+    # costs partial-probe routing — the audit exists to measure that;
+    # the production default merges the two coldest, where it doesn't)
+    before, after, audit = merge_cells(
+        spark, c, out_dir, cell_a=0, cell_b=1,
+        audit_queries=q, n_probe=7, shortlist=200,
+    )
+    b = {r.cell: r.n_vectors for r in before.collect()}
+    a = {r.cell: r.n_vectors for r in after.collect()}
+    assert sum(a.values()) == sum(b.values()) == c.count()
+    coarse2, _, config2 = load_ann_quantizers(out_dir)
+    assert len(coarse2.centers_q) == 7 and config2["n_centroids"] == 7
+    assert config2["epoch"] == 1
+    assert set(a) <= set(range(7))
+
+    # bounded IO: cells 2..6 byte-untouched in place; old cell 7's
+    # files moved (same basename, same mtime) into cell=1
+    for p, t in files_before.items():
+        cell = int(p.split("cell=")[1].split(os.sep)[0])
+        if 2 <= cell <= 6:
+            assert os.stat(p).st_mtime_ns == t, p
+        elif cell == 7:
+            moved = p.replace(f"cell=7{os.sep}", f"cell=1{os.sep}")
+            assert os.stat(moved).st_mtime_ns == t, p
+    assert not os.path.isdir(os.path.join(out_dir, "index", "cell=7"))
+
+    # the swapped-in cell's members: identical codes, relabeled cell
+    rows_after = {
+        r.candidate_id: r for r in load_ann_index(spark, out_dir).collect()
+    }
+    assert set(rows_after) == set(rows_before)
+    code_cols = [
+        f for f in rows_before[next(iter(last_ids))].asDict()
+        if f not in ("candidate_id", "cell")
+    ]
+    for cid in last_ids:
+        assert rows_after[cid].cell == 1
+        assert all(
+            rows_after[cid][f] == rows_before[cid][f] for f in code_cols
+        ), cid
+
+    # recall audit from the rewritten artifacts
+    rows = audit.collect()
+    assert len(rows) == 10
+    bad = [r.query_id for r in rows if not r.recall_ok]
+    assert not bad, f"post-merge recall below floor for {bad}"
+
+    # default pick (the two coldest) merges again: k -> 6, counts kept
+    before2, after2, _ = merge_cells(spark, c, out_dir)
+    assert sum(r.n_vectors for r in after2.collect()) == c.count()
+    coarse3, _, config3 = load_ann_quantizers(out_dir)
+    assert len(coarse3.centers_q) == 6 and config3["epoch"] == 2
+
+    # serving still returns k rows per query through the same surface
+    got = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=4)
+    per_q = got.groupBy("query_id").count().collect()
+    assert len(per_q) == 10 and all(r["count"] == 5 for r in per_q)
+
+
+def test_merge_cells_refuses_uncovered_members(spark, tmp_path):
+    """The split's coverage guard, mirrored: merging with a
+    `candidates` frame that misses a merged-cell member raises BEFORE
+    any destructive step — index intact, epoch unchanged."""
+    import pytest
+
+    from soccer_data_pipeline_spark.index_pipeline import merge_cells
+
+    _, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=4, m=16, n_codes=8)
+    n = load_ann_index(spark, out_dir).count()
+    member = int(
+        spark.read.parquet(os.path.join(out_dir, "index"))
+        .where(F.col("cell") == 0)
+        .first()
+        .candidate_id
+    )
+    with pytest.raises(ValueError, match="missing from `candidates`"):
+        merge_cells(
+            spark, c.where(F.col("vec_id") != member), out_dir,
+            cell_a=0, cell_b=1,
+        )
+    assert load_ann_index(spark, out_dir).count() == n
+    assert load_ann_quantizers(out_dir)[2]["epoch"] == 0

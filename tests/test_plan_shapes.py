@@ -397,6 +397,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # r13: rebalance differential — search windows partition by
         # query_id; manifest + balance gates are aggregation-only
         "ann_index_rebalance",
+        # r14: deletion differential — served search windows partition
+        # by query_id; the tombstone/absence gates fold to 1-row aggs
+        "ann_index_deletes",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
