@@ -234,6 +234,7 @@ HEADLINE = [
     "semantic_dedup_incremental",
     # round-14 additions
     "ann_index_deletes",
+    "semantic_dedup_served",
 ]
 
 # Every registered query is either benched (HEADLINE) or named here with

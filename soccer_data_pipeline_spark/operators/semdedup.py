@@ -204,6 +204,68 @@ def semantic_actions(
     return actions.crossJoin(F.broadcast(gate))
 
 
+def decide_incremental(m: DataFrame, new_ids: DataFrame, tau: float) -> DataFrame:
+    """The incremental decision core, shared by the in-memory operator
+    and the persisted-artifact streaming twin (semdedup_pipeline, r14).
+
+    ``m`` is the combined flagged frame — one row per vector:
+    (vec_id, cell, dist_q2, is_base, v, n) with ``v`` the double
+    vector and ``n`` its norm; ``new_ids`` is a (vec_id) frame naming
+    the batch. Pairs are within-cell with at least one NEW side
+    (base×base was decided when the base was built); dup groups come
+    from CC; the keeper rule prefers base members, then the
+    farthest-from-centroid / smaller-id order. Emits (vec_id, action)
+    for every row of ``new_ids``."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            # incremental bound: at least one side is NEW — base×base
+            # pairs were decided when the base was built
+            & ((F.col("a.is_base") == 0) | (F.col("b.is_base") == 0)),
+        )
+        .where(cosine >= tau)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    cc = dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    members = cc.join(
+        m.select("vec_id", "cell", "dist_q2", "is_base"), "vec_id"
+    )
+    # base-wins keeper: any base member outranks every new member;
+    # among new members the batch rule applies (farthest from centroid,
+    # ties to the smaller id)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("is_base"), F.desc("dist_q2"), F.asc("vec_id")
+    )
+    drops = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 1) & (F.col("is_base") == 0))
+        .select("vec_id")
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        new_ids.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.coalesce(F.col("_d"), F.lit(False)), "drop_semantic")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
+
+
 def semdedup_incremental_actions(
     base: DataFrame,
     new: DataFrame,
@@ -279,50 +341,6 @@ def semdedup_incremental_actions(
         new.select(id_col, vec_col)
     )
     m = a2.join(_with_norm(emb_all, id_col, vec_col), "vec_id")
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    a, b = m.alias("a"), m.alias("b")
-    cosine = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            # incremental bound: at least one side is NEW — base×base
-            # pairs were decided when the base was built
-            & ((F.col("a.is_base") == 0) | (F.col("b.is_base") == 0)),
-        )
-        .where(cosine >= tau)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
-    )
-    cc = dup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )
-    members = cc.join(a2, "vec_id")
-    # base-wins keeper: any base member outranks every new member;
-    # among new members the batch rule applies (farthest from centroid,
-    # ties to the smaller id)
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("is_base"), F.desc("dist_q2"), F.asc("vec_id")
-    )
-    drops = (
-        members.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > 1) & (F.col("is_base") == 0))
-        .select("vec_id")
-        .withColumn("_d", F.lit(True))
-    )
-    return (
-        new.select(F.col(id_col).alias("vec_id"))
-        .join(drops, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.coalesce(F.col("_d"), F.lit(False)), "drop_semantic")
-            .otherwise("keep")
-            .alias("action"),
-        )
+    return decide_incremental(
+        m, new.select(F.col(id_col).alias("vec_id")), tau
     )

@@ -7013,3 +7013,84 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") % 3 != 0)
     new = emb.where(F.col("vec_id") % 3 == 0)
     return semdedup_incremental_actions(base, new, tau=_SEMDEDUP_TAU)
+
+
+# persisted-artifact build cache for semantic_dedup_served: sf_dir →
+# out_dir. Built ONCE per (process, corpus) — the production
+# fit-once/serve-many contract, as _ANN_INDEX_BUILDS does for the index.
+_SEMDEDUP_SERVE_RUNS: dict = {}
+
+
+@register(
+    "semantic_dedup_served",
+    oracle=_SEMDEDUP_INC_CTES
+    + """
+SELECT e.vec_id,
+       CASE WHEN r.vec_id IS NOT NULL AND r.rn > 1
+            THEN 'drop_semantic' ELSE 'keep' END AS action,
+       TRUE AS served_matches_memory
+FROM e LEFT JOIN ranked r USING (vec_id)
+WHERE e.is_base = 0
+""",
+    doc=(
+        "[beyond-ref] production incremental-SemDeDup serving contract: "
+        "the new batch is decided against PERSISTED artifacts "
+        "(cell-partitioned base parquet + JSON centroids read from "
+        "disk, the batch's base read statically pruned to its cells), "
+        "gated in-plan on row-identity with the in-memory operator "
+        "(SURVEY §2.10 dedup/similarity tier)"
+    ),
+)
+def semantic_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic tier's ``similarity_index_served`` analog (r14,
+    VERDICT r13 #4): ``fit_semdedup_base`` once per (process, corpus)
+    into a temp directory, then the new batch's action ledger is
+    SERVED from the persisted artifacts through
+    ``semdedup_pipeline.semdedup_incremental_served`` — the same
+    decisions a ``run_streaming_semdedup`` microbatch would make. The
+    ``served_matches_memory`` gate (literally TRUE in the oracle)
+    asserts per-vector action identity with the in-memory
+    ``semdedup_incremental_actions`` under the same (base, k, tau) —
+    serving from disk must not change a single decision.
+
+    Scale shape: the fit runs once and amortizes; each served batch
+    assigns in-row against kilobyte centroids, resolves its distinct
+    cells driver-side (≤ k ints), and reads ONLY those cell
+    directories of the base store (static prune); pair work is
+    (new × pruned-base) ∪ (new × new) within cells.
+    """
+    import tempfile
+
+    from ..operators.semdedup import semdedup_incremental_actions
+    from ..semdedup_pipeline import (
+        fit_semdedup_base,
+        semdedup_incremental_served,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+
+    cached = _SEMDEDUP_SERVE_RUNS.get(sf_dir)
+    if cached is None or not os.path.isdir(os.path.join(cached, "base")):
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_semdedup_")
+        fit_semdedup_base(base, out_dir, tau=_SEMDEDUP_TAU)
+        _SEMDEDUP_SERVE_RUNS[sf_dir] = out_dir
+        cached = out_dir
+    out_dir = cached
+
+    served = semdedup_incremental_served(spark, new, out_dir).select(
+        "vec_id", "action"
+    )
+    mem = semdedup_incremental_actions(base, new, tau=_SEMDEDUP_TAU).select(
+        "vec_id", F.col("action").alias("m_action")
+    )
+    gate = served.join(mem, "vec_id", "full_outer").agg(
+        (
+            F.sum(
+                F.when(F.col("action") == F.col("m_action"), 1).otherwise(0)
+            )
+            == F.count("*")
+        ).alias("served_matches_memory")
+    )
+    return served.crossJoin(F.broadcast(gate))

@@ -400,6 +400,9 @@ def test_no_unpartitioned_windows_in_unbounded_rankers(spark):
         # r14: deletion differential — served search windows partition
         # by query_id; the tombstone/absence gates fold to 1-row aggs
         "ann_index_deletes",
+        # r14: served incremental SemDeDup — keeper window partitions
+        # by dup cluster; the identity gate folds to one broadcast row
+        "semantic_dedup_served",
     ):
         bad = _unpartitioned_window_lines(_plan(spark, name))
         assert not bad, (name, bad)
