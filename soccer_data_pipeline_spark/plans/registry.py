@@ -75,9 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "alias_coalesce_join",
     "unpivot_stack",
     "topk_orders_per_customer",
-    "champion_per_segment",
     "rolling_avg_events",
-    "lag_prev_order",
     "filter_project_lineitem",
     "explode_tokens",
     "json_extract_events",
@@ -121,6 +119,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # its first hard rows — ordered-fold MM iterations)
     "spearman_spend_balance",
     "bradley_terry_rating",
+    # r14: the sampled-generation benchmark estimator joins the eval
+    # tier's hard rows (VERDICT r12 #7 / r13 #2 — the last substantial
+    # r11 additions without driver signal)
+    "pass_at_k_eval",
     # similarity search (LSH-blocked near-dup; r13: the PERSISTED-index
     # serving contract carries the ANN tier's hard rows — recall +
     # row-identity-with-memory gates literally TRUE in its oracle) and
@@ -131,6 +133,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # gives the diversification/eval family its first hard rows)
     "embedding_near_dup_banded",
     "similarity_index_served",
+    # r14: the true FAISS IndexIVFPQ residual encoding takes hard rows
+    # alongside the serving contract (VERDICT r13 #2's other half) —
+    # its in-plan recall gate hash-fails on ADC/residual degradation
+    "similarity_ivfpq_residual",
     "hybrid_retrieval_rrf_ann",
     "mmr_diverse_rerank",
     # multimodal
@@ -344,6 +350,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # semantic_dedup_repair). Next-rotation candidates per VERDICT r12 #7,
 # once the r13 swaps settle: pass_at_k_eval or the ivfpq pair (the
 # last substantial r11 additions without driver signal).
+# Round 14: two swaps (VERDICT r13 #2 — execute that deferred
+# rotation). (1) champion_per_segment ceded for pass_at_k_eval —
+# champion's top-1-per-group plan is a strict subset of in-window
+# topk_orders_per_customer (bench.py EXCLUDED has said so since r7),
+# and the A6 champion-label semantics keep their golden standings
+# fixture + full local DuckDB oracle; pass@k gives the sampled-
+# generation benchmark estimator the eval tier's hard rows next to
+# bradley_terry_rating. (2) lag_prev_order ceded for
+# similarity_ivfpq_residual — the single-lag WindowExec is superset-
+# exercised in-window by rolling_avg_events (same partitionBy/orderBy
+# frame machinery, richer frame) and W3/J4 parity keeps golden +
+# local-oracle coverage; the true FAISS residual-encoded IVF x PQ
+# serving path takes hard rows alongside similarity_index_served (its
+# in-plan recall >= 0.8 gate makes ADC/residual degradation
+# hash-fatal at every sf). The r14 additions — ann_index_deletes
+# (deletion differential) and semantic_dedup_served (persisted
+# incremental-SemDeDup serving) — sit local-oracle + benched next to
+# their in-window family reps (similarity_index_served /
+# semantic_dedup_repair) per the one-round-settling precedent, and
+# are the named next-rotation candidates.
 
 
 def _ordered_names() -> list[str]:

@@ -90,6 +90,16 @@ FAMILY_REPRESENTATIVES = {
     "retrieval_fusion": "hybrid_retrieval_rrf_ann",
     # r12: the eval/preference-rating tier's first hard rows
     "eval_rating": "bradley_terry_rating",
+    # r14: the sampled-generation benchmark estimator (VERDICT r13 #2)
+    "eval_pass_at_k": "pass_at_k_eval",
+    # r14: the residual IVF x PQ form joins the serving contract
+    "ivfpq_residual": "similarity_ivfpq_residual",
+    # r14: champion_per_segment ceded (top-1-per-group subset of the
+    # in-window topk plan; A6 semantics keep golden + local oracle)
+    "champion_label": "topk_orders_per_customer",
+    # r14: lag_prev_order ceded (single-lag WindowExec superset-
+    # exercised by the rolling frame rep; W3/J4 keep golden + oracle)
+    "window_lag": "rolling_avg_events",
     "multimodal": "multimodal_binary_stats",
     "split": "train_val_test_split",
     # sampling: stratified_sample_docs ceded its slot in r3c — the
