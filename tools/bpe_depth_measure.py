@@ -48,7 +48,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    result: dict = {"depths": depths, "runs": []}
+    reps = int(os.environ.get("BPE_REPS", "3"))
+    result: dict = {"depths": depths, "reps": reps, "runs": []}
     for sf_dir in sf_dirs:
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
@@ -59,6 +60,7 @@ def main() -> None:
             .collect()
         )
         texts = [r["text"] for r in sample]
+        per_depth: dict = {}
         for depth in depths:
             t0 = time.time()
             merges = [
@@ -77,34 +79,65 @@ def main() -> None:
                 (f"\x00pad{i}", f"\x00pad{i}")
                 for i in range(depth - n_learned)
             ]
+            per_depth[depth] = {
+                "merges": merges,
+                "n_learned": n_learned,
+                "learn_sec": learn_sec,
+                "apply_secs": [],
+                "row": None,
+            }
+
+        def apply_once(depth):
+            merges = per_depth[depth]["merges"]
             t0 = time.time()
             row = (
-                apply_merges_totals(
-                    docs, merges, track_prefixes=False
-                )
+                apply_merges_totals(docs, merges, track_prefixes=False)
                 .agg(
                     F.sum("t0").alias("t0"),
                     F.sum(f"t{len(merges)}").alias("tR"),
                 )
                 .collect()[0]
             )
-            apply_sec = time.time() - t0
+            per_depth[depth]["row"] = row
+            return time.time() - t0
+
+        # warm-up (r14, VERDICT r13 #6): the FIRST apply of a session
+        # pays scan/codegen warmup — at sf0.1 the r13 artifact read
+        # 3.0 s for whichever depth ran first vs 0.411 s for the
+        # second, so apply_depth_ratio measured ordering, not depth.
+        # One untimed pass absorbs it; the timed reps then interleave
+        # A/B with the order SWAPPED each rep, and the per-depth
+        # median is what the flatness ratio compares.
+        apply_once(depths[0])
+        for rep in range(reps):
+            order = depths if rep % 2 == 0 else list(reversed(depths))
+            for depth in order:
+                per_depth[depth]["apply_secs"].append(
+                    round(apply_once(depth), 3)
+                )
+
+        for depth in depths:
+            d = per_depth[depth]
+            secs = sorted(d["apply_secs"])
+            median = secs[len(secs) // 2]
             result["runs"].append(
                 {
                     "sf_dir": sf_dir,
                     "n_docs": n_docs,
-                    "rounds": len(merges),
-                    "n_learned": n_learned,
-                    "n_padded_cold": len(merges) - n_learned,
-                    "learn_sec": round(learn_sec, 3),
-                    "apply_sec": round(apply_sec, 3),
-                    "symbols_before": int(row["t0"]),
-                    "symbols_after": int(row["tR"]),
+                    "rounds": len(d["merges"]),
+                    "n_learned": d["n_learned"],
+                    "n_padded_cold": len(d["merges"]) - d["n_learned"],
+                    "learn_sec": round(d["learn_sec"], 3),
+                    "apply_sec": median,
+                    "apply_secs": d["apply_secs"],
+                    "symbols_before": int(d["row"]["t0"]),
+                    "symbols_after": int(d["row"]["tR"]),
                 }
             )
             print(json.dumps(result["runs"][-1]))
 
-    # apply-cost flatness per sf: max/min apply_sec across depths
+    # apply-cost flatness per sf: max/min MEDIAN apply_sec across
+    # depths (order-robust: every depth's reps ran in both positions)
     by_sf: dict = {}
     for r in result["runs"]:
         by_sf.setdefault(r["sf_dir"], []).append(r["apply_sec"])
