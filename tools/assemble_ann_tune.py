@@ -232,7 +232,9 @@ def main() -> None:
     # probe-all below 1024 candidates / 13-of-17 above), measured from
     # the REWRITTEN artifacts at every sf
     from soccer_data_pipeline_spark.index_pipeline import (
+        delete_ids,
         load_ann_quantizers,
+        merge_cells,
         rebalance_cell,
     )
 
@@ -254,6 +256,17 @@ def main() -> None:
         n_probe = n_cells if small else 13
         srv = ann_index_search(q, c, out_dir, k=5, shortlist=200, n_probe=n_probe)
         mn, macro = recalls(q, c, srv)
+        # r14: the merge leg of the extended ann_index_rebalance
+        # differential — fold the two coldest cells back (k -> 16,
+        # epoch -> 2) and re-measure from the twice-rewritten artifacts
+        _, after_m, _ = merge_cells(spark, c, out_dir)
+        am = {int(r["cell"]): int(r["n_vectors"]) for r in after_m.collect()}
+        n_cells_m = int(load_ann_quantizers(out_dir)[2]["n_centroids"])
+        n_probe_m = n_cells_m if small else 12
+        srv_m = ann_index_search(
+            q, c, out_dir, k=5, shortlist=200, n_probe=n_probe_m
+        )
+        mn_m, macro_m = recalls(q, c, srv_m)
         rebalance.append(
             {
                 "sf_dir": sf,
@@ -262,9 +275,47 @@ def main() -> None:
                 "hot_before": b[hot],
                 "hot_after": a.get(hot, 0),
                 "counts_preserved": sum(a.values()) == sum(b.values()),
-                "epoch": int(load_ann_quantizers(out_dir)[2]["epoch"]),
                 "post_rebalance_min": mn,
                 "post_rebalance_macro": macro,
+                "merge_counts_preserved": sum(am.values()) == sum(b.values()),
+                "n_cells_after_merge": n_cells_m,
+                "epoch": int(load_ann_quantizers(out_dir)[2]["epoch"]),
+                "post_merge_n_probe": n_probe_m,
+                "post_merge_min": mn_m,
+                "post_merge_macro": macro_m,
+            }
+        )
+
+    # r14: deletion gate margins — the ann_index_deletes differential's
+    # config (fresh 16-cell build, tombstone the vec_id % 7 == 3 slice,
+    # serve over the survivors), measured at every sf
+    deletes = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where("vec_id < 10")
+        c = emb.where("vec_id >= 10")
+        survivors = c.where("vec_id % 7 <> 3")
+        small = c.count() < 1024
+        n_probe = 16 if small else 12
+        out_dir = tempfile.mkdtemp(prefix="ann_tune_delete_")
+        run_ann_index_build(
+            c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True, seed=42
+        )
+        n_del = delete_ids(
+            spark, out_dir, c.where("vec_id % 7 = 3").select("vec_id")
+        )
+        srv = ann_index_search(
+            q, survivors, out_dir, k=5, shortlist=200, n_probe=n_probe
+        )
+        mn, macro = recalls(q, survivors, srv)
+        deletes.append(
+            {
+                "sf_dir": sf,
+                "n_probe": n_probe,
+                "n_deleted": n_del,
+                "deleted_served": srv.where("candidate_id % 7 = 3").count(),
+                "survivor_min": mn,
+                "survivor_macro": macro,
             }
         )
 
@@ -295,8 +346,13 @@ def main() -> None:
         # row-identity with the in-memory encode)
         "index_served_gates": served,
         # r13: rebalance lifecycle gate margins (ann_index_rebalance's
-        # config) — post-rebalance recall floor 0.8, balance record
+        # config) — post-rebalance recall floor 0.8, balance record;
+        # r14: extended with the merge leg (k back to 16, epoch 2,
+        # post-merge recall from the twice-rewritten artifacts)
         "rebalance_gates": rebalance,
+        # r14: deletion gate margins (ann_index_deletes' config) —
+        # tombstoned slice never served, survivor recall floor 0.8
+        "delete_gates": deletes,
     }
     out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
     with open(out, "w") as fh:
