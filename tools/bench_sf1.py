@@ -108,6 +108,12 @@ HEAVY = [
     "similarity_index_served",
     "semantic_dedup_repair",
     "bpe_learn_merges_sampled",
+    # r14: the deletion differential (tombstone anti-join on the served
+    # path — the broadcast must stay invisible at 10x) and the persisted
+    # incremental-SemDeDup serving (cell-pruned base read + batch-
+    # bounded pair join — the scale claim is batch-, not corpus-, bound)
+    "ann_index_deletes",
+    "semantic_dedup_served",
 ]
 
 # 10x data should cost <= ~10x wall for a linear plan; the bucketed /
