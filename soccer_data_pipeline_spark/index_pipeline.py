@@ -185,18 +185,29 @@ def delete_ids(spark: SparkSession, out_dir: str, ids) -> int:
 
 
 def purge_deleted(
-    spark: SparkSession, out_dir: str, target_files: int = 1
+    spark: SparkSession,
+    out_dir: str,
+    target_files: int = 1,
+    clear_tombstones: bool = False,
 ) -> dict[int, int]:
     """Physically reclaim tombstoned rows (the deletion path's
     compaction twin): rewrite ONLY the cells that hold tombstoned rows
     — one column-pruned scan finds the affected cells, then each
     rewrite statically prunes to that cell's partition directory and
     drops the tombstoned ids; untouched cells are never read or
-    written. The tombstone store is cleared LAST, so a crash at any
-    point leaves deleted ids still hidden by the read-side anti-join
-    (duplicates from a mid-rewrite crash collapse via the loader's
-    dedup — compaction's crash-ordering argument, plus the tombstones
-    are still in force).
+    written. A mid-rewrite crash is safe at any point: duplicates
+    collapse via the loader's dedup (compaction's crash-ordering
+    argument) and the tombstones are still in force.
+
+    The tombstone store is PRESERVED by default — compacted to one
+    deduped file, not cleared — because ``delete_ids``'s contract is
+    that a tombstone outranks every append, past or FUTURE: an
+    at-least-once stream whose index append committed but whose
+    checkpoint did not can legitimately RE-APPEND a purged id on
+    replay, and only a standing tombstone keeps it hidden. Pass
+    ``clear_tombstones=True`` only when no stream can replay across
+    the purge (quiescent writers, checkpoints intact); the unconditional
+    reset remains the full-rebuild fresh-truth path.
 
     Layout-only like compaction: no epoch bump (quantizers/codes
     unchanged; a concurrent append stream stays valid), and the same
@@ -226,14 +237,18 @@ def purge_deleted(
         )
         # raw read (NOT the deduped loader): preserve the stored
         # multiset of SURVIVING rows byte-for-byte, drop only
-        # tombstoned ids
+        # tombstoned ids. Materialized ONCE (the rebalance/merge
+        # re_encoded discipline): the write and the count both read
+        # the checkpoint, and the file list is pinned before removal.
         rows = (
             spark.read.parquet(index_dir)
             .where(F.col("cell") == c)
             .drop("cell")
         )
-        kept = rows.join(F.broadcast(tomb), "candidate_id", "left_anti")
-        purged = rows.count() - kept.count()
+        n_rows = rows.count()
+        kept = rows.join(
+            F.broadcast(tomb), "candidate_id", "left_anti"
+        ).localCheckpoint(eager=True)
         shutil.rmtree(tmp, ignore_errors=True)
         kept.repartition(target_files).write.mode("overwrite").parquet(tmp)
         for p in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
@@ -241,8 +256,22 @@ def purge_deleted(
         for p in old:
             os.remove(p)
         shutil.rmtree(tmp, ignore_errors=True)
-        result[c] = purged
-    shutil.rmtree(_tombstones_dir(out_dir), ignore_errors=True)
+        result[c] = n_rows - kept.count()
+    if clear_tombstones:
+        shutil.rmtree(_tombstones_dir(out_dir), ignore_errors=True)
+    else:
+        # compact the store: one deduped file replaces the append pile
+        d = _tombstones_dir(out_dir)
+        old_t = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if len(old_t) > 1:
+            compact = tomb.localCheckpoint(eager=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            compact.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for p in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
+                shutil.move(p, d)
+            for p in old_t:
+                os.remove(p)
+            shutil.rmtree(tmp, ignore_errors=True)
     return result
 
 
@@ -279,8 +308,8 @@ def load_ann_index(
         df = df.where(F.col("cell").isin([int(c) for c in cells]))
     # deletion contract (r14): tombstoned ids vanish from every read —
     # a broadcast anti-join below the dedup (the tombstone set is
-    # bounded between purges; ``purge_deleted`` reclaims the rows and
-    # clears the store when it grows)
+    # bounded by total deletions; ``purge_deleted`` reclaims the rows
+    # and compacts the store, and a full rebuild resets it)
     tomb = load_tombstones(spark, out_dir)
     if tomb is not None:
         df = df.join(F.broadcast(tomb), "candidate_id", "left_anti")
@@ -377,13 +406,6 @@ def run_ann_index_build(
         if os.path.exists(_config_path(out_dir))
         else 0
     )
-    # a full rebuild declares fresh truth: the caller's `candidates`
-    # IS the corpus, so pending tombstones (deletes against the OLD
-    # index) are cleared — a legitimately re-added id must not stay
-    # hidden behind a stale tombstone (r14 deletion contract)
-    import shutil
-
-    shutil.rmtree(_tombstones_dir(out_dir), ignore_errors=True)
     index = ivfpq_index(
         candidates, coarse, models, id_col=id_col, vec_col=vec_col,
         residual=residual,
@@ -401,6 +423,17 @@ def run_ann_index_build(
         "epoch": epoch,
     }
     _save_quantizers(out_dir, coarse, models, config)
+    # a full rebuild declares fresh truth: the caller's `candidates`
+    # IS the corpus, so pending tombstones (deletes against the OLD
+    # index) are cleared — a legitimately re-added id must not stay
+    # hidden behind a stale tombstone (r14 deletion contract). Cleared
+    # LAST, after the new index and quantizers are fully persisted: a
+    # crash mid-rebuild must leave deleted ids still hidden (the
+    # purge_deleted crash discipline — over-hiding is recoverable by
+    # re-running the rebuild; resurrecting deleted rows is not).
+    import shutil
+
+    shutil.rmtree(_tombstones_dir(out_dir), ignore_errors=True)
 
     spark = candidates.sparkSession
     stored = load_ann_index(spark, out_dir)

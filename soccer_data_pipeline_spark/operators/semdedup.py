@@ -312,15 +312,22 @@ def semdedup_incremental_actions(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
-    base_n = eb.count()
-    if base_n == 0:
+    # emptiness probe, not a count: the full count is only needed when
+    # k comes from the corpus-size ladder (the ADVICE-r12 discipline —
+    # a caller passing k explicitly must not pay a base scan for it)
+    if k is None:
+        base_n = eb.count()
+        if base_n == 0:
+            return semantic_actions(
+                new, tau=tau, id_col=id_col, vec_col=vec_col
+            )
+        k = semdedup_k(base_n)
+    elif not eb.head(1):
         return semantic_actions(new, tau=tau, id_col=id_col, vec_col=vec_col)
     en = new.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
-    if k is None:
-        k = semdedup_k(base_n)
     seeds = (
         eb.orderBy("vec_id")
         .limit(k)

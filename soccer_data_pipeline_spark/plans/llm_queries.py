@@ -1686,7 +1686,15 @@ def ann_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossed with two 1-row gates, all literally TRUE in the oracle:
 
     - deleted_absent: no served (query, rank) row carries a tombstoned
-      id — the serving path's anti-join is load-bearing at every sf,
+      id — the serving path's anti-join is load-bearing at every sf.
+      The serve deliberately passes the FULL candidate set as the
+      re-rank corpus: with corpus=survivors the re-rank's inner join
+      would hide deleted ids even if the anti-join were deleted
+      (review r14 — the gate would be vacuous); with corpus=c the
+      tombstone anti-join is the ONLY thing keeping them out, so
+      breaking it flips the gate. When the anti-join works, the
+      results are identical either way (deleted ids never shortlist,
+      so the re-rank never fetches their vectors),
     - tombstones_match: the persisted tombstone store holds EXACTLY
       the dropped slice (no silent loss, no stray id),
     - recall_ok: per-query recall >= 0.8 vs exact top-5 over the
@@ -1730,7 +1738,7 @@ def ann_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = cached
 
     served = ann_index_search(
-        q, survivors, out_dir, k=5, shortlist=200, n_probe=n_probe
+        q, c, out_dir, k=5, shortlist=200, n_probe=n_probe
     )
     deleted_absent = served.agg(
         (

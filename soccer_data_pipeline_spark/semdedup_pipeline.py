@@ -108,13 +108,20 @@ def fit_semdedup_base(
     ).join(a2, "vec_id")
 
     # epoch bump BEFORE the destructive overwrite (the index-pipeline
-    # discipline): a stream running across this re-fit fails during it
+    # discipline): a stream running across this re-fit fails during it.
+    # The FULL existing config is preserved under the bumped epoch
+    # (index_pipeline._bump_epoch_inplace's contract) — a mid-fit crash
+    # must leave the loud epoch reject, not a KeyError on tau/dim, and
+    # a concurrent serve during a healthy re-fit must still load a
+    # complete stamp.
     epoch = 0
     if os.path.exists(_config_path(out_dir)):
         with open(_config_path(out_dir)) as fh:
-            epoch = int(json.load(fh).get("epoch", 0)) + 1
+            stale = json.load(fh)
+        epoch = int(stale.get("epoch", 0)) + 1
+        stale["epoch"] = epoch
         with open(_config_path(out_dir), "w") as fh:
-            json.dump({"epoch": epoch}, fh)
+            json.dump(stale, fh)
     import shutil
 
     shutil.rmtree(_actions_dir(out_dir), ignore_errors=True)

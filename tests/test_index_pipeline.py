@@ -634,12 +634,15 @@ def _all_index_files(out_dir):
     )
 
 
-def test_purge_deleted_bounded_rewrite_and_clears_tombstones(spark, tmp_path):
+def test_purge_deleted_bounded_rewrite_preserves_tombstones(spark, tmp_path):
     """purge_deleted physically reclaims tombstoned rows: only the
     affected cells' files are rewritten (untouched cells byte-
     identical), the RAW parquet no longer contains the ids, search
-    output is unchanged by the purge, the tombstone store is cleared,
-    and the epoch does not advance (layout-only — streams stay valid)."""
+    output is unchanged by the purge, and the epoch does not advance
+    (layout-only — streams stay valid). The tombstone store is
+    PRESERVED by default (compacted) — a checkpoint-lost replay that
+    re-appends a purged id must still find it hidden (review r14) —
+    and cleared only with the explicit opt-in flag."""
     from soccer_data_pipeline_spark.index_pipeline import (
         delete_ids,
         load_tombstones,
@@ -679,7 +682,10 @@ def test_purge_deleted_bounded_rewrite_and_clears_tombstones(spark, tmp_path):
     purged = purge_deleted(spark, out_dir)
     assert set(purged) == {cells[0], cells[1]}
     assert sum(purged.values()) == len(doomed)
-    assert load_tombstones(spark, out_dir) is None
+    # store preserved (compacted to one deduped file) — NOT cleared
+    tomb_after = load_tombstones(spark, out_dir)
+    assert tomb_after is not None
+    assert {int(r.candidate_id) for r in tomb_after.collect()} == set(doomed)
     raw2 = spark.read.parquet(os.path.join(out_dir, "index"))
     assert raw2.where(F.col("candidate_id").isin(doomed)).count() == 0
     assert raw2.count() == c.count() - len(doomed)
@@ -692,7 +698,26 @@ def test_purge_deleted_bounded_rewrite_and_clears_tombstones(spark, tmp_path):
     assert served_before == sorted(
         map(tuple, ann_index_search(q, c, out_dir, k=5, n_probe=8).collect())
     )
-    # purge with no tombstones is a no-op
+
+    # the replay worst case the standing store exists for: a purged
+    # id's row re-appended (index append committed, checkpoint lost)
+    # stays hidden
+    coarse, models, _cfg = load_ann_quantizers(out_dir)
+    ivfpq_index(
+        c.where(F.col("vec_id") == doomed[0]), coarse, models,
+        residual=bool(_cfg["residual"]),
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(out_dir, "index")
+    )
+    assert (
+        load_ann_index(spark, out_dir)
+        .where(F.col("candidate_id") == doomed[0])
+        .count()
+        == 0
+    )
+
+    # explicit opt-in clears the store; then purge is a no-op
+    purge_deleted(spark, out_dir, clear_tombstones=True)
     assert purge_deleted(spark, out_dir) == {}
 
 

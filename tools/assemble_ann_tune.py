@@ -304,8 +304,11 @@ def main() -> None:
         n_del = delete_ids(
             spark, out_dir, c.where("vec_id % 7 = 3").select("vec_id")
         )
+        # serve with the FULL candidate set as the re-rank corpus (the
+        # registered differential's shape): only the tombstone
+        # anti-join keeps deleted ids out of these results
         srv = ann_index_search(
-            q, survivors, out_dir, k=5, shortlist=200, n_probe=n_probe
+            q, c, out_dir, k=5, shortlist=200, n_probe=n_probe
         )
         mn, macro = recalls(q, survivors, srv)
         deletes.append(

@@ -25,32 +25,15 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bench_sf1 import io_probe_mbps  # noqa: E402 — the shared probe
 from soccer_data_pipeline_spark.corpus_pipeline import run_corpus_build  # noqa: E402
 from soccer_data_pipeline_spark.operators.corpus import quality_pm  # noqa: E402
 from soccer_data_pipeline_spark.plans.llm_queries import (  # noqa: E402
     pack_sequences_plan,
 )
 from soccer_data_pipeline_spark.sources import load_table  # noqa: E402
-
-IO_PROBE_BYTES = 256 * 1024 * 1024
-
-
-def io_probe_mbps(runs: int = 3) -> float:
-    """min-of-N buffered sequential-write throughput (MB/s) — the
-    boot-level variable cross-artifact drift attribution uses."""
-    best = 0.0
-    buf = b"\0" * (8 * 1024 * 1024)
-    for _ in range(runs):
-        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".ioprobe") as fh:
-            t0 = time.perf_counter()
-            for _ in range(IO_PROBE_BYTES // len(buf)):
-                fh.write(buf)
-            fh.flush()
-            os.fsync(fh.fileno())
-            dt = time.perf_counter() - t0
-        best = max(best, IO_PROBE_BYTES / dt / 1e6)
-    return best
 
 
 def main() -> None:
