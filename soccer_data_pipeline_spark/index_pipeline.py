@@ -903,11 +903,12 @@ def compact_index_cells(
     WRITER-side. A concurrent READER (``load_ann_index`` /
     ``ann_index_search``) that planned its file list before the
     ``os.remove`` step can fail mid-job with missing-file errors —
-    don't race reads against compaction (retry the read), or set
-    ``spark.sql.files.ignoreMissingFiles=true`` on sessions that must
-    read through it (correct here: every removed file's rows were
-    just moved in under a new name, so ignoring the miss loses
-    nothing).
+    don't race reads against compaction; RETRY the failed read (the
+    re-planned scan sees the compacted files and is complete). Do NOT
+    paper over it with ``spark.sql.files.ignoreMissingFiles``: a scan
+    planned pre-compaction lists the old files but not the moved-in
+    replacements, so ignoring the miss silently serves the cell
+    PARTIALLY — a loud retryable failure is strictly safer.
 
     Returns {cell: (n_files_before, n_files_after)}.
     """
