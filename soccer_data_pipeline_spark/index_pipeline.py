@@ -870,6 +870,57 @@ def run_streaming_index_updates(
     return q
 
 
+def run_streaming_index_deletes(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id bigint, action string",
+    id_col: str = "vec_id",
+    action_col: str = "action",
+    drop_prefix: str = "drop_",
+):
+    """The corpus-CDC → index closure under Structured Streaming
+    (r14): tail a directory of per-doc action/decision parquet — the
+    ledgers the corpus side already emits (``run_corpus_build``
+    decisions, ``semantic_actions``, the semdedup pipeline's streamed
+    action store) — and tombstone every ``drop_*`` id out of the
+    served index per microbatch via ``delete_ids``. Keep rows pass
+    through untouched.
+
+    Contract notes:
+
+    - Idempotent under foreachBatch's at-least-once replay: a replayed
+      batch re-appends the same tombstone ids, which the read-side
+      dedup collapses — no state beyond the checkpoint's file ledger.
+    - NO epoch assert (deliberately — contrast
+      ``run_streaming_index_updates``): deletes touch no quantizer and
+      are id-keyed, so they remain valid across concurrent rebalances,
+      merges, and compactions; the lifecycle rewrites themselves
+      exclude tombstoned members.
+    - O(Σ|dropped ids|) total writer cost; no index file is ever read
+      or written by this stream.
+
+    Returns the finished StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        drops = batch_df.where(
+            F.col(action_col).startswith(drop_prefix)
+        ).select(F.col(id_col))
+        delete_ids(spark, out_dir, drops)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def compact_index_cells(
     spark: SparkSession,
     out_dir: str,

@@ -920,3 +920,50 @@ def test_merge_cells_refuses_uncovered_members(spark, tmp_path):
         )
     assert load_ann_index(spark, out_dir).count() == n
     assert load_ann_quantizers(out_dir)[2]["epoch"] == 0
+
+
+def test_streaming_index_deletes_consume_decision_ledger(spark, tmp_path):
+    """The corpus-CDC → index closure (r14): a decision-ledger stream
+    tombstones every drop_* id out of the served index per microbatch,
+    keeps pass through, a second ledger file lands incrementally, and
+    a checkpoint-lost full replay changes nothing (tombstone appends
+    dedup on read)."""
+    from soccer_data_pipeline_spark.index_pipeline import (
+        load_tombstones,
+        run_streaming_index_deletes,
+    )
+
+    q, c = _sides(spark)
+    out_dir = str(tmp_path / "ann")
+    run_ann_index_build(c, out_dir, n_centroids=8, m=16, n_codes=8)
+    ids = sorted(int(r.vec_id) for r in c.select("vec_id").collect())
+    batch1 = [(i, "drop_semantic" if i % 5 == 0 else "keep") for i in ids[:40]]
+    batch2 = [(i, "drop_near_dup" if i % 7 == 0 else "keep") for i in ids[40:80]]
+    dropped = {i for i, a in batch1 + batch2 if a != "keep"}
+
+    src = str(tmp_path / "decisions")
+    spark.createDataFrame(batch1, "vec_id bigint, action string").write.parquet(src)
+    run_streaming_index_deletes(spark, src, out_dir, str(tmp_path / "ck1"))
+    d1 = {i for i, a in batch1 if a != "keep"}
+    assert {
+        int(r.candidate_id) for r in load_tombstones(spark, out_dir).collect()
+    } == d1
+
+    spark.createDataFrame(batch2, "vec_id bigint, action string").write.mode(
+        "append"
+    ).parquet(src)
+    run_streaming_index_deletes(spark, src, out_dir, str(tmp_path / "ck1"))
+    assert {
+        int(r.candidate_id) for r in load_tombstones(spark, out_dir).collect()
+    } == dropped
+    stored = load_ann_index(spark, out_dir)
+    assert stored.count() == c.count() - len(dropped)
+    served = ann_index_search(q, c, out_dir, k=5, shortlist=50, n_probe=8)
+    assert served.where(F.col("candidate_id").isin(list(dropped))).count() == 0
+
+    # checkpoint-lost full replay: same tombstone set, same loader rows
+    run_streaming_index_deletes(spark, src, out_dir, str(tmp_path / "ck2"))
+    assert {
+        int(r.candidate_id) for r in load_tombstones(spark, out_dir).collect()
+    } == dropped
+    assert load_ann_index(spark, out_dir).count() == c.count() - len(dropped)

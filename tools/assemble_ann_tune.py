@@ -322,6 +322,44 @@ def main() -> None:
             }
         )
 
+    # r14: persisted incremental-SemDeDup serving gates — served action
+    # ledger row-identical to the in-memory operator at every scale
+    # (the semantic_dedup_served differential's gate, extended to sf1)
+    from soccer_data_pipeline_spark.operators.semdedup import (
+        semdedup_incremental_actions,
+    )
+    from soccer_data_pipeline_spark.semdedup_pipeline import (
+        fit_semdedup_base,
+        semdedup_incremental_served,
+    )
+
+    sem_served = []
+    for sf in sf_small + [sf01, sf1]:
+        emb = load_table(spark, sf, "embeddings")
+        base = emb.where("vec_id % 3 != 0")
+        new = emb.where("vec_id % 3 = 0")
+        out_dir = tempfile.mkdtemp(prefix="ann_tune_semdedup_")
+        config = fit_semdedup_base(base, out_dir)
+        srv = {
+            r["vec_id"]: r["action"]
+            for r in semdedup_incremental_served(spark, new, out_dir).collect()
+        }
+        mem = {
+            r["vec_id"]: r["action"]
+            for r in semdedup_incremental_actions(
+                base, new, k=config["k"]
+            ).collect()
+        }
+        sem_served.append(
+            {
+                "sf_dir": sf,
+                "k": config["k"],
+                "n_new": len(srv),
+                "n_dropped": sum(1 for a in srv.values() if a != "keep"),
+                "served_matches_memory": srv == mem,
+            }
+        )
+
     doc = {
         "metric": "ann_tune_frontier",
         "round": rnd,
@@ -356,6 +394,9 @@ def main() -> None:
         # r14: deletion gate margins (ann_index_deletes' config) —
         # tombstoned slice never served, survivor recall floor 0.8
         "delete_gates": deletes,
+        # r14: persisted incremental-SemDeDup serving — action-ledger
+        # identity with the in-memory operator at every scale
+        "semdedup_served_gates": sem_served,
     }
     out = os.path.join(ROOT, f"ANN_TUNE_r{rnd:02d}.json")
     with open(out, "w") as fh:
