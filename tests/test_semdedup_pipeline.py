@@ -225,3 +225,54 @@ def test_refit_clears_stale_action_ledger(spark, tmp_path):
     with open(os.path.join(out_dir, "config.json")) as fh:
         assert json.load(fh) == config
     shutil.rmtree(src)
+
+
+def test_semdedup_stream_ledger_feeds_index_deletes(spark, tmp_path):
+    """Cross-pipeline closure (r14): the semdedup stream's action
+    store is itself a valid source for run_streaming_index_deletes —
+    semantic drops decided by one stream propagate to the served ANN
+    index through the other, with no glue code. End to end: embeddings
+    → ANN index; new batch → semdedup stream (action ledger);
+    ledger → delete stream → dropped ids never served."""
+    from soccer_data_pipeline_spark.index_pipeline import (
+        ann_index_search,
+        load_tombstones,
+        run_ann_index_build,
+        run_streaming_index_deletes,
+    )
+
+    base, new = _splits(spark)
+    emb = base.unionByName(new)
+    q = emb.limit(5)
+
+    idx_dir = str(tmp_path / "idx")
+    run_ann_index_build(emb, idx_dir, n_centroids=8, m=16, n_codes=8)
+
+    sem_dir = str(tmp_path / "sem")
+    fit_semdedup_base(base, sem_dir)
+    src = str(tmp_path / "incoming")
+    new.write.parquet(src)
+    run_streaming_semdedup(
+        spark, src, sem_dir, str(tmp_path / "ck_sem"),
+        schema=spark.read.parquet(src).schema,
+    )
+    dropped = {
+        int(r.vec_id)
+        for r in load_semdedup_actions(spark, sem_dir)
+        .where(F.col("action") == "drop_semantic")
+        .collect()
+    }
+    assert dropped, "fixture produced no semantic drops"
+
+    run_streaming_index_deletes(
+        spark, os.path.join(sem_dir, "actions"), idx_dir,
+        str(tmp_path / "ck_del"),
+    )
+    assert {
+        int(r.candidate_id)
+        for r in load_tombstones(spark, idx_dir).collect()
+    } == dropped
+    served = ann_index_search(q, emb, idx_dir, k=5, shortlist=50, n_probe=8)
+    assert served.where(F.col("candidate_id").isin(list(dropped))).count() == 0
+    per_q = served.groupBy("query_id").count().collect()
+    assert len(per_q) == 5 and all(r["count"] == 5 for r in per_q)
