@@ -963,44 +963,62 @@ def compact_index_cells(
 
     Returns {cell: (n_files_before, n_files_after)}.
     """
+    return compact_cell_partitions(
+        spark,
+        os.path.join(out_dir, "index"),
+        os.path.join(out_dir, "_compact_tmp"),
+        cells=cells,
+        min_files=min_files,
+        target_files=target_files,
+    )
+
+
+def compact_cell_partitions(
+    spark: SparkSession,
+    data_dir: str,
+    tmp_dir: str,
+    cells: list[int] | None = None,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> dict[int, tuple[int, int]]:
+    """The shared small-file compaction over any ``cell=``-partitioned
+    parquet store (the ANN index and the semdedup pipeline's base
+    store share the layout AND the at-least-once-write +
+    deterministic-dedup-read contract, so they share the compactor).
+    Raw read per targeted cell — the stored multiset is preserved
+    byte-for-byte, including rows a loader's dedup would collapse."""
     import glob
     import shutil
 
-    index_dir = os.path.join(out_dir, "index")
-
     def cell_files(c: int) -> list[str]:
         return sorted(
-            glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+            glob.glob(os.path.join(data_dir, f"cell={c}", "*.parquet"))
         )
 
     if cells is None:
         cells = sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(index_dir)
+            for d in os.listdir(data_dir)
             if d.startswith("cell=")
         )
     result: dict[int, tuple[int, int]] = {}
-    tmp = os.path.join(out_dir, "_compact_tmp")
     for c in cells:
         old = cell_files(c)
         if len(old) <= min_files:
             continue
-        # raw read (NOT the deduped loader): compaction must preserve
-        # the stored multiset byte-for-byte, including any out-of-
-        # contract conflicting rows the loader would collapse
         rows = (
-            spark.read.parquet(index_dir)
+            spark.read.parquet(data_dir)
             .where(F.col("cell") == c)
             .drop("cell")
         )
-        shutil.rmtree(tmp, ignore_errors=True)
-        rows.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        rows.repartition(target_files).write.mode("overwrite").parquet(tmp_dir)
         moved = 0
-        for p in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
-            shutil.move(p, os.path.join(index_dir, f"cell={c}"))
+        for p in sorted(glob.glob(os.path.join(tmp_dir, "*.parquet"))):
+            shutil.move(p, os.path.join(data_dir, f"cell={c}"))
             moved += 1
         for p in old:
             os.remove(p)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         result[c] = (len(old), moved)
     return result

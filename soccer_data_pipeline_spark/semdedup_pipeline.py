@@ -301,6 +301,37 @@ def run_streaming_semdedup(
     return q
 
 
+def compact_semdedup_base(
+    spark: SparkSession,
+    out_dir: str,
+    cells: list[int] | None = None,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> dict[int, tuple[int, int]]:
+    """Small-file compaction for the base store (r14): every streamed
+    microbatch appends one-plus parquet files per touched cell, so a
+    long-running semdedup stream turns each cell-pruned pair read into
+    many file opens — the same failure mode ``compact_index_cells``
+    closes for the index, solved by the same shared compactor on the
+    same layout. Layout-only: centroids, cells, dists untouched, no
+    epoch advance (a concurrent stream keeps appending validly); the
+    same crash ordering (move in first, delete after — duplicates
+    collapse via the loader's dedup) and the same reader-race scope
+    (retry a read that raced the removals; don't ignoreMissingFiles).
+
+    Returns {cell: (n_files_before, n_files_after)}."""
+    from .index_pipeline import compact_cell_partitions
+
+    return compact_cell_partitions(
+        spark,
+        _base_dir(out_dir),
+        os.path.join(out_dir, "_compact_tmp"),
+        cells=cells,
+        min_files=min_files,
+        target_files=target_files,
+    )
+
+
 def load_semdedup_actions(spark: SparkSession, out_dir: str) -> DataFrame:
     """The decided action ledger, idempotent under replays (one
     deterministic row per vec_id)."""

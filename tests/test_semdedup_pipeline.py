@@ -276,3 +276,75 @@ def test_semdedup_stream_ledger_feeds_index_deletes(spark, tmp_path):
     assert served.where(F.col("candidate_id").isin(list(dropped))).count() == 0
     per_q = served.groupBy("query_id").count().collect()
     assert len(per_q) == 5 and all(r["count"] == 5 for r in per_q)
+
+
+def test_compact_semdedup_base_lossless_and_bounded(spark, tmp_path):
+    """The base store's compaction (shared compactor, r14): after a
+    multi-batch stream fragments cell directories, compacting folds
+    the targeted cells to one file each, leaves non-target cells
+    byte-untouched, and changes neither the loader's rows nor a
+    subsequent batch's served decisions; epoch unchanged."""
+    import glob
+
+    from soccer_data_pipeline_spark.semdedup_pipeline import (
+        compact_semdedup_base,
+    )
+
+    base, new = _splits(spark)
+    out_dir = str(tmp_path / "sem")
+    fit_semdedup_base(base, out_dir)
+    src = str(tmp_path / "incoming")
+    new1 = new.where(F.col("vec_id") % 2 == 0)
+    probe_batch = new.where(F.col("vec_id") % 2 == 1)
+    new1.write.parquet(src)
+    run_streaming_semdedup(
+        spark, src, out_dir, str(tmp_path / "ckpt"),
+        schema=spark.read.parquet(src).schema,
+    )
+
+    def files(cell):
+        return sorted(
+            glob.glob(
+                os.path.join(out_dir, "base", f"cell={cell}", "*.parquet")
+            )
+        )
+
+    cell_dirs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(out_dir, "base"))
+        if d.startswith("cell=")
+    )
+    counts = {c: len(files(c)) for c in cell_dirs}
+    fragmented = [c for c, n in counts.items() if n > 1]
+    assert fragmented, "stream did not fragment any cell"
+    target = fragmented[0]
+    rows_before = sorted(
+        (r.vec_id, r.cell) for r in load_semdedup_base_rows(spark, out_dir).collect()
+    )
+    served_before = _amap(
+        semdedup_incremental_served(spark, probe_batch, out_dir).collect()
+    )
+    others_mtimes = {
+        p: os.stat(p).st_mtime_ns
+        for c in cell_dirs
+        if c != target
+        for p in files(c)
+    }
+    epoch_before = load_semdedup_artifacts(spark, out_dir)[1]["epoch"]
+
+    result = compact_semdedup_base(spark, out_dir, cells=[target], min_files=1)
+    assert result == {target: (counts[target], 1)}
+    assert len(files(target)) == 1
+    assert others_mtimes == {
+        p: os.stat(p).st_mtime_ns
+        for c in cell_dirs
+        if c != target
+        for p in files(c)
+    }
+    assert load_semdedup_artifacts(spark, out_dir)[1]["epoch"] == epoch_before
+    assert rows_before == sorted(
+        (r.vec_id, r.cell) for r in load_semdedup_base_rows(spark, out_dir).collect()
+    )
+    assert served_before == _amap(
+        semdedup_incremental_served(spark, probe_batch, out_dir).collect()
+    )
