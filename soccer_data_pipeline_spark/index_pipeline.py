@@ -213,13 +213,29 @@ def purge_deleted(
     unchanged; a concurrent append stream stays valid), and the same
     reader-race scope — don't race reads against the file removals.
 
+    Concurrency: the tombstone FILE LIST is pinned once, up front, and
+    every read below — the per-cell anti-joins AND the end-of-purge
+    store compaction — uses exactly those files; only they are removed.
+    A tombstone appended by a concurrent ``run_streaming_index_deletes``
+    between the pin and the removals therefore survives untouched (it
+    stays in force on every read path and is folded by the NEXT purge)
+    instead of being silently deleted with the compacted pile (ADVICE
+    r14). ``clear_tombstones=True`` still removes the whole store and
+    keeps its stricter quiesced-writers contract.
+
     Returns {cell: n_rows_purged}."""
     import glob
     import shutil
 
-    tomb = load_tombstones(spark, out_dir)
-    if tomb is None:
+    d = _tombstones_dir(out_dir)
+    old_t = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not old_t:
         return {}
+    tomb = (
+        spark.read.parquet(*old_t)
+        .select("candidate_id")
+        .dropDuplicates(["candidate_id"])
+    )
     index_dir = os.path.join(out_dir, "index")
     affected = sorted(
         int(r["cell"])
@@ -260,9 +276,9 @@ def purge_deleted(
     if clear_tombstones:
         shutil.rmtree(_tombstones_dir(out_dir), ignore_errors=True)
     else:
-        # compact the store: one deduped file replaces the append pile
-        d = _tombstones_dir(out_dir)
-        old_t = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        # compact the store: one deduped file replaces the PINNED
+        # append pile (old_t from function entry — a concurrently
+        # appended file is neither folded nor removed here)
         if len(old_t) > 1:
             compact = tomb.localCheckpoint(eager=True)
             shutil.rmtree(tmp, ignore_errors=True)

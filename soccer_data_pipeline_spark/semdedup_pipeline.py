@@ -334,7 +334,17 @@ def compact_semdedup_base(
 
 def load_semdedup_actions(spark: SparkSession, out_dir: str) -> DataFrame:
     """The decided action ledger, idempotent under replays (one
-    deterministic row per vec_id)."""
+    deterministic row per vec_id).
+
+    Duplicate-id contract: replays append byte-identical rows, so the
+    per-id collapse normally has nothing to resolve. If an
+    OUT-OF-CONTRACT conflicting duplicate ever appears (same vec_id,
+    different actions across batches), ``F.min`` resolves it in the
+    CONSERVATIVE direction — ``drop_*`` sorts before ``keep`` and
+    therefore outranks it, matching the downstream delete stream
+    (run_streaming_index_deletes), which tombstones an id permanently
+    on a single drop row (ADVICE r14: ``F.max`` resolved to 'keep'
+    while the index had already deleted the id)."""
     df = spark.read.parquet(_actions_dir(out_dir))
-    packed = df.groupBy("vec_id").agg(F.max("action").alias("action"))
+    packed = df.groupBy("vec_id").agg(F.min("action").alias("action"))
     return packed
