@@ -145,4 +145,11 @@ def apply_merges_totals(
                 out.append((doc_id, *totals))
             yield pd.DataFrame(out, columns=[id_col, *cols])
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from .skew import spread_for_compute
+
+    # interpreted per-token merge replay is the definition of
+    # compute-dense; widen a narrow scan before the Python boundary
+    # (guide §2.5 / §4 — no-op when the scan is already parallel)
+    return spread_for_compute(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=schema
+    )

@@ -63,8 +63,11 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
     )
+    from .skew import spread_for_compute
+
     return (
-        docs.select("doc_id", toks.alias("toks"))
+        spread_for_compute(docs)
+        .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= n)
         .select(
             "doc_id",
@@ -686,6 +689,9 @@ def winnowing_fingerprints(
     incidence — all per-row array work before the final DISTINCT, no
     shuffle until then. Docs shorter than w + k − 1 chars emit nothing.
     """
+    from .skew import spread_for_compute
+
+    docs = spread_for_compute(docs)
     n = F.length("text")
     hs = F.transform(
         F.sequence(F.lit(1), n - F.lit(k - 1)),

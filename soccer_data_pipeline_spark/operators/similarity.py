@@ -57,10 +57,15 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query vector (the recall=1.0 baseline)."""
+    from .skew import spread_for_compute
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    c = candidates.select(
+    # the |C|·|Q| interpreted-HOF cosine work runs in the candidate
+    # scan's stage — spread it (guide §2.5; single-row-group scans
+    # otherwise serialize it on 1 task)
+    c = spread_for_compute(candidates).select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
     sims = c.join(F.broadcast(q), how="cross").select(
@@ -269,8 +274,9 @@ def ivf_index(
     stays the persisted index-build artifact (the FAISS `add` contract
     vs `train`)."""
     from .kmeans import DeterministicKMeans
+    from .skew import spread_for_compute
 
-    cand = candidates.select(
+    cand = spread_for_compute(candidates).select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
     if isinstance(model, DeterministicKMeans):
@@ -796,7 +802,9 @@ def pq_topk(
     sub = dim_probe // m
     assert sub * m == dim_probe, f"dim {dim_probe} not divisible by m={m}"
 
-    cand = candidates.select(
+    from .skew import spread_for_compute
+
+    cand = spread_for_compute(candidates).select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     subcols = [F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)]
@@ -1009,10 +1017,12 @@ def ivfpq_index(
             "quantizer (legacy Spark-ML KMeansModel quantizers only "
             "support residual=False)"
         )
+    from .skew import spread_for_compute
+
     codebooks = _pq_codebooks(models)
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cand = candidates.select(
+    cand = spread_for_compute(candidates).select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     if residual:

@@ -243,7 +243,12 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle), so the sums see identical operands in identical
     order and the rounded result is bit-exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import spread_for_compute
+
+    # per-row char sort + entropy fold is scan-stage interpreted HOF
+    # work — spread a narrow local scan first (guide §2.5; no-op at
+    # scale where the scan is already parallel)
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     chars = F.array_sort(F.filter(F.split("text", ""), lambda x: x != ""))
     term = lambda run: F.when(  # noqa: E731
         run > 0, run.cast("double") * F.log(run.cast("double"))
@@ -4817,9 +4822,20 @@ FROM m{r}, t{r - 1}, t{r}"""
 def _bpe_working_corpus(docs: DataFrame) -> DataFrame:
     """Token frame → single-space symbol encoding (' a b c ' with
     bounding spaces), checkpointed — the working corpus both BPE
-    learners iterate on."""
-    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
-        F.length("token") >= 2
+    learners iterate on.
+
+    The spread (guide §2.5 input skew) matters here more than anywhere:
+    the checkpoint PINS the partitioning for every downstream learn
+    round, so a single-row-group scan (or a post-LIMIT sample, always
+    1 partition) would serialize all R apply+pair-count corpus passes
+    on one core. At scale the scan already carries ≥ defaultParallelism
+    partitions and the spread is a no-op."""
+    from ..operators.skew import spread_for_compute
+
+    tok = (
+        spread_for_compute(docs)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") >= 2)
     )
     return tok.select(
         F.concat(

