@@ -236,6 +236,11 @@ def connected_components(
     # the union below consumes `e` twice, and without this boundary the
     # possibly-expensive upstream pipeline (e.g. the whole MinHash
     # shingle→band→verify chain) executes once per union branch.
+    # (r15 note: a limit(cutoff+1).toPandas() single-pass probe was
+    # A/B-measured here and LOST — CollectLimit executes its child in
+    # scale-up rounds, re-running expensive un-materialized pair joins
+    # like SemDeDup's per round: semantic_dedup_semdedup 4.2 → 5.3 s
+    # min-of-side. The cache+count+drain pair of passes stays.)
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).cache()

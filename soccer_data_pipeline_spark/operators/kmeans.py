@@ -248,6 +248,114 @@ class DeterministicKMeans:
         return cls(doc["centers_q"], q=doc["q"])
 
 
+def inrow_assign(
+    frame: DataFrame,
+    centers: list[tuple[int, list[int]]],
+    xq_col: str = "xq",
+    cell_col: str = "cell",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Nearest-center assignment against DRIVER-HELD centers, in-row.
+
+    ``centers`` is an ascending-cid ``(cid, grid_vector)`` list (cids
+    need not be dense — the SemDeDup family seeds cells with vec_ids).
+    Appends ``cell_col`` (and optionally the exact int64 squared
+    distance) with NO join and NO shuffle: one narrow ArrowEvalPython
+    projection — the ``with_cell`` arrow engine generalized to
+    explicit cids + a distance output. Bit-identical to
+    :func:`assign_cells` over a (cid, cq) frame of the same centers:
+    exact int64 arithmetic, ties to the smaller cid (numpy argmin
+    takes the FIRST extremum; centers arrive cid-ascending) —
+    equality-tested in tests/test_kmeans_operator.py.
+
+    The scale contract matches ``DeterministicKMeans.with_cell``: the
+    centers are index artifacts (k ≤ hundreds of rows of ints), never
+    data — every executor holds them as numpy constants, the corpus
+    streams through untouched."""
+    import numpy as np
+
+    cent = np.array([c for _, c in centers], dtype=np.int64)
+    cids = np.array([cid for cid, _ in centers], dtype=np.int64)
+
+    if dist_col is None:
+
+        @F.pandas_udf("bigint")
+        def _cell(batch: pd.Series) -> pd.Series:
+            if not len(batch):
+                return pd.Series(np.array([], dtype=np.int64))
+            x = np.array(batch.tolist(), dtype=np.int64)
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(cids[d2.argmin(axis=1)])
+
+        return frame.withColumn(cell_col, _cell(xq_col))
+
+    @F.pandas_udf("c bigint, d bigint")
+    def _assign(batch: pd.Series) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "c": pd.Series(dtype="int64"),
+                    "d": pd.Series(dtype="int64"),
+                }
+            )
+        x = np.array(batch.tolist(), dtype=np.int64)
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"c": cids[a], "d": d2[np.arange(len(a)), a]}
+        )
+
+    out = frame.withColumn("_ac", _assign(xq_col))
+    return out.select(
+        *[c for c in frame.columns],
+        F.col("_ac.c").alias(cell_col),
+        F.col("_ac.d").alias(dist_col),
+    )
+
+
+def two_iter_lloyd_centers(
+    e: DataFrame, k: int, id_col: str = "vec_id", xq_col: str = "xq"
+) -> list[tuple[int, list[int]]]:
+    """The SemDeDup-family trainer (seeds = the k smallest-id quantized
+    rows, ONE Lloyd recomputation — the unrolled two-iteration form the
+    family's DuckDB oracles mirror), computed with two bounded collects
+    instead of the broadcast-join + exchange chain the r14 form paid:
+
+    - seeds: a k-row ordered take (k ≤ the ladder's 128);
+    - per-(cell, dim) exact int64 sums: ONE fused narrow pass — the
+      first-iteration assignment runs in-row (:func:`inrow_assign`)
+      inside the same stage as the posexplode, so no a1 checkpoint, no
+      broadcast build, no join — collected as ≤ k·dim rows of longs.
+
+    Returns the NON-EMPTY (cid, center) list in ascending-cid order
+    (cids are the seed ids). Arithmetic replicates ``assign_cells`` +
+    ``lloyd_recompute`` bit-for-bit: exact int64 distances, the
+    (dist, cid) struct-min tie-break (= first argmin over ascending
+    cids), and Spark's HALF_UP double→grid mean rounding
+    (:func:`_round_half_up`, the proven replica). Empty input → []."""
+    seed_rows = e.orderBy(id_col).limit(k).collect()
+    if not seed_rows:
+        return []
+    seeds = [(int(r[id_col]), [int(x) for x in r[xq_col]]) for r in seed_rows]
+    seeds.sort(key=lambda t: t[0])
+    sums = (
+        inrow_assign(e, seeds, xq_col=xq_col, cell_col="_c1")
+        .select("_c1", F.posexplode(xq_col).alias("i", "x"))
+        .groupBy("_c1", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    acc: dict[int, dict[int, int]] = {}
+    for r in sums:
+        acc.setdefault(int(r["_c1"]), {})[int(r["i"])] = _round_half_up(
+            float(int(r["s"])) / int(r["n"])
+        )
+    return [
+        (cid, [dims[i] for i in range(len(dims))])
+        for cid, dims in sorted(acc.items())
+    ]
+
+
 def _round_half_up(x: float) -> int:
     """Exact replica of Spark's ``F.round(double)`` (BigDecimal
     HALF_UP: halves away from zero) for the |x| ≤ 1e4 grid range —

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import dup_clusters
-from .kmeans import GRID_Q, assign_cells, lloyd_recompute, quantize_vec
+from .kmeans import GRID_Q, inrow_assign, quantize_vec, two_iter_lloyd_centers
 
 # the established house near-dup band for this corpus family
 # (embedding_near_dup provenance: near-uniform random 64-d, max pair
@@ -59,20 +59,36 @@ def semdedup_assign(
     0..n-1 corpus identical to the original ``vec_id < k`` form, and
     still exactly k seeds when the caller passes a FILTERED frame
     (the corpus-build path, where cleaning may have dropped low ids).
-    """
+
+    Shape (r15): the trainer runs through ``two_iter_lloyd_centers``
+    (two bounded collects — the k-row seed take and the ≤ k·dim
+    centroid sums — with the first-iteration assignment fused in-row
+    into the sums pass) and the final assignment is ONE narrow
+    ``inrow_assign`` projection against the driver-held centers. The
+    r14 broadcast-join + groupBy chain cost ~18 sequential jobs per
+    call at sf0.1 (profiled: 6.1 s construction vs 0.8 s execution on
+    the registered query); this is 3 jobs for bit-identical output
+    (the in-row argmin is the equality-tested ``with_cell`` arrow
+    engine generalized to explicit cids)."""
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
-    )
-    a1 = assign_cells(e, seeds, out_col="c1")
-    cent = lloyd_recompute(a1, e, cell_col="c1")
-    return assign_cells(e, cent, out_col="cell", keep_dist=True).localCheckpoint(
-        eager=True
+    cent = two_iter_lloyd_centers(e, k)
+    if not cent:
+        return (
+            e.select(
+                "vec_id",
+                F.lit(0).cast("long").alias("cell"),
+                F.lit(0).cast("long").alias("dist_q2"),
+            )
+            .where(F.lit(False))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        inrow_assign(e, cent, dist_col="dist_q2")
+        .select("vec_id", "cell", "dist_q2")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -328,19 +344,18 @@ def semdedup_incremental_actions(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
-    seeds = (
-        eb.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
-    )
-    a1 = assign_cells(eb, seeds, out_col="c1")
-    cent = lloyd_recompute(a1, eb, cell_col="c1")
+    # r15 shape: base-only trainer via two bounded collects, then ONE
+    # in-row assignment over the flagged union — the r14 form's
+    # broadcast-join + groupBy + join-back chain collapses to a single
+    # narrow projection (is_base rides in-row, so the join-back for it
+    # disappears too). Bit-identical (see semdedup_assign).
+    cent = two_iter_lloyd_centers(eb, k)
     flagged = eb.withColumn("is_base", F.lit(1)).unionByName(
         en.withColumn("is_base", F.lit(0))
     )
     a2 = (
-        assign_cells(flagged, cent, out_col="cell", keep_dist=True)
-        .join(flagged.select("vec_id", "is_base"), "vec_id")
+        inrow_assign(flagged, cent, dist_col="dist_q2")
+        .select("vec_id", "cell", "dist_q2", "is_base")
         .localCheckpoint(eager=True)
     )
 

@@ -816,32 +816,48 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier comparison is bit-deterministic in both engines. Division
     by 200 back to currency happens only at output.
 
-    Scale shape: two grouped exact percentiles (sort-based agg per
-    group) with the 3-row median/MAD frames broadcast back onto the
-    fact rows. Exact grouped percentiles buffer per group — the
-    sketch-tier alternative for wide groups is approx_percentile
-    (demonstrated by approx_quantile_gate); this is the exact batch
-    form, per-group-bounded rather than corpus-bounded.
+    Scale shape (r15): the fact table is scanned ONCE and compressed
+    to (flag, half-cent, count) — map-side combinable, so the shuffle
+    carries the distinct-value histogram, not the rows. Both medians
+    run as FREQUENCY-WEIGHTED exact percentiles over that histogram
+    (``percentile(col, p, frequency)`` expands to the identical
+    sorted-value interpolation — same doubles, bit-for-bit), and the
+    outlier count folds the same histogram weights. The r14 form
+    re-scanned the corpus three times and buffered every raw row in
+    the percentile state; this buffers one entry per DISTINCT price
+    per flag (the natural compressed domain) — strictly less state at
+    any scale, and the percentile interpolation arithmetic is
+    unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    c = li.select(
-        F.col("l_returnflag").alias("flag"),
-        (F.round(F.col("l_extendedprice") * 100).cast("long") * 2).alias("hc"),
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (F.round(F.col("l_extendedprice") * 100).cast("long") * 2).alias("hc"),
+        )
+        .groupBy("flag", "hc")
+        .agg(F.count("*").alias("w"))
     )
-    med = c.groupBy("flag").agg(F.percentile("hc", F.lit(0.5)).alias("med"))
-    dev = c.join(F.broadcast(med), "flag").select(
-        "flag", "med", F.abs(F.col("hc") - F.col("med")).alias("dev")
+    med = g.groupBy("flag").agg(
+        F.percentile("hc", F.lit(0.5), F.col("w")).alias("med")
     )
-    mad = dev.groupBy("flag").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    dev = g.join(F.broadcast(med), "flag").select(
+        "flag", "med", F.abs(F.col("hc") - F.col("med")).alias("dev"), "w"
+    )
+    mad = dev.groupBy("flag").agg(
+        F.percentile("dev", F.lit(0.5), F.col("w")).alias("mad")
+    )
     return (
         dev.join(F.broadcast(mad), "flag")
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum("w").alias("n_rows"),
             (F.max(F.col("med")) / F.lit(200.0)).alias("median_price"),
             (F.max(F.col("mad")) / F.lit(200.0)).alias("mad_price"),
             F.sum(
-                F.when(F.col("dev") > F.lit(4.5) * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("dev") > F.lit(4.5) * F.col("mad"), F.col("w")).otherwise(
+                    F.lit(0).cast("long")
+                )
             ).alias("n_outliers"),
         )
     )

@@ -48,7 +48,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.kmeans import GRID_Q, assign_cells, lloyd_recompute, quantize_vec
+from .operators.kmeans import (
+    GRID_Q,
+    inrow_assign,
+    quantize_vec,
+    two_iter_lloyd_centers,
+)
 from .operators.semdedup import (
     SEMDEDUP_TAU,
     _with_norm,
@@ -95,17 +100,20 @@ def fit_semdedup_base(
         raise ValueError("fit_semdedup_base: empty base corpus")
     if k is None:
         k = semdedup_k(n)
-    seeds = (
-        eb.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
-    )
-    a1 = assign_cells(eb, seeds, out_col="c1")
-    cent = lloyd_recompute(a1, eb, cell_col="c1")
-    a2 = assign_cells(eb, cent, out_col="cell", keep_dist=True)
-    stored = base.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(a2, "vec_id")
+    # r15 shape: trainer via two bounded collects (see semdedup_assign),
+    # then the stored rows come from ONE in-row assignment over a frame
+    # that already carries the raw embedding — the r14 join of the
+    # assignment back onto the base disappears. Bit-identical output.
+    centers = two_iter_lloyd_centers(eb, k)
+    stored = inrow_assign(
+        base.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
+        ),
+        centers,
+        dist_col="dist_q2",
+    ).select("vec_id", "embedding", "cell", "dist_q2")
 
     # epoch bump BEFORE the destructive overwrite (the index-pipeline
     # discipline): a stream running across this re-fit fails during it.
@@ -128,9 +136,6 @@ def fit_semdedup_base(
     stored.write.mode("overwrite").partitionBy("cell").parquet(
         _base_dir(out_dir)
     )
-    centers = [
-        (int(r["cid"]), [int(x) for x in r["cq"]]) for r in cent.collect()
-    ]
     os.makedirs(out_dir, exist_ok=True)
     with open(_centroids_path(out_dir), "w") as fh:
         json.dump({"q": GRID_Q, "centers": centers}, fh)
@@ -145,13 +150,21 @@ def fit_semdedup_base(
     return config
 
 
+def _load_centers(out_dir: str) -> list[tuple[int, list[int]]]:
+    """The persisted centroids as the ascending-cid driver list
+    ``inrow_assign`` consumes."""
+    with open(_centroids_path(out_dir)) as fh:
+        doc = json.load(fh)
+    return sorted(
+        (int(cid), [int(x) for x in cq]) for cid, cq in doc["centers"]
+    )
+
+
 def load_semdedup_artifacts(spark: SparkSession, out_dir: str):
     """(centroids DataFrame (cid, cq), config dict) from a persisted
     directory — the kilobyte constants every batch assigns against."""
-    with open(_centroids_path(out_dir)) as fh:
-        doc = json.load(fh)
     cent = spark.createDataFrame(
-        [(cid, cq) for cid, cq in doc["centers"]], "cid bigint, cq array<bigint>"
+        _load_centers(out_dir), "cid bigint, cq array<bigint>"
     )
     with open(_config_path(out_dir)) as fh:
         config = json.load(fh)
@@ -195,13 +208,20 @@ def semdedup_incremental_served(
     the base read statically prunes to those cell directories. Returns
     (vec_id, action, cell, dist_q2) — the cell/dist columns feed the
     kept-row append."""
-    cent, config = load_semdedup_artifacts(spark, out_dir)
+    centers = _load_centers(out_dir)
+    with open(_config_path(out_dir)) as fh:
+        config = json.load(fh)
     en = new.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col), GRID_Q).alias("xq"),
     )
-    a_new = assign_cells(en, cent, out_col="cell", keep_dist=True).localCheckpoint(
-        eager=True
+    # r15: the persisted centers are already a driver-held list — the
+    # in-row assignment (one narrow projection) replaces the r14
+    # broadcast-join + groupBy chain; bit-identical (see inrow_assign)
+    a_new = (
+        inrow_assign(en, centers, dist_col="dist_q2")
+        .select("vec_id", "cell", "dist_q2")
+        .localCheckpoint(eager=True)
     )
     cells = sorted(
         int(r["cell"]) for r in a_new.select("cell").distinct().collect()

@@ -149,6 +149,66 @@ def test_local_fit_equals_distributed_fit(spark):
         assert local.centers_q == dist.centers_q, init
 
 
+def test_inrow_assign_explicit_cids_matches_assign_cells(spark):
+    """inrow_assign (r15: driver-held centers, explicit non-dense cids,
+    optional distance output — the shape the SemDeDup family now
+    assigns through) must be bit-equal to assign_cells over a (cid,
+    cq) frame of the SAME centers: exact int64 distance, (dist, cid)
+    struct-min tie-break, long cell/dist columns."""
+    from soccer_data_pipeline_spark.operators.kmeans import inrow_assign
+
+    emb = _emb(spark)
+    e = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("xq"))
+    # non-dense cids (vec_ids of the 8 smallest rows — the SemDeDup
+    # seeding), and deliberately-colliding centers to exercise ties
+    seeds = [
+        (int(r.vec_id), [int(x) for x in r.xq])
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    seeds[3] = (seeds[3][0], list(seeds[2][1]))  # duplicate center → ties
+    cent_df = spark.createDataFrame(
+        seeds, "cid bigint, cq array<bigint>"
+    )
+    ours = {
+        (r.vec_id, r.cell, r.dist_q2)
+        for r in inrow_assign(e, seeds, dist_col="dist_q2")
+        .select("vec_id", "cell", "dist_q2")
+        .collect()
+    }
+    ref = {
+        (r.vec_id, r.cell, r.dist_q2)
+        for r in assign_cells(e, cent_df, keep_dist=True).collect()
+    }
+    assert ours == ref
+
+
+def test_two_iter_lloyd_centers_matches_distributed_chain(spark):
+    """two_iter_lloyd_centers (r15: two bounded collects + a fused
+    in-row first-iteration pass) must reproduce the r14 distributed
+    seeds→assign_cells→lloyd_recompute chain exactly — non-empty cells
+    only, ascending cid, identical HALF_UP grid means."""
+    from soccer_data_pipeline_spark.operators.kmeans import (
+        lloyd_recompute,
+        two_iter_lloyd_centers,
+    )
+
+    emb = _emb(spark)
+    e = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("xq"))
+    for k in (3, 8):
+        ours = two_iter_lloyd_centers(e, k)
+        seeds = (
+            e.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
+        )
+        a1 = assign_cells(e, seeds, out_col="c1")
+        ref = sorted(
+            (int(r.cid), [int(x) for x in r.cq])
+            for r in lloyd_recompute(a1, e, cell_col="c1").collect()
+        )
+        assert ours == ref, k
+
+
 def test_semdedup_invariants(spark):
     """SemDeDup (plans/llm_queries.semantic_dedup_semdedup) structural
     invariants, independently recomputed from the collected result:
