@@ -4913,35 +4913,68 @@ def _bpe_apply_expr(col, a: str, b: str):
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = _bpe_working_corpus(docs)
-    _pair_counts = _bpe_pair_counts
 
-    def _total_pairs(counts: DataFrame) -> int:
-        row = counts.select(F.sum("n").alias("t")).collect()[0]
-        return int(row["t"] or 0)
+    def _round_stats(frame: DataFrame):
+        """(total_pairs, top_a, top_b, top_n) in ONE corpus pass / ONE
+        collect (r15): the argmax tie-break (n desc, a asc, b asc) IS
+        ``min(struct(-n, a, b))`` — exact longs, lexicographic strings
+        — so the r14 form's separate orderBy-limit-1 job, sum job, and
+        the pair-count checkpoint between them (its only reason was
+        those two consumers) all collapse into this aggregate. 2
+        actions per learned round instead of 4, same corpus passes."""
+        pairs = (
+            frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
+            # see _bpe_pair_counts: sequence(0, size-2) DESCENDS for
+            # single-symbol rows, so s[1] would fault without the guard
+            .where(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(s[i] AS a, s[i + 1] AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
+        row = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.sum("n").alias("t"),
+                F.min(F.struct((-F.col("n")).alias("nn"), "a", "b")).alias(
+                    "top"
+                ),
+            )
+            .collect()[0]
+        )
+        if row["top"] is None:
+            return 0, None, None, 0
+        return (
+            int(row["t"]),
+            row["top"]["a"],
+            row["top"]["b"],
+            -int(row["top"]["nn"]),
+        )
 
-    counts = _pair_counts(w)
-    prev_pairs = _total_pairs(counts)
+    prev_pairs, top_a, top_b, top_n = _round_stats(w)
     merges: list[tuple] = []
     for r in range(1, _BPE_LEARN_ROUNDS + 1):
-        top_rows = (
-            counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top_rows:
+        if top_a is None:
             # pair-exhausted corpus (every token fully merged): stop —
             # the oracle's remaining m{r} CTEs are empty and contribute
             # no rows, so both engines emit only the learned rounds
             break
-        top = top_rows[0]
+        merge_a, merge_b, merge_n = top_a, top_b, top_n
         w = w.select(
-            _bpe_apply_expr(F.col("w"), top.a, top.b).alias("w")
+            _bpe_apply_expr(F.col("w"), merge_a, merge_b).alias("w")
         ).localCheckpoint(eager=True)
-        counts = _pair_counts(w)
-        tot_pairs = _total_pairs(counts)
+        tot_pairs, top_a, top_b, top_n = _round_stats(w)
         # Σ size = Σ pairs + n_rows with n_rows constant, so the
         # symbol-count delta (merges applied) is the PAIR-count delta
-        merges.append((r, top.a, top.b, int(top.n), int(prev_pairs - tot_pairs)))
+        merges.append(
+            (r, merge_a, merge_b, int(merge_n), int(prev_pairs - tot_pairs))
+        )
         prev_pairs = tot_pairs
     return spark.createDataFrame(
         merges,
