@@ -304,6 +304,10 @@ def verify_jaccard(
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sha"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_shb"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # (r15: a stream-side spread of `candidates` was A/B-measured here
+    # and LOST — dedup_minhash_lsh_pairs 2.5 → 3.0 s min-of-side, both
+    # rounds: the verify joins are NOT broadcast-pinned, so the extra
+    # exchange buys no stage width. Left plain.)
     out = (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
@@ -403,10 +407,14 @@ def _shingle_pair_counts(
     DF-capped within each block, self-joined block-locally →
     ((doc_a, doc_b, n_common), per-doc counts, the persisted shingle
     table the caller must release via materialize_owned)."""
+    from .skew import spread_for_compute
+
     toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    with_toks = docs.select("doc_id", block_col, toks.alias("toks")).where(
-        F.size("toks") >= n
-    )
+    # shingle parse/explode is the scan stage's per-row work — spread it
+    # (guide §2.5; same as shingles()/winnowing_fingerprints)
+    with_toks = spread_for_compute(docs).select(
+        "doc_id", block_col, toks.alias("toks")
+    ).where(F.size("toks") >= n)
     idx = F.sequence(F.lit(0), F.size("toks") - n)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(n)]
@@ -643,6 +651,13 @@ def jaccard_prefix_pairs(
     # behavior (ADVICE r9).
     _hint = F.broadcast if broadcast_verify else (lambda d: d)
     ints = F.size(F.array_intersect(F.col("ta_"), F.col("tb_"))).cast("long")
+    # the verify's array_intersect is COMPUTE-dense but the candidate
+    # table is byte-light, so AQE coalesces the distinct's output to
+    # 1-2 tasks and the whole verify serializes there (measured r15:
+    # 3 s on ONE task at sf0.1) — unconditional post-shuffle spread
+    from .skew import spread_after_shuffle
+
+    cand = spread_after_shuffle(cand)
     scored = (
         cand.join(
             _hint(

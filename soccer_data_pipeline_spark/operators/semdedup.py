@@ -115,7 +115,15 @@ def semdedup_pairs(
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    m = assigned.join(_with_norm(emb, id_col, vec_col), "vec_id")
+    # the cell self-join broadcasts its build side, so the per-pair
+    # interpreted cosine runs in the STREAM side's stage — off the
+    # 1-partition assignment checkpoint it would serialize (guide §2.5;
+    # the embedding_near_dup measurement: 3 s / 4 tasks → 0.6 s spread)
+    from .skew import spread_for_compute
+
+    m = spread_for_compute(
+        assigned.join(_with_norm(emb, id_col, vec_col), "vec_id")
+    )
     a, b = m.alias("a"), m.alias("b")
     cosine = F.round(
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
@@ -235,7 +243,11 @@ def decide_incremental(m: DataFrame, new_ids: DataFrame, tau: float) -> DataFram
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    a, b = m.alias("a"), m.alias("b")
+    # stream-side spread before the broadcast cell self-join: the
+    # per-pair interpreted cosine runs in this stage (see semdedup_pairs)
+    from .skew import spread_for_compute
+
+    a, b = spread_for_compute(m).alias("a"), m.alias("b")
     cosine = F.round(
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
     )

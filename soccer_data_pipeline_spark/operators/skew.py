@@ -52,6 +52,26 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_after_shuffle(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition to max(planned partitions,
+    default parallelism) for COMPUTE-DENSE post-shuffle frames.
+
+    ``spread_for_compute``'s guard reads the PLANNED partition count,
+    but AQE coalesces shuffle outputs at RUNTIME by BYTES — it cannot
+    see per-row compute — so a byte-light candidate-pair table
+    collapses to 1-2 tasks right before its expensive verify stage
+    (measured r15: jaccard_prefix_join's array_intersect verify ran
+    3 s on ONE task behind an AQE-coalesced distinct). The explicit
+    REPARTITION_BY_NUM node this inserts is user-specified, so AQE
+    never re-coalesces it. Use ONLY where the downstream per-row work
+    dwarfs one extra shuffle of the (narrow) rows; same correctness
+    argument as spread_for_compute (rows move, values don't).
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    return df.repartition(target)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

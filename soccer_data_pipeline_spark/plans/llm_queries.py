@@ -705,7 +705,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     emb = emb.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a = emb.alias("a")
+    # the label self-join broadcasts the (tiny) build side, so the
+    # per-pair interpreted cosine runs in the STREAM side's stage —
+    # straight off a single-row-group scan that would serialize it on
+    # 1-4 tasks (r15 profile: 3 s on 4 tasks; spread → 0.6-0.9 s)
+    from ..operators.skew import spread_for_compute
+
+    a = spread_for_compute(emb).alias("a")
     b = emb.alias("b")
     cosine = F.round(
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
@@ -3657,6 +3663,12 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = side.where(F.col("lang") == "en").select(
         F.col("doc_id").alias("en_doc"), F.col("v").alias("tv"), F.col("nrm").alias("tn")
     )
+    # the |q|·|t| interpreted cosine runs in the target side's stage
+    # under the broadcast cross — spread it (the r15 stream-side-spread
+    # pattern; brute_force_topk got the same treatment)
+    from ..operators.skew import spread_for_compute
+
+    t = spread_for_compute(t)
     s = F.broadcast(q).crossJoin(t).select(
         "fr_doc",
         "en_doc",
