@@ -66,9 +66,21 @@ def spread_after_shuffle(df: DataFrame) -> DataFrame:
     never re-coalesces it. Use ONLY where the downstream per-row work
     dwarfs one extra shuffle of the (narrow) rows; same correctness
     argument as spread_for_compute (rows move, values don't).
+
+    The target derives from CONFIGURATION, never from ``df.rdd``
+    (ADVICE r15): touching ``.rdd`` on a post-shuffle frame under AQE
+    forces the final physical plan, which eagerly EXECUTES every
+    upstream shuffle stage at DataFrame-construction time — and the
+    ``repartition`` then re-runs them, so the caller's candidate
+    pipeline executed twice per invocation. max(defaultParallelism,
+    shuffle partitions) is ≥ any AQE-coalesced width by construction
+    (AQE only ever coalesces DOWN from the configured partition
+    count), so the guard the runtime count provided is preserved
+    without planning or executing anything.
     """
-    sc = df.sparkSession.sparkContext
-    target = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    spark = df.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    target = max(spark.sparkContext.defaultParallelism, conf_parts)
     return df.repartition(target)
 
 
