@@ -362,6 +362,12 @@ def semdedup_incremental_actions(
     # narrow projection (is_base rides in-row, so the join-back for it
     # disappears too). Bit-identical (see semdedup_assign).
     cent = two_iter_lloyd_centers(eb, k)
+    if not cent:
+        # defensive twin of the empty-base guards above (ADVICE r15):
+        # no centers means no cells, so the incremental path cannot
+        # decide anything — fall back to the batch operator on the new
+        # frame alone rather than crash in inrow_assign's executor UDF
+        return semantic_actions(new, tau=tau, id_col=id_col, vec_col=vec_col)
     flagged = eb.withColumn("is_base", F.lit(1)).unionByName(
         en.withColumn("is_base", F.lit(0))
     )
