@@ -18,9 +18,11 @@ import os
 import sys
 import time
 
-REPO = os.environ.get("PYTHONPATH") or os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__))
-)
+# first PYTHONPATH entry only (ADVICE r15): a multi-entry value would
+# otherwise be inserted as one bogus path, silently falling back to an
+# ambient import while the printed 'src' misattributes the timed side
+_pp = (os.environ.get("PYTHONPATH") or "").split(os.pathsep)[0]
+REPO = _pp or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
