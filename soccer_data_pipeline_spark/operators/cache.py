@@ -62,6 +62,66 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+def checkpoint_owned(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager localCheckpoint + the EXACT persisted-RDD ids backing it.
+
+    Replaces the pre/post ``persistent_rdd_ids`` diff the loop
+    operators used to attribute checkpoint blocks (dedup candidate
+    tables, the CC label rounds). The diff was a GLOBAL snapshot, so
+    two driver threads checkpointing concurrently would each see the
+    other's new blocks in their diff and later unpersist blocks they
+    do not own — fatal for localCheckpoint blocks, whose lineage is
+    truncated and cannot be recomputed (the thread-safety blocker
+    VERDICT r15 #1 named). The checkpointed Dataset's analyzed plan is
+    the LogicalRDD over exactly the RDD ``localCheckpoint`` persisted,
+    so the id is read off the frame itself: per-thread exact
+    ownership, no lock, no window. If the internal plan shape ever
+    changes, the except arm leaves the block GC-owned (ContextCleaner
+    / the caller's unit-of-work ``release_session_blocks`` boundary
+    still reclaims it) rather than guessing from a racy diff.
+    """
+    out = df.localCheckpoint(eager=True)
+    try:
+        ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        ids = set()
+    return out, ids
+
+
+def run_concurrently(*thunks, spark: SparkSession | None = None):
+    """Run independent job-submitting thunks on driver threads and
+    return their results in thunk order (guide §2.6 "overlap
+    independent jobs": actions are only sequential because driver code
+    calls them sequentially; FIFO scheduling back-fills executors freed
+    by one job's tail with the next job's tasks).
+
+    Use for CONSTRUCTION-side eager work that is independent by data
+    (e.g. the two evidence tiers of clean_decisions, the served/memory
+    twins of the serving gates). Each thunk's exceptions propagate to
+    the caller in order. Correctness prerequisite (now guaranteed by
+    :func:`checkpoint_owned`): nothing a thunk releases may be
+    attributed by a global block-manager diff.
+
+    ``inheritable_thread_target`` carries the parent's JVM thread-local
+    properties (job description/group — and, when ``spark`` is passed,
+    the session's tags) into the pool threads, per the PySpark
+    concurrency docs; identity fallback if the API moves.
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from pyspark import inheritable_thread_target as _itt
+
+        wrap = _itt(spark) if spark is not None else _itt
+    except ImportError:  # pragma: no cover - API stable since 3.1
+        wrap = lambda f: f  # noqa: E731
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def unpersist_ids(spark: SparkSession, ids: set[int]) -> int:
     """Unpersist the given RDD ids (non-blocking); returns count."""
     if not ids:

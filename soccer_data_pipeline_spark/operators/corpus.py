@@ -76,22 +76,42 @@ def clean_decisions(
         .agg(F.min("doc_id").alias("_exact_keeper"))
     )
 
-    pairs = minhash_near_dup_pairs(
-        docs, n=3, k=k, bands=bands, threshold=threshold,
-        max_bucket_size=max_bucket_size,
-    )
-    edges = pairs.select("doc_a", "doc_b")
+    def _minhash_tier() -> DataFrame:
+        return minhash_near_dup_pairs(
+            docs, n=3, k=k, bands=bands, threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+
     if winnow_min_shared is not None:
-        wpairs = winnowing_pairs(
-            docs.select("doc_id", "text"),
-            k=winnow_k,
-            w=winnow_w,
-            df_cap=winnow_df_cap,
-            min_shared=winnow_min_shared,
-        ).select("doc_a", "doc_b")
+        from .cache import run_concurrently
+
+        def _winnow_tier() -> DataFrame:
+            # eager checkpoint: winnowing_pairs is lazy, so without it
+            # the tier's work would run inside CC's edge-count job —
+            # AFTER the minhash tier — instead of overlapping it. The
+            # result is a bounded pair list; blocks are GC-owned (the
+            # caller's unit-of-work boundary reclaims them).
+            return winnowing_pairs(
+                docs.select("doc_id", "text"),
+                k=winnow_k,
+                w=winnow_w,
+                df_cap=winnow_df_cap,
+                min_shared=winnow_min_shared,
+            ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+
+        # the two evidence tiers are independent by data and both run
+        # eager construction jobs — overlap them on driver threads
+        # (guide §2.6; safe since cache.checkpoint_owned made block
+        # ownership exact, r16 / VERDICT r15 #1)
+        pairs, wpairs = run_concurrently(
+            _minhash_tier, _winnow_tier, spark=docs.sparkSession
+        )
         # union of the two evidence tiers; CC tolerates duplicate edges,
         # so no distinct shuffle is spent here
-        edges = edges.unionByName(wpairs)
+        edges = pairs.select("doc_a", "doc_b").unionByName(wpairs)
+    else:
+        pairs = _minhash_tier()
+        edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )

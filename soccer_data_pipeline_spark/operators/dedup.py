@@ -239,7 +239,7 @@ def minhash_incremental_pairs(
     checkpoint under the candidate table, blocks released before
     return.
     """
-    from .cache import persistent_rdd_ids, unpersist_ids
+    from .cache import checkpoint_owned, unpersist_ids
 
     spark = docs.sparkSession
     sigs = minhash_signatures(shingles(docs, n=n), k=k).cache()
@@ -251,9 +251,8 @@ def minhash_incremental_pairs(
         rows_per_band=k // bands,
         max_bucket_size=max_bucket_size,
     )
-    pre = persistent_rdd_ids(spark)
-    cands = cands.localCheckpoint()
-    cand_blocks = persistent_rdd_ids(spark) - pre
+    # exact block ownership (r16, thread-safe — see checkpoint_owned)
+    cands, cand_blocks = checkpoint_owned(cands)
     out = verify_jaccard(cands, docs, threshold=threshold, n=n)
     sigs.unpersist()
     unpersist_ids(spark, cand_blocks)
@@ -365,7 +364,7 @@ def minhash_near_dup_pairs(
     full shingle strings), the signature agg shuffles one row per doc
     (map-side combine), and the banded self-join runs exactly ONCE.
     Verify shingles candidate docs only."""
-    from .cache import persistent_rdd_ids, unpersist_ids
+    from .cache import checkpoint_owned, unpersist_ids
 
     # The signature table is doc-count-sized (17 longs/doc — corpus row
     # count, NOT corpus bytes) and lsh_candidate_pairs consumes it four
@@ -381,14 +380,11 @@ def minhash_near_dup_pairs(
     spark = docs.sparkSession
     cand_blocks: set[int] = set()
     if reuse_candidates:
-        pre = persistent_rdd_ids(spark)
-        cands = cands.localCheckpoint()
-        # diff taken HERE, not after verify: verify's materialize_owned
-        # creates the result's own checkpoint blocks, which must outlive
-        # this call. The diff may also include the sigs cache id (the
-        # checkpoint job materializes the lazy cache) — released either
-        # way, same as sigs.unpersist().
-        cand_blocks = persistent_rdd_ids(spark) - pre
+        # exact block ownership (r16): the checkpoint's own RDD id, not
+        # a global pre/post diff — safe under concurrent driver threads
+        # (operators/cache.checkpoint_owned). The sigs cache the
+        # checkpoint job materializes is released by sigs.unpersist().
+        cands, cand_blocks = checkpoint_owned(cands)
     out = verify_jaccard(cands, docs, threshold=threshold, n=n)
     sigs.unpersist()
     unpersist_ids(spark, cand_blocks)

@@ -68,7 +68,7 @@ def _star_contract(
     Same lineage/block discipline as the min-label loop: per-round
     eager localCheckpoint, stale round unpersisted immediately.
     """
-    from .cache import persistent_rdd_ids, unpersist_ids
+    from .cache import checkpoint_owned, unpersist_ids
 
     spark = edges.sparkSession
     e0 = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).where(
@@ -76,9 +76,9 @@ def _star_contract(
     )
     if num_partitions is not None:
         e0 = e0.repartition(num_partitions, "u")
-    pre = persistent_rdd_ids(spark)
-    e = e0.localCheckpoint()
-    blocks = persistent_rdd_ids(spark) - pre
+    # exact per-checkpoint block ownership (r16, thread-safe — the
+    # global pre/post diff raced concurrent driver threads)
+    e, blocks = checkpoint_owned(e0)
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
@@ -108,8 +108,7 @@ def _star_contract(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        pre = persistent_rdd_ids(spark)
-        new_e = small.localCheckpoint()
+        new_e, new_blocks = checkpoint_owned(small)
         # bit_xor, not sum: xxhash64 spans the full 64-bit range and an
         # ANSI-mode SUM overflows; XOR is overflow-free and safe here
         # because the edge set is distinct (no pair cancels itself)
@@ -118,7 +117,7 @@ def _star_contract(
         ).first()
         sig = (row["n"], row["h"])
         unpersist_ids(spark, blocks)
-        blocks = persistent_rdd_ids(spark) - pre
+        blocks = new_blocks
         e = new_e
         if sig == prev_sig:
             converged = True
@@ -289,16 +288,15 @@ def connected_components(
     # unpersisted by id as soon as the new checkpoint materializes —
     # waiting for GC-driven cleanup lets ~max_iters copies of the label
     # table pile up in the block manager (r3's measured suite slowdown).
-    from .cache import persistent_rdd_ids, unpersist_ids
+    from .cache import checkpoint_owned, unpersist_ids
 
-    pre = persistent_rdd_ids(spark)
-    labels = (
+    # exact per-checkpoint block ownership (r16, thread-safe — see
+    # cache.checkpoint_owned; the global pre/post diff raced threads)
+    labels, labels_blocks = checkpoint_owned(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    labels_blocks = persistent_rdd_ids(spark) - pre
     changed = 0
     for _ in range(max_iters):
         neighbor_min = (
@@ -306,21 +304,19 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        pre = persistent_rdd_ids(spark)
-        updated = (
+        updated, updated_blocks = checkpoint_owned(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
                 (F.coalesce("nlabel", "label") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint()
         )
         changed = updated.where(F.col("_changed")).count()
         # the new checkpoint is materialized (eager) and lineage-free, so
         # the previous round's blocks are garbage — drop them now
         unpersist_ids(spark, labels_blocks)
-        labels_blocks = persistent_rdd_ids(spark) - pre
+        labels_blocks = updated_blocks
         labels = updated.drop("_changed")
         if changed == 0:
             break

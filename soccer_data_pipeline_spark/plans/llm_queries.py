@@ -7168,12 +7168,25 @@ def semantic_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrade the downstream gate plan). With no measurable win the
     # plain form stays: simplest plan, keeps the serve subtree visible
     # to the plan-shape window guard, matches the canonical baseline.
-    served = (
-        semdedup_incremental_served(spark, new, out_dir)
-        .select("vec_id", "action")
-    )
-    mem = semdedup_incremental_actions(base, new, tau=_SEMDEDUP_TAU).select(
-        "vec_id", F.col("action").alias("m_action")
+    #
+    # r16 (VERDICT r15 #1): the served and in-memory constructions are
+    # independent by data, and each runs a chain of sequential eager
+    # driver jobs (assignment checkpoint + cell resolve on the served
+    # side; base count + Lloyd seed/sums collects + assignment
+    # checkpoint on the memory side) — overlap them on driver threads
+    # (guide §2.6; block ownership is exact per checkpoint_owned, so
+    # concurrent legs cannot release each other's blocks). Per-leg
+    # plans unchanged.
+    from ..operators.cache import run_concurrently
+
+    served, mem = run_concurrently(
+        lambda: semdedup_incremental_served(spark, new, out_dir).select(
+            "vec_id", "action"
+        ),
+        lambda: semdedup_incremental_actions(
+            base, new, tau=_SEMDEDUP_TAU
+        ).select("vec_id", F.col("action").alias("m_action")),
+        spark=spark,
     )
     gate = served.join(mem, "vec_id", "full_outer").agg(
         (

@@ -61,6 +61,59 @@ def test_result_correct_after_release(spark):
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_concurrent_checkpoints_cannot_double_release(spark):
+    """checkpoint_owned attributes blocks EXACTLY (r16, VERDICT r15 #1):
+    two concurrent driver threads each checkpoint + release their own
+    frame; ownership sets must be disjoint (the old global pre/post
+    diff could capture the sibling's blocks), and releasing one leg's
+    blocks must leave the other leg's checkpointed frame readable —
+    localCheckpoint blocks are unrecomputable, so a cross-release is a
+    hard failure, not a slowdown."""
+    from soccer_data_pipeline_spark.operators.cache import (
+        checkpoint_owned,
+        run_concurrently,
+        unpersist_ids,
+    )
+
+    def leg(n: int, m: int):
+        df, ids = checkpoint_owned(
+            spark.range(n).selectExpr("id", f"id % {m} as g")
+        )
+        return df, ids, df.count()
+
+    (d1, i1, c1), (d2, i2, c2) = run_concurrently(
+        lambda: leg(50_000, 7), lambda: leg(60_000, 11), spark=spark
+    )
+    assert i1 and i2, "exact ownership extraction must find the RDD id"
+    assert not (i1 & i2), f"ownership sets overlap: {i1 & i2}"
+    assert (c1, c2) == (50_000, 60_000)
+    unpersist_ids(spark, i1)
+    # leg 2's checkpoint must survive leg 1's release in full
+    assert d2.count() == 60_000
+    unpersist_ids(spark, i2)
+
+
+def test_clean_decisions_concurrent_tiers_release_caches(spark):
+    """The r16 thread-overlapped evidence tiers of clean_decisions must
+    keep the cache-ownership contract: no catalog cache survives the
+    call, and the result is correct/usable after release."""
+    from soccer_data_pipeline_spark.operators.corpus import clean_decisions
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    out = clean_decisions(docs, k=16, bands=4, threshold=0.5, max_bucket_size=50)
+    assert _cache_manager_empty(spark), "clean_decisions leaked a cache"
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert {r.decision for r in rows} <= {
+        "keep",
+        "drop_quality",
+        "drop_exact_dup",
+        "drop_near_dup",
+        "drop_verbatim_overlap",
+    }
+
+
 def test_incremental_minhash_releases_caches(spark):
     spark.catalog.clearCache()
     from soccer_data_pipeline_spark.operators.dedup import minhash_incremental_pairs
