@@ -961,7 +961,8 @@ def main() -> None:
     # (the first slimmed form is itself near the cap at ~57 query names —
     # ADVICE r4), and the final step drops `queries` entirely (the full
     # dict always survives in BENCH_DETAIL.json).
-    line = json.dumps(line_obj, separators=(",", ":"))
+    full_line = json.dumps(line_obj, separators=(",", ":"))
+    line = full_line
     if len(line) > 1990:
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line_obj["vs_prev"] = {
@@ -975,6 +976,16 @@ def main() -> None:
     if len(line) > 1990:
         line_obj.pop("queries", None)
         line = json.dumps(line_obj, separators=(",", ":"))
+    # Per-query timings in the machine-readable output (VERDICT r15 #2,
+    # additions-only): the FULL object — same metric/value/unit/sf plus
+    # the complete `queries` map — prints FIRST as its own JSON line; the
+    # slimmed headline line stays LAST and unchanged, so a last-line /
+    # tail-buffer parser (the 2000-char tail keeps the END of the
+    # stream) sees exactly what it saw in r15, while a full-stream
+    # parser gets every per-query median. Totals and query set are
+    # byte-identical between the two lines.
+    if line != full_line:
+        print(full_line)
     print(line)
     spark.stop()
 
