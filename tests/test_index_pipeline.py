@@ -210,6 +210,45 @@ def test_rebalance_cell_splits_hot_cell_and_serves(spark, tmp_path):
     assert len(per_q) == 10 and all(r["count"] == 5 for r in per_q)
 
 
+def test_fit_pq_codebooks_batched_equals_per_subspace(spark):
+    """r16 (VERDICT r15 #3): the one-collect batched codebook fit must
+    be bit-identical to the per-subspace fit_deterministic_kmeans calls
+    it replaced — same sample, same quantization, same _fit_local
+    arithmetic, m times."""
+    from soccer_data_pipeline_spark.operators.kmeans import (
+        fit_deterministic_kmeans,
+    )
+    from soccer_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        fit_pq_codebooks,
+    )
+
+    _, c = _sides(spark)
+    cand = c.select(
+        F.col("vec_id").alias("candidate_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    m, n_codes, sub = 4, 4, 16
+    batched = fit_pq_codebooks(cand, None, m=m, n_codes=n_codes, sub=sub)
+    subcols = [
+        F.slice(F.col("cv"), s * sub + 1, sub).alias(f"s{s}") for s in range(m)
+    ]
+    cand_sub = cand.select("candidate_id", *subcols)
+    reference = [
+        fit_deterministic_kmeans(
+            cand_sub.select("candidate_id", f"s{s}"),
+            k=n_codes,
+            n_iters=4,
+            id_col="candidate_id",
+            vec_col=f"s{s}",
+        )
+        for s in range(m)
+    ]
+    for s in range(m):
+        assert batched[s].centers_q == reference[s].centers_q, f"subspace {s}"
+        assert batched[s].q == reference[s].q
+
+
 def test_residual_requires_deterministic_kmeans(spark):
     """ADVICE r11: a legacy (non-DeterministicKMeans) coarse quantizer
     on the residual paths raises a descriptive ValueError up front, not
