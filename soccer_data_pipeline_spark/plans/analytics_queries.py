@@ -4860,19 +4860,28 @@ def _bpe_working_corpus(docs: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
-    """(a, b, n) global adjacent-pair counts of the working corpus
-    — ONE corpus pass, checkpointed because the round reads it
-    twice (argmax + total). The per-round symbol TOTAL also derives
-    from it (Σ size = Σ n + n_rows, rows never disappear), so the
-    old separate corpus-wide total pass is gone: 2 passes/round
-    (count + apply) instead of 3."""
-    pairs = (
+def _bpe_apply_expr(col, a: str, b: str):
+    """The cross-engine-exact merge application: TWO passes of literal
+    leftmost-nonoverlapping replace (see the block comment above)."""
+    pat = F.lit(f" {a} {b} ")
+    rep = F.lit(f" {a}{b} ")
+    return F.replace(F.replace(col, pat, rep), pat, rep)
+
+
+def _bpe_top_pair(frame: DataFrame):
+    """(top_a, top_b, top_n) of the working corpus in ONE corpus pass /
+    ONE collect, or None when no pairs remain — the sampled learner's
+    slice of ``bpe_learn_merges._round_stats`` (r15): the argmax
+    tie-break (n desc, a asc, b asc) IS ``min(struct(-n, a, b))`` over
+    exact longs and lexicographic strings, so the per-round pair-count
+    checkpoint + orderBy-limit-1 collect pair collapses to one
+    aggregate collect."""
+    row = (
         frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
-        # a fully-merged token (one symbol) has no pairs; without
-        # this filter Spark's sequence(0, size-2) DESCENDS for
-        # size=1 and s[1] faults (DuckDB's GENERATE_SERIES(1, 0)
-        # is empty, so only this side needs the guard)
+        # a fully-merged token (one symbol) has no pairs; without this
+        # filter Spark's sequence(0, size-2) DESCENDS for size=1 and
+        # s[1] faults (DuckDB's GENERATE_SERIES(1, 0) is empty, so only
+        # this side needs the guard)
         .where(F.size("s") >= 2)
         .select(
             F.explode(
@@ -4883,20 +4892,16 @@ def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
             ).alias("p")
         )
         .select("p.a", "p.b")
-    )
-    return (
-        pairs.groupBy("a", "b")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("nn"), "a", "b")).alias("top")
+        )
+        .collect()[0]
     )
-
-
-def _bpe_apply_expr(col, a: str, b: str):
-    """The cross-engine-exact merge application: TWO passes of literal
-    leftmost-nonoverlapping replace (see the block comment above)."""
-    pat = F.lit(f" {a} {b} ")
-    rep = F.lit(f" {a}{b} ")
-    return F.replace(F.replace(col, pat, rep), pat, rep)
+    if row["top"] is None:
+        return None
+    return row["top"]["a"], row["top"]["b"], -int(row["top"]["nn"])
 
 
 @register(
@@ -4924,8 +4929,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         actions per learned round instead of 4, same corpus passes."""
         pairs = (
             frame.select(F.split(F.trim(F.col("w")), " ").alias("s"))
-            # see _bpe_pair_counts: sequence(0, size-2) DESCENDS for
-            # single-symbol rows, so s[1] would fault without the guard
+            # sequence(0, size-2) DESCENDS for single-symbol rows, so
+            # s[1] would fault without the size guard (see _bpe_top_pair)
             .where(F.size("s") >= 2)
             .select(
                 F.explode(
@@ -4966,6 +4971,11 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no rows, so both engines emit only the learned rounds
             break
         merge_a, merge_b, merge_n = top_a, top_b, top_n
+        # (r16: a NON-eager checkpoint here — fusing the apply into the
+        # next stats job, 2 actions/round → 1 — was A/B-measured and
+        # LOST, 2.86 → 3.17 s min-of-side: the fused stats job pays the
+        # apply+store inline on its critical path and the narrow apply
+        # stage loses its independent 32-task run. Eager stays.)
         w = w.select(
             _bpe_apply_expr(F.col("w"), merge_a, merge_b).alias("w")
         ).localCheckpoint(eager=True)
@@ -5089,23 +5099,24 @@ def bpe_learn_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     ).limit(_BPE_SAMPLE_ROWS)
     w = _bpe_working_corpus(sliced.select("text"))
-    counts = _bpe_pair_counts(w)
     merges: list[tuple] = []
     for r in range(1, _BPE_LEARN_ROUNDS + 1):
-        top_rows = (
-            counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top_rows:
+        # TWO actions per learned round instead of three (r16, VERDICT
+        # r15 #6): the argmax collapses to a single aggregate collect
+        # (_bpe_top_pair — the per-round pair-count checkpoint's only
+        # consumer here was this argmax, so it was pure overhead).
+        # (Fusing the apply into the next stats job via a NON-eager
+        # checkpoint — 1 action/round — was A/B-measured and LOST on
+        # both learners; eager apply stays, see bpe_learn_merges.)
+        top = _bpe_top_pair(w)
+        if top is None:
             break
-        top = top_rows[0]
-        merges.append((r, top.a, top.b, int(top.n)))
+        top_a, top_b, top_n = top
+        merges.append((r, top_a, top_b, int(top_n)))
         if r < _BPE_LEARN_ROUNDS:
             w = w.select(
-                _bpe_apply_expr(F.col("w"), top.a, top.b).alias("w")
+                _bpe_apply_expr(F.col("w"), top_a, top_b).alias("w")
             ).localCheckpoint(eager=True)
-            counts = _bpe_pair_counts(w)
     if not merges:
         return spark.createDataFrame(
             [],
