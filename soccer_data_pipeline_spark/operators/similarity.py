@@ -657,9 +657,17 @@ def _with_pq_codes(cand_sub: DataFrame, codebooks) -> DataFrame:
     the INCREMENTAL encode path too (a new batch encodes without
     refitting or rescanning the existing corpus)."""
     m = len(codebooks)
-    enc = cand_sub
+    # ALL m code columns land in ONE projection (r16 planning hygiene,
+    # guide §7.3 "very large plans ... spend minutes in planning"):
+    # the old per-subspace withColumn loop re-analyzed a growing plan m
+    # times (~0.87 s of pure driver time per encode construction at
+    # m=16); withColumns adds every column in a single analysis pass.
+    # The argmin is likewise ONE parsed SQL string per subspace — the
+    # same expression the Column-API array_sort built (comparator
+    # CASE = the when/when/otherwise chain), minus the py4j tree.
+    code_cols = {}
     for s in range(m):
-        cells = F.expr(
+        cells = (
             "array("
             + ",".join(
                 "named_struct('j', {j}, 'd2', aggregate(zip_with(s{s}, {arr}, "
@@ -670,11 +678,11 @@ def _with_pq_codes(cand_sub: DataFrame, codebooks) -> DataFrame:
             )
             + ")"
         )
-        best = F.array_sort(
-            cells,
-            lambda a, b: F.when(a.d2 < b.d2, -1).when(a.d2 > b.d2, 1).otherwise(0),
-        )[0]["j"]
-        enc = enc.withColumn(f"code{s}", best)
+        code_cols[f"code{s}"] = F.expr(
+            f"array_sort({cells}, (a, b) -> case when a.d2 < b.d2 then -1 "
+            "when a.d2 > b.d2 then 1 else 0 end)[0].j"
+        )
+    enc = cand_sub.withColumns(code_cols)
     # reconstruction norm via ONE parsed expression (constants inlined
     # as SQL text — the Column-API form costs hundreds of py4j round
     # trips per plan construction; same lesson as ivf_topk's cell rank)
@@ -693,6 +701,7 @@ def _with_pq_luts(q: DataFrame, codebooks, sub: int) -> DataFrame:
     parsed SQL expression per subspace (m exprs total), not m·n_codes
     Column-API dot products: the Column form measured ~10 s of pure
     plan construction per bench run at m=16."""
+    lut_cols = {}
     for s, book in enumerate(codebooks):
         entries = ",".join(
             "aggregate(zip_with(slice(qv, {o}, {w}), array({arr}), "
@@ -701,8 +710,10 @@ def _with_pq_luts(q: DataFrame, codebooks, sub: int) -> DataFrame:
             )
             for c in book
         )
-        q = q.withColumn(f"lut{s}", F.expr(f"array({entries})"))
-    return q
+        lut_cols[f"lut{s}"] = F.expr(f"array({entries})")
+    # one projection / one analysis pass for all m LUT columns (r16
+    # planning hygiene — see _with_pq_codes)
+    return q.withColumns(lut_cols)
 
 
 def _adc_dot_expr(m: int):
