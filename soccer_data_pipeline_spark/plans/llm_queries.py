@@ -6163,16 +6163,44 @@ def hybrid_retrieval_rrf_ann(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ql, cl = _rrf_labels(spark, sf_dir)
 
-    exact = _rrf_fuse(_rrf_dense_exact(q, c), _rrf_lex_leg(docs, c, prefix=None))
-    ann = _rrf_fuse(
-        _rrf_dense_ann(q, c, n_c=n_c), _rrf_lex_leg(docs, c, prefix=_RRF_PREFIX)
-    )
-    # Checkpointing the fused legs was A/B-measured BOTH ways (r15) and
-    # lost both times: eager serializes the two corpus-sized legs into
-    # blocking jobs (1.1×), non-eager re-computed them under the gates'
-    # concurrent subquery consumers (4.7×). The plain lazy form keeps
-    # Spark's subtree sharing + stage overlap and stays the fastest —
-    # deliberately left alone.
+    # Checkpointing the fused legs was A/B-measured BOTH ways in r15
+    # and lost both times SEQUENTIALLY: eager serialized the two
+    # corpus-sized legs into blocking jobs (1.1×), non-eager re-computed
+    # them under the gates' concurrent subquery consumers (4.7×). r16
+    # (VERDICT r15 #1): with block ownership now thread-safe, the FOUR
+    # raw retrieval legs — each an independent corpus-sized pipeline
+    # producing a ≤ queries×20 list — eagerly checkpoint on CONCURRENT
+    # driver threads (guide §2.6), so the wall cost is max(leg), not
+    # Σ(legs), and the fuse/gate/NDCG consumers fold over the bounded
+    # checkpointed lists instead of re-walking shared subtrees. Blocks
+    # are GC-owned (the result must outlive this call; the caller's
+    # unit-of-work boundary reclaims them). The n_c-parameterized form
+    # keeps the fully LAZY single-plan shape — that contract (explain-
+    # only callers must not run jobs) predates and survives this.
+    if n_c is None:
+        from ..operators.cache import run_concurrently
+
+        de, le, da, la = run_concurrently(
+            lambda: _rrf_dense_exact(q, c).localCheckpoint(eager=True),
+            lambda: _rrf_lex_leg(docs, c, prefix=None).localCheckpoint(
+                eager=True
+            ),
+            lambda: _rrf_dense_ann(q, c).localCheckpoint(eager=True),
+            lambda: _rrf_lex_leg(docs, c, prefix=_RRF_PREFIX).localCheckpoint(
+                eager=True
+            ),
+            spark=spark,
+        )
+        exact = _rrf_fuse(de, le)
+        ann = _rrf_fuse(da, la)
+    else:
+        exact = _rrf_fuse(
+            _rrf_dense_exact(q, c), _rrf_lex_leg(docs, c, prefix=None)
+        )
+        ann = _rrf_fuse(
+            _rrf_dense_ann(q, c, n_c=n_c),
+            _rrf_lex_leg(docs, c, prefix=_RRF_PREFIX),
+        )
 
     overlap = (
         exact.join(
