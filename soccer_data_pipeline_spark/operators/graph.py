@@ -557,12 +557,20 @@ def kcore_peel_profile(
         und = und.join(removed, "u", "left_anti").join(
             removed.select(F.col("u").alias("v")), "v", "left_anti"
         )
-        # one action per round: materialize the survivor edge set once,
-        # reuse it for this round's counts AND the next round's peel
+        # one checkpoint per round: materialize the survivor edge set
+        # once, reuse it for this round's counts AND the next round's
+        # peel. Both profile counts then fold in ONE action (r16: the
+        # removed count re-aggregates the PREVIOUS round's in-memory
+        # checkpoint and the remaining count scans the new one — a
+        # 1-row crossJoin collect instead of two sequential count jobs,
+        # 3 driver actions per round → 2).
         und = und.localCheckpoint(eager=True)
-        n_removed = removed.count()
-        n_remaining = und.select("u").distinct().count()
-        profile.append((r, n_removed, n_remaining))
+        row = (
+            removed.agg(F.count("*").alias("nr"))
+            .crossJoin(und.select("u").distinct().agg(F.count("*").alias("nn")))
+            .first()
+        )
+        profile.append((r, row["nr"], row["nn"]))
     return spark.createDataFrame(
         profile, "round long, n_removed long, n_remaining long"
     )
